@@ -1,0 +1,349 @@
+"""QNN dialect — the integer core of the framework.
+
+Reimplements, with bit-identical integer semantics, the reference's QNN ops
+(`src/relay/qnn/op/*.cc`, SURVEY.md §8.2).  Zero points and scales are carried
+as node *attrs* (canonicalized scalars / per-channel lists), not as extra
+const inputs like Relay does — the graph stays lean and the trace record
+carries them as op params.
+
+Semantics sources (file:line in /root/reference):
+  * qnn.quantize   — `src/relay/qnn/op/quantize.cc:113-149` QuantizeLower:
+                     cast(clip(round(x/scale) + zp, qmin, qmax), out_dtype),
+                     round = nearbyint (ties-to-even).
+  * qnn.dequantize — `src/relay/qnn/op/dequantize.cc` DequantizeLower:
+                     (cast(x, i32) - zp) * scale, in float32.
+  * qnn.requantize — `src/relay/qnn/op/requantize.cc:195` RequantizeLowerInt
+                     (see ops/fixed_point.py).
+  * qnn.conv2d     — `src/relay/qnn/op/convolution.cc`: conv((x - izp),
+                     (w - kzp)) with int32 accumulation.
+  * qnn.dense      — `src/relay/qnn/op/dense.cc`: same shape of computation.
+  * qnn.add        — `src/relay/qnn/op/add.cc:40-97`: requantize both sides to
+                     output qparams (int32), add, subtract one zp, clip.
+  * qnn.mul        — `src/relay/qnn/op/mul.cc:43-140`: (lhs-zp)*(rhs-zp) int32,
+                     requantize from scale la*ra (zp 0) to output qparams.
+  * qnn.concatenate— `src/relay/qnn/op/concatenate.cc`: requantize each input
+                     to output qparams, concatenate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from ..ir.graph import Node
+from ..ir.registry import TensorType, infer_rule, np_impl, flops_rule, register_op
+from ..utils import dtypes as dt
+from . import nn as _nn
+from .fixed_point import requantize_np
+
+
+def _q(node: Node, key: str, default=0):
+    v = node.attrs.get(key, default)
+    return v
+
+
+def _req_attrs(node: Node) -> dict:
+    return dict(
+        axis=int(node.attrs.get("axis", -1)),
+        rounding=node.attrs.get("rounding", "UPWARD"),
+    )
+
+
+# -- quantize / dequantize / requantize -------------------------------------
+
+@infer_rule("qnn.quantize")
+def _quantize_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    (a, _) = ins[0]
+    return tuple(a), node.attrs.get("out_dtype", "int8")
+
+
+@np_impl("qnn.quantize")
+def _quantize_np(x: np.ndarray, *, node: Node) -> np.ndarray:
+    out_dtype = node.attrs.get("out_dtype", "int8")
+    scale = np.asarray(node.attrs["scale"], dtype=np.float32)
+    zp = np.asarray(node.attrs.get("zero_point", 0), dtype=np.int32)
+    axis = int(node.attrs.get("axis", -1))
+    if scale.ndim > 0:
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        scale = scale.reshape(shape)
+        zp = np.asarray(zp).reshape(shape) if np.ndim(zp) > 0 else zp
+    scaled = np.rint(x.astype(np.float32) / scale)  # nearbyint: ties-to-even
+    shifted = scaled + zp.astype(np.float32)
+    lo, hi = dt.qmin(out_dtype), dt.qmax(out_dtype)
+    return np.clip(shifted, lo, hi).astype(out_dtype)
+
+
+@infer_rule("qnn.dequantize")
+def _dequantize_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    (a, _) = ins[0]
+    return tuple(a), "float32"
+
+
+@np_impl("qnn.dequantize")
+def _dequantize_np(x: np.ndarray, *, node: Node) -> np.ndarray:
+    scale = np.asarray(node.attrs["scale"], dtype=np.float32)
+    zp = np.asarray(node.attrs.get("zero_point", 0), dtype=np.int32)
+    axis = int(node.attrs.get("axis", -1))
+    if scale.ndim > 0:
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        scale = scale.reshape(shape)
+        zp = np.asarray(zp).reshape(shape) if np.ndim(zp) > 0 else zp
+    return ((x.astype(np.int32) - zp).astype(np.float32) * scale).astype(np.float32)
+
+
+@infer_rule("qnn.requantize")
+def _requantize_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    (a, _) = ins[0]
+    return tuple(a), node.attrs.get("out_dtype", "int8")
+
+
+@np_impl("qnn.requantize")
+def _requantize_np(x: np.ndarray, *, node: Node) -> np.ndarray:
+    return requantize_np(
+        x,
+        node.attrs["input_scale"],
+        int(node.attrs.get("input_zero_point", 0)),
+        float(node.attrs["output_scale"]),
+        int(node.attrs.get("output_zero_point", 0)),
+        axis=int(node.attrs.get("axis", -1)),
+        rounding=node.attrs.get("rounding", "UPWARD"),
+        out_dtype=node.attrs.get("out_dtype", "int8"),
+    )
+
+
+# -- quantized conv / dense / matmul ----------------------------------------
+
+@infer_rule("qnn.conv2d")
+def _qconv_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    shape, _ = _nn._conv2d_rel(node, ins)
+    return shape, node.attrs.get("out_dtype", "int32")
+
+
+@np_impl("qnn.conv2d")
+def _qconv_np(data: np.ndarray, weight: np.ndarray, *, node: Node) -> np.ndarray:
+    izp = int(node.attrs.get("input_zero_point", 0))
+    kzp = node.attrs.get("kernel_zero_point", 0)
+    d = data.astype(np.int64) - izp
+    w = weight.astype(np.int64)
+    if np.ndim(kzp) > 0:
+        w = w - np.asarray(kzp, dtype=np.int64).reshape(1, 1, 1, -1)
+    elif int(kzp) != 0:
+        w = w - int(kzp)
+    shadow = node.with_(attrs={**dict(node.attrs), "out_dtype": None})
+    out = _nn._conv2d_np(d, w, node=shadow)
+    return out.astype(node.attrs.get("out_dtype", "int32"))
+
+
+register_op("qnn.conv2d", flops=_nn._conv2d_flops)
+
+
+@infer_rule("qnn.conv2d_transpose")
+def _qconvt_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    shape, _ = _nn._conv2d_t_rel(node, ins)
+    return shape, node.attrs.get("out_dtype", "int32")
+
+
+@np_impl("qnn.conv2d_transpose")
+def _qconvt_np(data: np.ndarray, weight: np.ndarray, *, node: Node) -> np.ndarray:
+    izp = int(node.attrs.get("input_zero_point", 0))
+    kzp = int(node.attrs.get("kernel_zero_point", 0))
+    d = data.astype(np.int64) - izp
+    w = weight.astype(np.int64) - kzp
+    shadow = node.with_(attrs={**dict(node.attrs), "out_dtype": None})
+    out = _nn._conv2d_t_np(d, w, node=shadow)
+    return out.astype(node.attrs.get("out_dtype", "int32"))
+
+
+@infer_rule("qnn.dense")
+def _qdense_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    shape, _ = _nn._dense_rel(node, ins)
+    return shape, node.attrs.get("out_dtype", "int32")
+
+
+@np_impl("qnn.dense")
+def _qdense_np(data: np.ndarray, weight: np.ndarray, *, node: Node) -> np.ndarray:
+    izp = int(node.attrs.get("input_zero_point", 0))
+    kzp = node.attrs.get("kernel_zero_point", 0)
+    d = data.astype(np.int64) - izp
+    w = weight.astype(np.int64)
+    if np.ndim(kzp) > 0:
+        w = w - np.asarray(kzp, dtype=np.int64).reshape(1, -1)
+    elif int(kzp) != 0:
+        w = w - int(kzp)
+    out = d @ w
+    return out.astype(node.attrs.get("out_dtype", "int32"))
+
+
+register_op("qnn.dense", flops=_nn._dense_flops)
+
+
+@infer_rule("qnn.batch_matmul")
+def _qbmm_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    shape, _ = _nn._bmm_rel(node, ins)
+    return shape, node.attrs.get("out_dtype", "int32")
+
+
+@np_impl("qnn.batch_matmul")
+def _qbmm_np(a: np.ndarray, b: np.ndarray, *, node: Node) -> np.ndarray:
+    azp = int(node.attrs.get("lhs_zero_point", 0))
+    bzp = int(node.attrs.get("rhs_zero_point", 0))
+    x = a.astype(np.int64) - azp
+    y = b.astype(np.int64) - bzp
+    if node.attrs.get("transpose_a", False):
+        x = np.swapaxes(x, -1, -2)
+    if node.attrs.get("transpose_b", False):
+        y = np.swapaxes(y, -1, -2)
+    out = x @ y
+    return out.astype(node.attrs.get("out_dtype", "int32"))
+
+
+register_op("qnn.batch_matmul", flops=_nn._bmm_flops)
+
+
+# -- quantized elementwise ---------------------------------------------------
+
+def _qbinary_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    (a, adt), (b, _) = ins[0], ins[1]
+    return _nn.broadcast_shapes(a, b), node.attrs.get("out_dtype", adt)
+
+
+def _requant_to_out(x: np.ndarray, scale, zp, node: Node) -> np.ndarray:
+    """RequantizeOrUpcast (`src/relay/qnn/op/op_common.h`): skip the multiply
+    when input and output qparams match; always lands in int32."""
+    oscale = float(node.attrs["output_scale"])
+    ozp = int(node.attrs.get("output_zero_point", 0))
+    scale_arr = np.asarray(scale, dtype=np.float64)
+    if scale_arr.ndim == 0 and float(scale_arr) == oscale and int(zp) == ozp:
+        return x.astype(np.int32)
+    return requantize_np(
+        x, scale, int(zp), oscale, ozp,
+        axis=int(node.attrs.get("axis", -1)),
+        rounding=node.attrs.get("rounding", "UPWARD"),
+        out_dtype="int32",
+    )
+
+
+def _qadd_like(npop):
+    def impl(lhs: np.ndarray, rhs: np.ndarray, *, node: Node) -> np.ndarray:
+        out_dtype = node.attrs.get("out_dtype", "int8")
+        ozp = int(node.attrs.get("output_zero_point", 0))
+        ql = _requant_to_out(lhs, node.attrs["lhs_scale"], node.attrs.get("lhs_zero_point", 0), node)
+        qr = _requant_to_out(rhs, node.attrs["rhs_scale"], node.attrs.get("rhs_zero_point", 0), node)
+        out = npop(ql.astype(np.int64), qr.astype(np.int64)).astype(np.int32)
+        if npop is np.add:
+            out = out - np.int32(ozp)
+        else:  # subtract: zp_c - (zp_c) cancels once the other way
+            out = out + np.int32(ozp)
+        lo, hi = dt.qmin(out_dtype), dt.qmax(out_dtype)
+        return np.clip(out, lo, hi).astype(out_dtype)
+
+    return impl
+
+
+register_op("qnn.add", infer=_qbinary_rel, np_impl=_qadd_like(np.add))
+register_op("qnn.subtract", infer=_qbinary_rel, np_impl=_qadd_like(np.subtract))
+
+
+@infer_rule("qnn.mul")
+def _qmul_rel(node: Node, ins):
+    return _qbinary_rel(node, ins)
+
+
+@np_impl("qnn.mul")
+def _qmul_np(lhs: np.ndarray, rhs: np.ndarray, *, node: Node) -> np.ndarray:
+    out_dtype = node.attrs.get("out_dtype", "int8")
+    lzp = int(node.attrs.get("lhs_zero_point", 0))
+    rzp = int(node.attrs.get("rhs_zero_point", 0))
+    l = lhs.astype(np.int32) - np.int32(lzp)
+    r = rhs.astype(np.int32) - np.int32(rzp)
+    prod = (l.astype(np.int64) * r.astype(np.int64)).astype(np.int32)
+    new_scale = float(np.asarray(node.attrs["lhs_scale"]).item()) * float(
+        np.asarray(node.attrs["rhs_scale"]).item()
+    )
+    return requantize_np(
+        prod, new_scale, 0,
+        float(node.attrs["output_scale"]),
+        int(node.attrs.get("output_zero_point", 0)),
+        rounding=node.attrs.get("rounding", "UPWARD"),
+        out_dtype=out_dtype,
+    )
+
+
+@infer_rule("qnn.concatenate")
+def _qconcat_rel(node: Node, ins):
+    return _nn._concat_rel(node, ins)
+
+
+@np_impl("qnn.concatenate")
+def _qconcat_np(*args: np.ndarray, node: Node) -> np.ndarray:
+    # `src/relay/qnn/op/concatenate.cc`: requantize every input to the output
+    # qparams, then concatenate.
+    scales = node.attrs["input_scales"]
+    zps = node.attrs["input_zero_points"]
+    oscale = float(node.attrs["output_scale"])
+    ozp = int(node.attrs.get("output_zero_point", 0))
+    out_dtype = node.attrs.get("out_dtype", str(args[0].dtype))
+    rounding = node.attrs.get("rounding", "UPWARD")
+    parts = []
+    for x, s, z in zip(args, scales, zps):
+        if float(s) == oscale and int(z) == ozp:
+            parts.append(x.astype(out_dtype))
+        else:
+            parts.append(
+                requantize_np(x, float(s), int(z), oscale, ozp,
+                              rounding=rounding, out_dtype=out_dtype)
+            )
+    return np.concatenate(parts, axis=int(node.attrs.get("axis", 0)))
+
+
+@infer_rule("qnn.avg_pool2d")
+def _qavgpool_rel(node: Node, ins):
+    return _nn._pool_rel(node, ins)
+
+
+@np_impl("qnn.avg_pool2d")
+def _qavgpool_np(x: np.ndarray, *, node: Node) -> np.ndarray:
+    # `src/relay/qnn/op/avg_pool2d.cc`: cast i32, subtract izp, pool (integer
+    # average, round-half-away), requantize to output qparams, clip/cast.
+    out_dtype = node.attrs.get("out_dtype", str(x.dtype))
+    izp = int(node.attrs.get("input_zero_point", 0))
+    v = x.astype(np.int32) - np.int32(izp)
+    shadow = node.with_(attrs=dict(node.attrs))
+    pooled = _nn._avg_pool2d_np(v, node=shadow)
+    iscale = float(node.attrs["input_scale"])
+    oscale = float(node.attrs["output_scale"])
+    ozp = int(node.attrs.get("output_zero_point", 0))
+    return requantize_np(
+        pooled, iscale, 0, oscale, ozp,
+        rounding=node.attrs.get("rounding", "UPWARD"), out_dtype=out_dtype
+    )
+
+
+@infer_rule("qnn.leaky_relu")
+def _qlrelu_rel(node: Node, ins):
+    (a, adt) = ins[0]
+    return tuple(a), node.attrs.get("out_dtype", adt)
+
+
+@np_impl("qnn.leaky_relu")
+def _qlrelu_np(x: np.ndarray, *, node: Node) -> np.ndarray:
+    # `src/relay/qnn/op/leaky_relu.cc`: positive branch requantized identity,
+    # negative branch alpha * (Q - izp) via fixed-point multiply, + ozp.
+    from .fixed_point import fixed_point_multiplier_shift, q_multiply_shift_np
+
+    alpha = float(node.attrs.get("alpha", 0.01))
+    iscale = float(node.attrs["input_scale"])
+    izp = int(node.attrs.get("input_zero_point", 0))
+    oscale = float(node.attrs["output_scale"])
+    ozp = int(node.attrs.get("output_zero_point", 0))
+    out_dtype = node.attrs.get("out_dtype", str(x.dtype))
+    rounding = node.attrs.get("rounding", "UPWARD")
+    pos = requantize_np(x, iscale, izp, oscale, ozp, rounding=rounding, out_dtype="int32")
+    m, s = fixed_point_multiplier_shift(alpha * iscale / oscale)
+    neg = q_multiply_shift_np((x.astype(np.int32) - izp), m, s, rounding) + np.int32(ozp)
+    out = np.where(x.astype(np.int32) >= izp, pos, neg)
+    lo, hi = dt.qmin(out_dtype), dt.qmax(out_dtype)
+    return np.clip(out, lo, hi).astype(out_dtype)
