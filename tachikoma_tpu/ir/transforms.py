@@ -1,0 +1,192 @@
+"""Graph-level transformation passes.
+
+The slim equivalent of the reference's Relay transform library
+(`src/relay/transforms/` — ~70 passes): here only the rewrites that matter
+for an integer-inference graph feeding XLA, since XLA itself performs the
+fusion/layout/scheduling work most Relay/TIR passes exist for.
+
+All passes are pure functions Graph -> Graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .graph import CONST, TUPLE, TUPLE_GET_ITEM, VAR, Graph, GraphBuilder, Node
+from .infer import infer_types
+from .registry import get_op
+
+
+def fold_constant(graph: Graph) -> Graph:
+    """Evaluate ops whose inputs are all constants (reference:
+    `src/relay/transforms/fold_constant.cc`), using the numpy oracle."""
+    g = infer_types(graph)
+    const_vals: dict[str, np.ndarray] = dict(g.params)
+    b = GraphBuilder(g.name)
+    mapping: dict[str, str] = {}
+    for n in g.nodes:
+        new_inputs = tuple(mapping[i] for i in n.inputs)
+        if n.op == VAR:
+            mapping[n.name] = b.var(n.name, n.shape, n.dtype)
+            continue
+        if n.op == CONST:
+            mapping[n.name] = b.const(g.params[n.name], name=n.name)
+            continue
+        if (
+            n.op not in (TUPLE, TUPLE_GET_ITEM)
+            and all(i in const_vals for i in n.inputs)
+        ):
+            op = get_op(n.op)
+            if op.np_impl is not None:
+                out = op.np_impl(*[const_vals[i] for i in n.inputs], node=n)
+                if isinstance(out, np.ndarray):
+                    const_vals[n.name] = out
+                    mapping[n.name] = b.const(out, name=n.name)
+                    continue
+        mapping[n.name] = b.call(n.op, *new_inputs, name=n.name, **dict(n.attrs))
+    return b.build([mapping[o] for o in g.outputs])
+
+
+def eliminate_common_subexpr(graph: Graph) -> Graph:
+    """Dedupe structurally identical nodes (reference:
+    `src/relay/transforms/eliminate_common_subexpr.cc`)."""
+    g = graph
+    b = GraphBuilder(g.name)
+    mapping: dict[str, str] = {}
+    seen: dict[tuple, str] = {}
+    import json
+
+    for n in g.nodes:
+        new_inputs = tuple(mapping[i] for i in n.inputs)
+        if n.op == VAR:
+            mapping[n.name] = b.var(n.name, n.shape, n.dtype)
+            continue
+        if n.op == CONST:
+            arr = g.params[n.name]
+            key = (CONST, str(arr.dtype), arr.shape, arr.tobytes())
+            if key in seen:
+                mapping[n.name] = seen[key]
+            else:
+                new = b.const(arr, name=n.name)
+                seen[key] = new
+                mapping[n.name] = new
+            continue
+        key = (n.op, new_inputs, json.dumps(dict(n.attrs), sort_keys=True, default=str))
+        if key in seen:
+            mapping[n.name] = seen[key]
+        else:
+            new = b.call(n.op, *new_inputs, name=n.name, **dict(n.attrs))
+            seen[key] = new
+            mapping[n.name] = new
+    return b.build([mapping[o] for o in g.outputs])
+
+
+def fold_batch_norm(graph: Graph) -> Graph:
+    """Fold inference-mode batch_norm into a preceding conv2d/dense
+    (the effect of the reference's SimplifyInference + FoldScaleAxis pipeline,
+    `src/relay/backend/build_module.cc:325` / `fold_scale_axis.cc`).
+
+    conv -> bn   becomes   conv(w * g', b') with
+        g' = gamma / sqrt(var + eps),  b' = beta - mean * g'
+    Applies only when conv output feeds the bn directly and the conv has a
+    single consumer.
+    """
+    g = infer_types(graph)
+    users = g.users()
+
+    # bn node -> conv node to fold into
+    foldable: dict[str, str] = {}
+    for n in g.nodes:
+        if n.op != "nn.batch_norm":
+            continue
+        src = g[n.inputs[0]]
+        if src.op in ("nn.conv2d", "nn.dense") and len(users[src.name]) == 1:
+            if all(g[i].is_const for i in n.inputs[1:]):
+                foldable[n.name] = src.name
+
+    if not foldable:
+        return graph
+
+    conv_to_bn = {v: k for k, v in foldable.items()}
+    b = GraphBuilder(g.name)
+    mapping: dict[str, str] = {}
+    for n in g.nodes:
+        if n.name in conv_to_bn:
+            bn = g[conv_to_bn[n.name]]
+            gamma, beta, mean, var = (g.params[i] for i in bn.inputs[1:])
+            eps = np.float32(bn.attrs.get("epsilon", 1e-5))
+            scale = (gamma / np.sqrt(var + eps)).astype(np.float32)
+            shift = (beta - mean * scale).astype(np.float32)
+            w = g.params[n.inputs[1]]
+            # conv weight HWIO / dense weight (K, N): output channel is last
+            w_new = (w * scale.reshape((1,) * (w.ndim - 1) + (-1,))).astype(w.dtype)
+            new_inputs = [mapping[n.inputs[0]], b.const(w_new, name=n.inputs[1] + "_bnfold")]
+            conv_new = b.call(n.op, *new_inputs, name=n.name, **dict(n.attrs))
+            bias = b.const(shift, name=bn.name + "_bias")
+            out = b.call("nn.bias_add", conv_new, bias, name=bn.name, axis=-1)
+            mapping[n.name] = conv_new
+            mapping[bn.name] = out
+            continue
+        if n.name in foldable:
+            continue  # handled above
+        if n.op == VAR:
+            mapping[n.name] = b.var(n.name, n.shape, n.dtype)
+        elif n.op == CONST:
+            if n.name in g.params:
+                mapping[n.name] = b.const(g.params[n.name], name=n.name)
+        else:
+            new_inputs = tuple(mapping[i] for i in n.inputs)
+            mapping[n.name] = b.call(n.op, *new_inputs, name=n.name, **dict(n.attrs))
+    return b.build([mapping[o] for o in g.outputs])
+
+
+def fuse_pad_into_conv(graph: Graph) -> Graph:
+    """Merge a zero-constant nn.pad feeding conv2d/pool into the op's own
+    padding attr (reference: `FlattenAtrousConv` family / conv pad folding)."""
+    g = infer_types(graph)
+    users = g.users()
+    b = GraphBuilder(g.name)
+    mapping: dict[str, str] = {}
+    absorbed: set[str] = set()
+    for n in g.nodes:
+        if (
+            n.op == "nn.pad"
+            and n.attrs.get("pad_mode", "constant") == "constant"
+            and float(n.attrs.get("pad_value", 0)) == 0.0
+            and len(n.attrs["pad_width"]) == 4
+            and tuple(n.attrs["pad_width"][0]) == (0, 0)
+            and tuple(n.attrs["pad_width"][3]) == (0, 0)
+            and all(g[u].op == "nn.conv2d" for u in users[n.name])
+            and users[n.name]
+        ):
+            absorbed.add(n.name)
+            mapping[n.name] = mapping[n.inputs[0]]
+            continue
+        if n.op == VAR:
+            mapping[n.name] = b.var(n.name, n.shape, n.dtype)
+        elif n.op == CONST:
+            mapping[n.name] = b.const(g.params[n.name], name=n.name)
+        else:
+            attrs = dict(n.attrs)
+            if n.op == "nn.conv2d" and n.inputs[0] in absorbed:
+                pad = g[n.inputs[0]].attrs["pad_width"]
+                (pt, pb), (pl, pr) = pad[1], pad[2]
+                from ..ops.nn import _pad4
+
+                opt, opl, opb, opr = _pad4(attrs.get("padding", (0, 0, 0, 0)))
+                attrs["padding"] = (opt + pt, opl + pl, opb + pb, opr + pr)
+            new_inputs = tuple(mapping[i] for i in n.inputs)
+            mapping[n.name] = b.call(n.op, *new_inputs, name=n.name, **attrs)
+    return b.build([mapping[o] for o in g.outputs])
+
+
+DEFAULT_SIMPLIFY = (fold_constant, fold_batch_norm, fuse_pad_into_conv, eliminate_common_subexpr)
+
+
+def simplify(graph: Graph) -> Graph:
+    """Standard pre-quantization cleanup pipeline (the analog of the
+    reference's GetPassPrefix sequence, `src/relay/backend/utils.cc:222`)."""
+    g = graph
+    for p in DEFAULT_SIMPLIFY:
+        g = p(g)
+    return infer_types(g)

@@ -1,0 +1,204 @@
+"""Built-in model zoo (float graphs, NHWC).
+
+The counterpart of the reference's relay testing model zoo
+(`python/tvm/relay/testing/{mlp,lenet...,resnet,mobilenet,vgg,squeezenet}.py`)
+— used by tests, benchmarks, and as quantization targets.  Weights are
+randomly initialized (seeded) unless given.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ir.graph import Graph, GraphBuilder
+from ..ir.infer import infer_types
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def _conv(b, x, cin, cout, k, stride, pad, rng, name, groups=1, dtype=np.float32):
+    fan_in = k * k * cin // groups
+    w = (rng.standard_normal((k, k, cin // groups, cout)) * np.sqrt(2.0 / fan_in)).astype(dtype)
+    wn = b.const(w, name=f"{name}_w")
+    return b.call(
+        "nn.conv2d", x, wn, strides=(stride, stride),
+        padding=(pad, pad, pad, pad), groups=groups, name=name,
+    )
+
+
+def _bn(b, x, c, rng, name):
+    gamma = b.const(np.abs(rng.standard_normal(c)).astype(np.float32) + 0.5, name=f"{name}_g")
+    beta = b.const((rng.standard_normal(c) * 0.1).astype(np.float32), name=f"{name}_b")
+    mean = b.const((rng.standard_normal(c) * 0.1).astype(np.float32), name=f"{name}_m")
+    var = b.const(np.abs(rng.standard_normal(c)).astype(np.float32) + 0.5, name=f"{name}_v")
+    return b.call("nn.batch_norm", x, gamma, beta, mean, var, name=name)
+
+
+def _dense(b, x, cin, cout, rng, name, bias=True):
+    w = (rng.standard_normal((cin, cout)) * np.sqrt(2.0 / cin)).astype(np.float32)
+    y = b.call("nn.dense", x, b.const(w, name=f"{name}_w"), name=name)
+    if bias:
+        bb = b.const((rng.standard_normal(cout) * 0.01).astype(np.float32), name=f"{name}_b")
+        y = b.call("nn.bias_add", y, bb, name=f"{name}_biased")
+    return y
+
+
+def mlp(batch_size=1, in_dim=784, hidden=(128, 64), num_classes=10, seed=0) -> Graph:
+    """`python/tvm/relay/testing/mlp.py` equivalent."""
+    rng = _rng(seed)
+    b = GraphBuilder("mlp")
+    x = b.var("data", (batch_size, in_dim), "float32")
+    h = x
+    dims = [in_dim] + list(hidden)
+    for i in range(len(hidden)):
+        h = _dense(b, h, dims[i], dims[i + 1], rng, f"fc{i}")
+        h = b.call("nn.relu", h, name=f"relu{i}")
+    h = _dense(b, h, dims[-1], num_classes, rng, "fc_out")
+    out = b.call("nn.softmax", h, name="prob")
+    return infer_types(b.build(out))
+
+
+def lenet5(batch_size=1, num_classes=10, seed=0) -> Graph:
+    """LeNet-5 for 28x28x1 MNIST — BASELINE config 1's model."""
+    rng = _rng(seed)
+    b = GraphBuilder("lenet5")
+    x = b.var("data", (batch_size, 28, 28, 1), "float32")
+    c1 = _conv(b, x, 1, 6, 5, 1, 2, rng, "conv1")
+    bias1 = b.const((rng.standard_normal(6) * 0.01).astype(np.float32), name="conv1_b")
+    c1 = b.call("nn.bias_add", c1, bias1, name="conv1_biased")
+    r1 = b.call("nn.relu", c1, name="relu1")
+    p1 = b.call("nn.max_pool2d", r1, pool_size=(2, 2), strides=(2, 2), name="pool1")
+    c2 = _conv(b, p1, 6, 16, 5, 1, 0, rng, "conv2")
+    bias2 = b.const((rng.standard_normal(16) * 0.01).astype(np.float32), name="conv2_b")
+    c2 = b.call("nn.bias_add", c2, bias2, name="conv2_biased")
+    r2 = b.call("nn.relu", c2, name="relu2")
+    p2 = b.call("nn.max_pool2d", r2, pool_size=(2, 2), strides=(2, 2), name="pool2")
+    f = b.call("nn.batch_flatten", p2, name="flat")
+    d1 = _dense(b, f, 5 * 5 * 16, 120, rng, "fc1")
+    r3 = b.call("nn.relu", d1, name="relu3")
+    d2 = _dense(b, r3, 120, 84, rng, "fc2")
+    r4 = b.call("nn.relu", d2, name="relu4")
+    d3 = _dense(b, r4, 84, num_classes, rng, "fc3")
+    out = b.call("nn.softmax", d3, name="prob")
+    return infer_types(b.build(out))
+
+
+def _res_block(b, x, cin, cout, stride, rng, name):
+    c1 = _conv(b, x, cin, cout, 3, stride, 1, rng, f"{name}_conv1")
+    n1 = _bn(b, c1, cout, rng, f"{name}_bn1")
+    r1 = b.call("nn.relu", n1, name=f"{name}_relu1")
+    c2 = _conv(b, r1, cout, cout, 3, 1, 1, rng, f"{name}_conv2")
+    n2 = _bn(b, c2, cout, rng, f"{name}_bn2")
+    if stride != 1 or cin != cout:
+        sc = _conv(b, x, cin, cout, 1, stride, 0, rng, f"{name}_down")
+        sc = _bn(b, sc, cout, rng, f"{name}_bn_down")
+    else:
+        sc = x
+    s = b.call("add", n2, sc, name=f"{name}_add")
+    return b.call("nn.relu", s, name=f"{name}_out")
+
+
+def _bottleneck(b, x, cin, cmid, cout, stride, rng, name):
+    c1 = _conv(b, x, cin, cmid, 1, 1, 0, rng, f"{name}_conv1")
+    n1 = _bn(b, c1, cmid, rng, f"{name}_bn1")
+    r1 = b.call("nn.relu", n1, name=f"{name}_relu1")
+    c2 = _conv(b, r1, cmid, cmid, 3, stride, 1, rng, f"{name}_conv2")
+    n2 = _bn(b, c2, cmid, rng, f"{name}_bn2")
+    r2 = b.call("nn.relu", n2, name=f"{name}_relu2")
+    c3 = _conv(b, r2, cmid, cout, 1, 1, 0, rng, f"{name}_conv3")
+    n3 = _bn(b, c3, cout, rng, f"{name}_bn3")
+    if stride != 1 or cin != cout:
+        sc = _conv(b, x, cin, cout, 1, stride, 0, rng, f"{name}_down")
+        sc = _bn(b, sc, cout, rng, f"{name}_bn_down")
+    else:
+        sc = x
+    s = b.call("add", n3, sc, name=f"{name}_add")
+    return b.call("nn.relu", s, name=f"{name}_out")
+
+
+def resnet(num_layers=18, batch_size=1, image_size=224, num_classes=1000, seed=0) -> Graph:
+    """ResNet-18/34/50 (`python/tvm/relay/testing/resnet.py` equivalent;
+    ResNet-50 is the BASELINE's channel-partitioned target)."""
+    cfgs = {
+        18: ("basic", [2, 2, 2, 2]),
+        34: ("basic", [3, 4, 6, 3]),
+        50: ("bottleneck", [3, 4, 6, 3]),
+    }
+    kind, blocks = cfgs[num_layers]
+    rng = _rng(seed)
+    b = GraphBuilder(f"resnet{num_layers}")
+    x = b.var("data", (batch_size, image_size, image_size, 3), "float32")
+    c = _conv(b, x, 3, 64, 7, 2, 3, rng, "conv0")
+    n = _bn(b, c, 64, rng, "bn0")
+    r = b.call("nn.relu", n, name="relu0")
+    h = b.call("nn.max_pool2d", r, pool_size=(3, 3), strides=(2, 2), padding=(1, 1, 1, 1), name="pool0")
+    channels = [64, 128, 256, 512]
+    cin = 64
+    for stage, (nblocks, cw) in enumerate(zip(blocks, channels)):
+        for i in range(nblocks):
+            stride = 2 if (stage > 0 and i == 0) else 1
+            if kind == "basic":
+                h = _res_block(b, h, cin, cw, stride, rng, f"s{stage}b{i}")
+                cin = cw
+            else:
+                cout = cw * 4
+                h = _bottleneck(b, h, cin, cw, cout, stride, rng, f"s{stage}b{i}")
+                cin = cout
+    gap = b.call("nn.global_avg_pool2d", h, keepdims=False, name="gap")
+    out = _dense(b, gap, cin, num_classes, rng, "fc")
+    sm = b.call("nn.softmax", out, name="prob")
+    return infer_types(b.build(sm))
+
+
+def _inverted_residual(b, x, cin, cout, stride, expand, rng, name):
+    cmid = cin * expand
+    h = x
+    if expand != 1:
+        h = _conv(b, h, cin, cmid, 1, 1, 0, rng, f"{name}_expand")
+        h = _bn(b, h, cmid, rng, f"{name}_bn0")
+        h = b.call("clip", h, a_min=0.0, a_max=6.0, name=f"{name}_relu6_0")
+    # depthwise
+    h = _conv(b, h, cmid, cmid, 3, stride, 1, rng, f"{name}_dw", groups=cmid)
+    h = _bn(b, h, cmid, rng, f"{name}_bn1")
+    h = b.call("clip", h, a_min=0.0, a_max=6.0, name=f"{name}_relu6_1")
+    h = _conv(b, h, cmid, cout, 1, 1, 0, rng, f"{name}_project")
+    h = _bn(b, h, cout, rng, f"{name}_bn2")
+    if stride == 1 and cin == cout:
+        h = b.call("add", h, x, name=f"{name}_add")
+    return h
+
+
+def mobilenet_v2(batch_size=1, image_size=224, num_classes=1000, width_mult=1.0, seed=0) -> Graph:
+    """MobileNetV2 — BASELINE config 2 (depthwise+pointwise qnn kernels)."""
+    rng = _rng(seed)
+    b = GraphBuilder("mobilenet_v2")
+    x = b.var("data", (batch_size, image_size, image_size, 3), "float32")
+
+    def c8(ch):
+        return max(8, int(np.ceil(ch * width_mult / 8) * 8))
+
+    h = _conv(b, x, 3, c8(32), 3, 2, 1, rng, "conv0")
+    h = _bn(b, h, c8(32), rng, "bn0")
+    h = b.call("clip", h, a_min=0.0, a_max=6.0, name="relu6_0")
+    cin = c8(32)
+    # t (expand), c (out), n (repeat), s (stride)
+    cfg = [
+        (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+        (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1),
+    ]
+    idx = 0
+    for t, c, nrep, s in cfg:
+        for i in range(nrep):
+            stride = s if i == 0 else 1
+            h = _inverted_residual(b, h, cin, c8(c), stride, t, rng, f"ir{idx}")
+            cin = c8(c)
+            idx += 1
+    h = _conv(b, h, cin, 1280, 1, 1, 0, rng, "conv_last")
+    h = _bn(b, h, 1280, rng, "bn_last")
+    h = b.call("clip", h, a_min=0.0, a_max=6.0, name="relu6_last")
+    gap = b.call("nn.global_avg_pool2d", h, keepdims=False, name="gap")
+    out = _dense(b, gap, 1280, num_classes, rng, "fc")
+    sm = b.call("nn.softmax", out, name="prob")
+    return infer_types(b.build(sm))

@@ -1,0 +1,856 @@
+"""JAX/XLA implementations of the op set — the TPU compute path.
+
+Replaces the reference's entire TE/TIR/TOPI/codegen pipeline (SURVEY.md layers
+5-10) for general ops: every registered op gets a jittable jnp implementation;
+the executor stitches a whole graph into ONE XLA program, so XLA does fusion,
+layout, and scheduling (the work of ~100 TIR/Relay passes).  Hot integer
+kernels are overridden by Pallas implementations in ops/pallas/.
+
+Integer ops are bit-exact vs the numpy oracle by construction: XLA integer
+arithmetic is two's-complement wraparound, and the requantize path reuses
+ops/fixed_point.py's jnp functions.
+
+NOTE: importing this module enables jax x64 mode (int64 is required for exact
+requantize intermediates).  All impls pin dtypes explicitly, so float-op
+behavior does not depend on the x64 default-dtype change.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax import lax  # noqa: E402
+
+from ..ir.graph import Node  # noqa: E402
+from ..ir.registry import jax_impl, register_op  # noqa: E402
+from ..utils import dtypes as dt  # noqa: E402
+from .fixed_point import (  # noqa: E402
+    fixed_point_multiplier_shift,
+    q_multiply_shift_jnp,
+    q_multiply_shift_per_axis_jnp,
+    requantize_jnp,
+)
+from .nn import _pad4, _pair, conv2d_out_hw  # noqa: E402
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _jdt(dtype: str):
+    return jnp.dtype(dtype)
+
+
+# -- conv / dense / matmul ---------------------------------------------------
+
+def _conv2d_core(data, weight, node: Node, accum_int: bool):
+    strides = _pair(node.attrs.get("strides", (1, 1)))
+    pt, pl, pb, pr = _pad4(node.attrs.get("padding", (0, 0, 0, 0)))
+    dilation = _pair(node.attrs.get("dilation", (1, 1)))
+    groups = int(node.attrs.get("groups", 1))
+    pref = jnp.int32 if accum_int else jnp.float32
+    return lax.conv_general_dilated(
+        data,
+        weight,
+        window_strides=strides,
+        padding=((pt, pb), (pl, pr)),
+        rhs_dilation=dilation,
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+        preferred_element_type=pref,
+    )
+
+
+@jax_impl("nn.conv2d")
+def _conv2d_jax(data, weight, *, node: Node):
+    integer = dt.is_int(str(data.dtype))
+    out = _conv2d_core(data, weight, node, integer)
+    od = node.attrs.get("out_dtype")
+    if od:
+        return out.astype(_jdt(od))
+    return out.astype(data.dtype if not integer else jnp.int32)
+
+
+@jax_impl("qnn.conv2d")
+def _qconv2d_jax(data, weight, *, node: Node):
+    izp = int(node.attrs.get("input_zero_point", 0))
+    kzp = node.attrs.get("kernel_zero_point", 0)
+    d = data.astype(jnp.int32) - jnp.int32(izp)
+    w = weight.astype(jnp.int32)
+    if np.ndim(kzp) > 0:
+        w = w - jnp.asarray(np.asarray(kzp, np.int32).reshape(1, 1, 1, -1))
+    elif int(kzp) != 0:
+        w = w - jnp.int32(kzp)
+    out = _conv2d_core(d, w, node, True)
+    return out.astype(_jdt(node.attrs.get("out_dtype", "int32")))
+
+
+def _conv2d_transpose_core(data, weight, node: Node, accum_int: bool):
+    kh, kw = weight.shape[0], weight.shape[1]
+    sh, sw = _pair(node.attrs.get("strides", (1, 1)))
+    pt, pl, pb, pr = _pad4(node.attrs.get("padding", (0, 0, 0, 0)))
+    oph, opw = _pair(node.attrs.get("output_padding", (0, 0)))
+    rhs = weight[::-1, ::-1, :, :]
+    pref = jnp.int32 if accum_int else jnp.float32
+    return lax.conv_general_dilated(
+        data,
+        rhs,
+        window_strides=(1, 1),
+        padding=((kh - 1 - pt, kh - 1 - pb + oph), (kw - 1 - pl, kw - 1 - pr + opw)),
+        lhs_dilation=(sh, sw),
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=pref,
+    )
+
+
+@jax_impl("nn.conv2d_transpose")
+def _conv2d_t_jax(data, weight, *, node: Node):
+    integer = dt.is_int(str(data.dtype))
+    out = _conv2d_transpose_core(data, weight, node, integer)
+    od = node.attrs.get("out_dtype")
+    if od:
+        return out.astype(_jdt(od))
+    return out.astype(data.dtype if not integer else jnp.int32)
+
+
+@jax_impl("qnn.conv2d_transpose")
+def _qconv2d_t_jax(data, weight, *, node: Node):
+    izp = int(node.attrs.get("input_zero_point", 0))
+    kzp = int(node.attrs.get("kernel_zero_point", 0))
+    d = data.astype(jnp.int32) - jnp.int32(izp)
+    w = weight.astype(jnp.int32) - jnp.int32(kzp)
+    out = _conv2d_transpose_core(d, w, node, True)
+    return out.astype(_jdt(node.attrs.get("out_dtype", "int32")))
+
+
+@jax_impl("nn.dense")
+def _dense_jax(data, weight, *, node: Node):
+    integer = dt.is_int(str(data.dtype))
+    pref = jnp.int32 if integer else jnp.float32
+    out = jnp.matmul(data, weight, preferred_element_type=pref)
+    od = node.attrs.get("out_dtype")
+    if od:
+        return out.astype(_jdt(od))
+    return out.astype(data.dtype if not integer else jnp.int32)
+
+
+@jax_impl("qnn.dense")
+def _qdense_jax(data, weight, *, node: Node):
+    izp = int(node.attrs.get("input_zero_point", 0))
+    kzp = node.attrs.get("kernel_zero_point", 0)
+    d = data.astype(jnp.int32) - jnp.int32(izp)
+    w = weight.astype(jnp.int32)
+    if np.ndim(kzp) > 0:
+        w = w - jnp.asarray(np.asarray(kzp, np.int32).reshape(1, -1))
+    elif int(kzp) != 0:
+        w = w - jnp.int32(kzp)
+    out = jnp.matmul(d, w, preferred_element_type=jnp.int32)
+    return out.astype(_jdt(node.attrs.get("out_dtype", "int32")))
+
+
+def _bmm(a, b, node: Node, azp=0, bzp=0):
+    integer = dt.is_int(str(a.dtype))
+    pref = jnp.int32 if integer else jnp.float32
+    x = a.astype(jnp.int32) - jnp.int32(azp) if (integer and azp) else a
+    y = b.astype(jnp.int32) - jnp.int32(bzp) if (integer and bzp) else b
+    if integer and (azp or bzp):
+        x = x if azp else a.astype(jnp.int32)
+        y = y if bzp else b.astype(jnp.int32)
+    if node.attrs.get("transpose_a", False):
+        x = jnp.swapaxes(x, -1, -2)
+    if node.attrs.get("transpose_b", False):
+        y = jnp.swapaxes(y, -1, -2)
+    out = jnp.matmul(x, y, preferred_element_type=pref)
+    return out, integer
+
+
+@jax_impl("nn.batch_matmul")
+def _bmm_jax(a, b, *, node: Node):
+    out, integer = _bmm(a, b, node)
+    od = node.attrs.get("out_dtype")
+    if od:
+        return out.astype(_jdt(od))
+    return out.astype(a.dtype if not integer else jnp.int32)
+
+
+@jax_impl("qnn.batch_matmul")
+def _qbmm_jax(a, b, *, node: Node):
+    out, _ = _bmm(
+        a, b, node,
+        int(node.attrs.get("lhs_zero_point", 0)),
+        int(node.attrs.get("rhs_zero_point", 0)),
+    )
+    return out.astype(_jdt(node.attrs.get("out_dtype", "int32")))
+
+
+@jax_impl("nn.bias_add")
+def _bias_add_jax(data, bias, *, node: Node):
+    axis = int(node.attrs.get("axis", -1))
+    shape = [1] * data.ndim
+    shape[axis] = -1
+    return data + bias.reshape(shape).astype(data.dtype)
+
+
+# -- pooling -----------------------------------------------------------------
+
+def _pool_padding(node: Node, h, w, kh, kw):
+    sh, sw = _pair(node.attrs.get("strides", (1, 1)))
+    pt, pl, pb, pr = _pad4(node.attrs.get("padding", (0, 0, 0, 0)))
+    if node.attrs.get("ceil_mode", False):
+        oh = -((h + pt + pb - kh) // -sh) + 1
+        ow = -((w + pl + pr - kw) // -sw) + 1
+        pb = max(pb, (oh - 1) * sh + kh - h - pt)
+        pr = max(pr, (ow - 1) * sw + kw - w - pl)
+    return (sh, sw), (pt, pl, pb, pr)
+
+
+@jax_impl("nn.max_pool2d")
+def _max_pool2d_jax(data, *, node: Node):
+    kh, kw = _pair(node.attrs["pool_size"])
+    (sh, sw), (pt, pl, pb, pr) = _pool_padding(node, data.shape[1], data.shape[2], kh, kw)
+    if dt.is_int(str(data.dtype)):
+        init = np.iinfo(np.dtype(str(data.dtype))).min
+        init = jnp.asarray(init, dtype=data.dtype)
+    else:
+        init = jnp.asarray(-np.inf, dtype=data.dtype)
+    return lax.reduce_window(
+        data, init, lax.max,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), (pt, pb), (pl, pr), (0, 0)),
+    )
+
+
+def _int_avg_jnp(total, count):
+    half = count // 2 if isinstance(count, int) else count // 2
+    return jnp.where(total >= 0, (total + half) // count, -((-total + half) // count))
+
+
+def _sum_pool(data, kh, kw, sh, sw, pads):
+    return lax.reduce_window(
+        data, jnp.asarray(0, dtype=data.dtype), lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), (pads[0], pads[2]), (pads[1], pads[3]), (0, 0)),
+    )
+
+
+@jax_impl("nn.avg_pool2d")
+def _avg_pool2d_jax(data, *, node: Node):
+    kh, kw = _pair(node.attrs["pool_size"])
+    (sh, sw), pads = _pool_padding(node, data.shape[1], data.shape[2], kh, kw)
+    integer = dt.is_int(str(data.dtype))
+    acc = data.astype(jnp.int64 if integer else jnp.float32)
+    total = _sum_pool(acc, kh, kw, sh, sw, pads)
+    cip = node.attrs.get("count_include_pad", False)
+    if cip or pads == (0, 0, 0, 0):
+        count = kh * kw
+        out = _int_avg_jnp(total, count) if integer else total / count
+    else:
+        ones = jnp.ones(data.shape, dtype=jnp.int64 if integer else jnp.float32)
+        count = _sum_pool(ones, kh, kw, sh, sw, pads)
+        out = _int_avg_jnp(total, count) if integer else total / count
+    return out.astype(data.dtype)
+
+
+@jax_impl("qnn.avg_pool2d")
+def _qavg_pool2d_jax(data, *, node: Node):
+    izp = int(node.attrs.get("input_zero_point", 0))
+    v = data.astype(jnp.int32) - jnp.int32(izp)
+    pooled = _avg_pool2d_jax(v, node=node)
+    return requantize_jnp(
+        pooled, float(node.attrs["input_scale"]), 0,
+        float(node.attrs["output_scale"]),
+        int(node.attrs.get("output_zero_point", 0)),
+        rounding=node.attrs.get("rounding", "UPWARD"),
+        out_dtype=node.attrs.get("out_dtype", str(data.dtype)),
+    )
+
+
+@jax_impl("nn.global_avg_pool2d")
+def _gap_jax(data, *, node: Node):
+    keepdims = node.attrs.get("keepdims", True)
+    if dt.is_int(str(data.dtype)):
+        total = data.astype(jnp.int64).sum(axis=(1, 2), keepdims=keepdims)
+        return _int_avg_jnp(total, data.shape[1] * data.shape[2]).astype(data.dtype)
+    return data.astype(jnp.float32).mean(axis=(1, 2), keepdims=keepdims).astype(data.dtype)
+
+
+@jax_impl("nn.global_max_pool2d")
+def _gmp_jax(data, *, node: Node):
+    return data.max(axis=(1, 2), keepdims=node.attrs.get("keepdims", True))
+
+
+@jax_impl("nn.adaptive_avg_pool2d")
+def _aap_jax(data, *, node: Node):
+    n, h, w, c = data.shape
+    oh, ow = _pair(node.attrs["output_size"])
+    integer = dt.is_int(str(data.dtype))
+    acc = jnp.int64 if integer else jnp.float32
+    rows = []
+    for i in range(oh):
+        h0, h1 = (i * h) // oh, -((-(i + 1) * h) // oh)
+        cols = []
+        for j in range(ow):
+            w0, w1 = (j * w) // ow, -((-(j + 1) * w) // ow)
+            patch = data[:, h0:h1, w0:w1, :].astype(acc)
+            tot = patch.sum(axis=(1, 2))
+            cnt = (h1 - h0) * (w1 - w0)
+            cols.append(_int_avg_jnp(tot, cnt) if integer else tot / cnt)
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1).astype(data.dtype)
+
+
+# -- normalization -----------------------------------------------------------
+
+@jax_impl("nn.batch_norm")
+def _bn_jax(data, gamma, beta, mean, var, *, node: Node):
+    eps = np.float32(node.attrs.get("epsilon", 1e-5))
+    axis = int(node.attrs.get("axis", -1))
+    shape = [1] * data.ndim
+    shape[axis] = -1
+    inv = (1.0 / jnp.sqrt(var.astype(jnp.float32) + eps)).astype(jnp.float32)
+    out = (data.astype(jnp.float32) - mean.reshape(shape)) * (gamma * inv).reshape(shape) + beta.reshape(shape)
+    return out.astype(data.dtype)
+
+
+@jax_impl("nn.layer_norm")
+def _ln_jax(data, gamma, beta, *, node: Node):
+    axis = int(node.attrs.get("axis", -1))
+    eps = np.float32(node.attrs.get("epsilon", 1e-5))
+    x = data.astype(jnp.float32)
+    mu = x.mean(axis=axis, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=axis, keepdims=True)
+    shape = [1] * data.ndim
+    shape[axis] = -1
+    out = (x - mu) / jnp.sqrt(var + eps) * gamma.reshape(shape) + beta.reshape(shape)
+    return out.astype(data.dtype)
+
+
+# -- activations -------------------------------------------------------------
+
+@jax_impl("nn.relu")
+def _relu_jax(x, *, node: Node):
+    return jnp.maximum(x, jnp.zeros((), dtype=x.dtype))
+
+
+@jax_impl("nn.leaky_relu")
+def _lrelu_jax(x, *, node: Node):
+    alpha = np.float32(node.attrs.get("alpha", 0.01))
+    return jnp.where(x >= 0, x, (x.astype(jnp.float32) * alpha).astype(x.dtype))
+
+
+@jax_impl("nn.prelu")
+def _prelu_jax(x, alpha, *, node: Node):
+    axis = int(node.attrs.get("axis", -1))
+    shape = [1] * x.ndim
+    shape[axis] = -1
+    return jnp.where(x >= 0, x, x * alpha.reshape(shape)).astype(x.dtype)
+
+
+@jax_impl("nn.softmax")
+def _softmax_jax(x, *, node: Node):
+    return jax.nn.softmax(x.astype(jnp.float32), axis=int(node.attrs.get("axis", -1))).astype(x.dtype)
+
+
+@jax_impl("nn.log_softmax")
+def _log_softmax_jax(x, *, node: Node):
+    return jax.nn.log_softmax(x.astype(jnp.float32), axis=int(node.attrs.get("axis", -1))).astype(x.dtype)
+
+
+@jax_impl("nn.dropout")
+def _dropout_jax(x, *, node: Node):
+    return x
+
+
+@jax_impl("nn.gelu")
+def _gelu_jax(x, *, node: Node):
+    approx = node.attrs.get("approximate", "none") == "tanh"
+    return jax.nn.gelu(x.astype(jnp.float32), approximate=approx).astype(x.dtype)
+
+
+@jax_impl("nn.silu")
+def _silu_jax(x, *, node: Node):
+    x32 = x.astype(jnp.float32)
+    return (x32 * jax.nn.sigmoid(x32)).astype(x.dtype)
+
+
+for _n, _f in {
+    "sigmoid": jax.nn.sigmoid, "tanh": jnp.tanh, "exp": jnp.exp, "log": jnp.log,
+    "sqrt": jnp.sqrt, "erf": lambda v: jax.scipy.special.erf(v),
+    "floor": jnp.floor, "ceil": jnp.ceil,
+}.items():
+    def _mk(f):
+        def impl(x, *, node: Node):
+            return f(x.astype(jnp.float32)).astype(x.dtype)
+        return impl
+    register_op(_n, jax_impl=_mk(_f))
+
+
+@jax_impl("negative")
+def _neg_jax(x, *, node: Node):
+    return jnp.negative(x)
+
+
+@jax_impl("abs")
+def _abs_jax(x, *, node: Node):
+    return jnp.abs(x)
+
+
+@jax_impl("sign")
+def _sign_jax(x, *, node: Node):
+    return jnp.sign(x)
+
+
+@jax_impl("rsqrt")
+def _rsqrt_jax(x, *, node: Node):
+    return lax.rsqrt(x.astype(jnp.float32)).astype(x.dtype)
+
+
+@jax_impl("round")
+def _round_jax(x, *, node: Node):
+    return jnp.rint(x.astype(jnp.float32)).astype(x.dtype)
+
+
+@jax_impl("copy")
+def _copy_jax(x, *, node: Node):
+    return x
+
+
+@jax_impl("clip")
+def _clip_jax(x, *, node: Node):
+    a_min, a_max = node.attrs["a_min"], node.attrs["a_max"]
+    if dt.is_int(str(x.dtype)):
+        return jnp.clip(x, int(a_min), int(a_max)).astype(x.dtype)
+    return jnp.clip(x, np.float32(a_min), np.float32(a_max)).astype(x.dtype)
+
+
+# -- elementwise binary ------------------------------------------------------
+
+_JBIN = {
+    "add": jnp.add, "subtract": jnp.subtract, "multiply": jnp.multiply,
+    "maximum": jnp.maximum, "minimum": jnp.minimum,
+    "floor_divide": jnp.floor_divide, "mod": jnp.mod,
+    "bitwise_and": jnp.bitwise_and, "bitwise_or": jnp.bitwise_or,
+    "bitwise_xor": jnp.bitwise_xor,
+    "left_shift": jnp.left_shift, "right_shift": jnp.right_shift,
+    "power": jnp.power,
+}
+for _n, _f in _JBIN.items():
+    def _mkb(f):
+        def impl(a, b, *, node: Node):
+            out_dt = _jdt(dt.promote(str(a.dtype), str(b.dtype)))
+            return f(a.astype(out_dt), b.astype(out_dt))
+        return impl
+    register_op(_n, jax_impl=_mkb(_f))
+
+
+@jax_impl("divide")
+def _div_jax(a, b, *, node: Node):
+    out_dt = dt.promote(str(a.dtype), str(b.dtype))
+    if dt.is_int(out_dt):
+        # truncating division (C semantics) to match the oracle
+        q = lax.div(a.astype(jnp.int64), b.astype(jnp.int64))
+        return q.astype(_jdt(out_dt))
+    return a.astype(_jdt(out_dt)) / b.astype(_jdt(out_dt))
+
+
+for _n, _f in {
+    "equal": jnp.equal, "not_equal": jnp.not_equal,
+    "less": jnp.less, "less_equal": jnp.less_equal,
+    "greater": jnp.greater, "greater_equal": jnp.greater_equal,
+    "logical_and": jnp.logical_and, "logical_or": jnp.logical_or,
+}.items():
+    def _mkc(f):
+        def impl(a, b, *, node: Node):
+            return f(a, b)
+        return impl
+    register_op(_n, jax_impl=_mkc(_f))
+
+
+@jax_impl("logical_not")
+def _lnot_jax(a, *, node: Node):
+    return jnp.logical_not(a)
+
+
+@jax_impl("where")
+def _where_jax(c, a, b, *, node: Node):
+    return jnp.where(c, a, b)
+
+
+# -- shape ops ---------------------------------------------------------------
+
+@jax_impl("reshape")
+def _reshape_jax(a, *, node: Node):
+    from .nn import _reshape_rel
+
+    shape, _ = _reshape_rel(node, [(tuple(a.shape), str(a.dtype))])
+    return a.reshape(shape)
+
+
+@jax_impl("nn.batch_flatten")
+def _bflat_jax(a, *, node: Node):
+    return a.reshape(a.shape[0], -1)
+
+
+@jax_impl("transpose")
+def _transpose_jax(a, *, node: Node):
+    return jnp.transpose(a, node.attrs.get("axes"))
+
+
+@jax_impl("squeeze")
+def _squeeze_jax(a, *, node: Node):
+    axes = node.attrs.get("axis")
+    if axes is not None and not isinstance(axes, (tuple, list)):
+        axes = (axes,)
+    return jnp.squeeze(a, axis=tuple(axes) if axes is not None else None)
+
+
+@jax_impl("expand_dims")
+def _expand_jax(a, *, node: Node):
+    axis = int(node.attrs["axis"]) % (a.ndim + 1)
+    num = int(node.attrs.get("num_newaxis", 1))
+    shape = a.shape[:axis] + (1,) * num + a.shape[axis:]
+    return a.reshape(shape)
+
+
+@jax_impl("concatenate")
+def _concat_jax(*args, node: Node):
+    return jnp.concatenate(args, axis=int(node.attrs.get("axis", 0)))
+
+
+@jax_impl("split")
+def _split_jax(a, *, node: Node):
+    axis = int(node.attrs.get("axis", 0))
+    iops = node.attrs["indices_or_sections"]
+    if not isinstance(iops, int):
+        iops = list(iops)
+    return list(jnp.split(a, iops, axis=axis))
+
+
+@jax_impl("strided_slice")
+def _sslice_jax(a, *, node: Node):
+    begin = list(node.attrs["begin"])
+    end = list(node.attrs["end"])
+    strides = list(node.attrs.get("strides") or [1] * len(begin))
+    axes = node.attrs.get("axes")
+    idx = [slice(None)] * a.ndim
+    idx_axes = axes if axes is not None else range(len(begin))
+    for k, ax in enumerate(idx_axes):
+        e = end[k]
+        idx[ax] = slice(begin[k], None if e is None else e, strides[k])
+    return a[tuple(idx)]
+
+
+@jax_impl("take")
+def _take_jax(a, indices, *, node: Node):
+    axis = node.attrs.get("axis")
+    mode = node.attrs.get("mode", "clip")
+    jmode = {"clip": "clip", "wrap": "wrap", "fast": None}.get(mode, "clip")
+    return jnp.take(a, indices, axis=None if axis is None else int(axis), mode=jmode)
+
+
+@jax_impl("gather")
+def _gather_jax(a, indices, *, node: Node):
+    axis = int(node.attrs.get("axis", 0))
+    return jnp.take_along_axis(a, indices.astype(jnp.int64), axis=axis)
+
+
+@jax_impl("broadcast_to")
+def _bto_jax(a, *, node: Node):
+    return jnp.broadcast_to(a, tuple(int(s) for s in node.attrs["shape"]))
+
+
+@jax_impl("tile")
+def _tile_jax(a, *, node: Node):
+    return jnp.tile(a, tuple(int(r) for r in node.attrs["reps"]))
+
+
+@jax_impl("nn.pad")
+def _pad_jax(a, *, node: Node):
+    pw = [(int(b), int(e)) for b, e in node.attrs["pad_width"]]
+    mode = node.attrs.get("pad_mode", "constant")
+    if mode == "constant":
+        val = node.attrs.get("pad_value", 0)
+        if dt.is_int(str(a.dtype)):
+            val = int(val)
+        return jnp.pad(a, pw, constant_values=val)
+    return jnp.pad(a, pw, mode={"edge": "edge", "reflect": "reflect"}[mode])
+
+
+@jax_impl("cast")
+def _cast_jax(a, *, node: Node):
+    target = node.attrs["dtype"]
+    if dt.is_float(str(a.dtype)) and dt.is_int(target):
+        return jnp.trunc(a).astype(_jdt(target))
+    return a.astype(_jdt(target))
+
+
+# -- reductions --------------------------------------------------------------
+
+def _jnorm_axes(node: Node, ndim: int):
+    axes = node.attrs.get("axis")
+    if axes is None:
+        return None
+    if not isinstance(axes, (tuple, list)):
+        axes = (axes,)
+    return tuple(ax % ndim for ax in axes)
+
+
+for _n, _f in {"sum": jnp.sum, "max": jnp.max, "min": jnp.min, "prod": jnp.prod,
+               "mean": jnp.mean, "all": jnp.all, "any": jnp.any}.items():
+    def _mkr(f, name):
+        def impl(a, *, node: Node):
+            axes = _jnorm_axes(node, a.ndim)
+            keepdims = bool(node.attrs.get("keepdims", False))
+            if name == "mean" and not dt.is_float(str(a.dtype)):
+                out = f(a.astype(jnp.float64), axis=axes, keepdims=keepdims)
+                return out.astype(a.dtype)
+            if name in ("sum", "prod") and dt.is_int(str(a.dtype)):
+                out = f(a.astype(jnp.int64), axis=axes, keepdims=keepdims)
+                return out.astype(
+                    "int32" if str(a.dtype) in ("int8", "uint8", "int16", "int32") else a.dtype
+                )
+            out = f(a.astype(jnp.float32) if name == "mean" else a, axis=axes, keepdims=keepdims)
+            if name in ("all", "any"):
+                return out
+            return out.astype(a.dtype)
+        return impl
+    register_op(_n, jax_impl=_mkr(_f, _n))
+
+
+@jax_impl("argmax")
+def _argmax_jax(a, *, node: Node):
+    axes = _jnorm_axes(node, a.ndim)
+    ax = axes[0] if axes else None
+    out = jnp.argmax(a, axis=ax)
+    if node.attrs.get("keepdims", False) and ax is not None:
+        out = jnp.expand_dims(out, ax)
+    return out.astype(jnp.int32)
+
+
+@jax_impl("argmin")
+def _argmin_jax(a, *, node: Node):
+    axes = _jnorm_axes(node, a.ndim)
+    ax = axes[0] if axes else None
+    out = jnp.argmin(a, axis=ax)
+    if node.attrs.get("keepdims", False) and ax is not None:
+        out = jnp.expand_dims(out, ax)
+    return out.astype(jnp.int32)
+
+
+@jax_impl("variance")
+def _var_jax(a, *, node: Node):
+    axes = _jnorm_axes(node, a.ndim)
+    return jnp.var(a.astype(jnp.float32), axis=axes,
+                   keepdims=bool(node.attrs.get("keepdims", False))).astype(a.dtype)
+
+
+# -- misc --------------------------------------------------------------------
+
+@jax_impl("one_hot")
+def _onehot_jax(indices, *, node: Node):
+    depth = int(node.attrs["depth"])
+    on = node.attrs.get("on_value", 1)
+    off = node.attrs.get("off_value", 0)
+    dtype = node.attrs.get("dtype", "float32")
+    axis = int(node.attrs.get("axis", -1))
+    out = jax.nn.one_hot(indices, depth, axis=axis, dtype=_jdt(dtype))
+    if on != 1 or off != 0:
+        out = out * jnp.asarray(on - off, dtype=_jdt(dtype)) + jnp.asarray(off, dtype=_jdt(dtype))
+    return out
+
+
+@jax_impl("image.resize2d")
+def _resize2d_jax(a, *, node: Node):
+    oh, ow = _pair(node.attrs["size"])
+    method = node.attrs.get("method", "nearest_neighbor")
+    n, h, w, c = a.shape
+    if method in ("nearest_neighbor", "nearest"):
+        ys = np.minimum((np.arange(oh) * h) // oh, h - 1)
+        xs = np.minimum((np.arange(ow) * w) // ow, w - 1)
+        return a[:, ys][:, :, xs]
+    raise NotImplementedError(f"resize2d method {method}")
+
+
+@jax_impl("nn.depth_to_space")
+def _d2s_jax(a, *, node: Node):
+    n, h, w, c = a.shape
+    b = int(node.attrs["block_size"])
+    mode = node.attrs.get("mode", "DCR")
+    if mode == "DCR":
+        x = a.reshape(n, h, w, b, b, c // (b * b))
+    else:
+        x = a.reshape(n, h, w, c // (b * b), b, b).transpose(0, 1, 2, 4, 5, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * b, w * b, c // (b * b))
+
+
+@jax_impl("nn.space_to_depth")
+def _s2d_jax(a, *, node: Node):
+    n, h, w, c = a.shape
+    b = int(node.attrs["block_size"])
+    x = a.reshape(n, h // b, b, w // b, b, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // b, w // b, b * b * c)
+
+
+# -- qnn ---------------------------------------------------------------------
+
+@jax_impl("qnn.quantize")
+def _quantize_jax(x, *, node: Node):
+    out_dtype = node.attrs.get("out_dtype", "int8")
+    scale = np.asarray(node.attrs["scale"], dtype=np.float32)
+    zp = np.asarray(node.attrs.get("zero_point", 0), dtype=np.int32)
+    axis = int(node.attrs.get("axis", -1))
+    if scale.ndim > 0:
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        scale = scale.reshape(shape)
+        zp = zp.reshape(shape) if zp.ndim > 0 else zp
+    scaled = jnp.rint(x.astype(jnp.float32) / jnp.asarray(scale))
+    shifted = scaled + jnp.asarray(zp, dtype=jnp.float32)
+    lo, hi = dt.qmin(out_dtype), dt.qmax(out_dtype)
+    return jnp.clip(shifted, lo, hi).astype(_jdt(out_dtype))
+
+
+@jax_impl("qnn.dequantize")
+def _dequantize_jax(x, *, node: Node):
+    scale = np.asarray(node.attrs["scale"], dtype=np.float32)
+    zp = np.asarray(node.attrs.get("zero_point", 0), dtype=np.int32)
+    axis = int(node.attrs.get("axis", -1))
+    if scale.ndim > 0:
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        scale = scale.reshape(shape)
+        zp = zp.reshape(shape) if zp.ndim > 0 else zp
+    return ((x.astype(jnp.int32) - jnp.asarray(zp)).astype(jnp.float32) * jnp.asarray(scale)).astype(jnp.float32)
+
+
+@jax_impl("qnn.requantize")
+def _requantize_jax(x, *, node: Node):
+    return requantize_jnp(
+        x,
+        node.attrs["input_scale"],
+        int(node.attrs.get("input_zero_point", 0)),
+        float(node.attrs["output_scale"]),
+        int(node.attrs.get("output_zero_point", 0)),
+        axis=int(node.attrs.get("axis", -1)),
+        rounding=node.attrs.get("rounding", "UPWARD"),
+        out_dtype=node.attrs.get("out_dtype", "int8"),
+    )
+
+
+def _requant_to_out_jnp(x, scale, zp, node: Node):
+    oscale = float(node.attrs["output_scale"])
+    ozp = int(node.attrs.get("output_zero_point", 0))
+    scale_arr = np.asarray(scale, dtype=np.float64)
+    if scale_arr.ndim == 0 and float(scale_arr) == oscale and int(zp) == ozp:
+        return x.astype(jnp.int32)
+    return requantize_jnp(
+        x, scale, int(zp), oscale, ozp,
+        axis=int(node.attrs.get("axis", -1)),
+        rounding=node.attrs.get("rounding", "UPWARD"),
+        out_dtype="int32",
+    )
+
+
+def _qadd_like_jax(is_add: bool):
+    def impl(lhs, rhs, *, node: Node):
+        out_dtype = node.attrs.get("out_dtype", "int8")
+        ozp = int(node.attrs.get("output_zero_point", 0))
+        ql = _requant_to_out_jnp(lhs, node.attrs["lhs_scale"], node.attrs.get("lhs_zero_point", 0), node)
+        qr = _requant_to_out_jnp(rhs, node.attrs["rhs_scale"], node.attrs.get("rhs_zero_point", 0), node)
+        out = (ql + qr) if is_add else (ql - qr)
+        out = out - jnp.int32(ozp) if is_add else out + jnp.int32(ozp)
+        lo, hi = dt.qmin(out_dtype), dt.qmax(out_dtype)
+        return jnp.clip(out, lo, hi).astype(_jdt(out_dtype))
+
+    return impl
+
+
+register_op("qnn.add", jax_impl=_qadd_like_jax(True))
+register_op("qnn.subtract", jax_impl=_qadd_like_jax(False))
+
+
+@jax_impl("qnn.mul")
+def _qmul_jax(lhs, rhs, *, node: Node):
+    out_dtype = node.attrs.get("out_dtype", "int8")
+    lzp = int(node.attrs.get("lhs_zero_point", 0))
+    rzp = int(node.attrs.get("rhs_zero_point", 0))
+    l = lhs.astype(jnp.int32) - jnp.int32(lzp)
+    r = rhs.astype(jnp.int32) - jnp.int32(rzp)
+    prod = (l.astype(jnp.int64) * r.astype(jnp.int64)).astype(jnp.int32)
+    new_scale = float(np.asarray(node.attrs["lhs_scale"]).item()) * float(
+        np.asarray(node.attrs["rhs_scale"]).item()
+    )
+    return requantize_jnp(
+        prod, new_scale, 0,
+        float(node.attrs["output_scale"]),
+        int(node.attrs.get("output_zero_point", 0)),
+        rounding=node.attrs.get("rounding", "UPWARD"),
+        out_dtype=out_dtype,
+    )
+
+
+@jax_impl("qnn.concatenate")
+def _qconcat_jax(*args, node: Node):
+    scales = node.attrs["input_scales"]
+    zps = node.attrs["input_zero_points"]
+    oscale = float(node.attrs["output_scale"])
+    ozp = int(node.attrs.get("output_zero_point", 0))
+    out_dtype = node.attrs.get("out_dtype", str(args[0].dtype))
+    rounding = node.attrs.get("rounding", "UPWARD")
+    parts = []
+    for x, s, z in zip(args, scales, zps):
+        if float(s) == oscale and int(z) == ozp:
+            parts.append(x.astype(_jdt(out_dtype)))
+        else:
+            parts.append(
+                requantize_jnp(x, float(s), int(z), oscale, ozp,
+                               rounding=rounding, out_dtype=out_dtype)
+            )
+    return jnp.concatenate(parts, axis=int(node.attrs.get("axis", 0)))
+
+
+@jax_impl("qnn.leaky_relu")
+def _qlrelu_jax(x, *, node: Node):
+    alpha = float(node.attrs.get("alpha", 0.01))
+    iscale = float(node.attrs["input_scale"])
+    izp = int(node.attrs.get("input_zero_point", 0))
+    oscale = float(node.attrs["output_scale"])
+    ozp = int(node.attrs.get("output_zero_point", 0))
+    out_dtype = node.attrs.get("out_dtype", str(x.dtype))
+    rounding = node.attrs.get("rounding", "UPWARD")
+    pos = requantize_jnp(x, iscale, izp, oscale, ozp, rounding=rounding, out_dtype="int32")
+    m, s = fixed_point_multiplier_shift(alpha * iscale / oscale)
+    neg = q_multiply_shift_jnp(x.astype(jnp.int32) - jnp.int32(izp), m, s, rounding) + jnp.int32(ozp)
+    out = jnp.where(x.astype(jnp.int32) >= izp, pos, neg)
+    lo, hi = dt.qmin(out_dtype), dt.qmax(out_dtype)
+    return jnp.clip(out, lo, hi).astype(_jdt(out_dtype))
+
+
+@jax_impl("fixed_point_multiply")
+def _fpm_jax(a, *, node: Node):
+    return q_multiply_shift_jnp(
+        a.astype(jnp.int32),
+        int(node.attrs["multiplier"]),
+        int(node.attrs["shift"]),
+        node.attrs.get("rounding", "UPWARD"),
+    )
+
+
+@jax_impl("fixed_point_multiply_per_axis")
+def _fpm_pa_jax(a, *, node: Node):
+    return q_multiply_shift_per_axis_jnp(
+        a.astype(jnp.int32),
+        np.asarray(node.attrs["multipliers"], dtype=np.int64),
+        np.asarray(node.attrs["shifts"], dtype=np.int64),
+        int(node.attrs["axis"]),
+        node.attrs.get("rounding", "UPWARD"),
+    )

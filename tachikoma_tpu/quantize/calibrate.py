@@ -1,0 +1,157 @@
+"""Calibration — collect per-node activation statistics on a dataset.
+
+The role of mrt's Calibrator (`python/tvm/mrt/calibrate.py:16`, driven from
+`api.py:50 Trace.calibrate`) and the reference's automatic-quantization
+calibrator (`python/tvm/relay/quantize/_calibrate.py`, KL divergence in
+`kl_divergence.py`): run the float graph over calibration batches, record
+output ranges per node, and turn them into scales/zero-points.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Mapping
+
+import numpy as np
+
+from ..ir.graph import Graph
+from ..ir.infer import infer_types
+from ..runtime.interpreter import Interpreter
+from .config import QConfig
+
+
+@dataclass
+class TensorStats:
+    min: float = float("inf")
+    max: float = float("-inf")
+    absmax: float = 0.0
+    # histogram of |x| for percentile/KL modes
+    hist: np.ndarray | None = None
+    hist_range: float = 0.0
+
+    def update(self, arr: np.ndarray, bins: int | None = None):
+        arr = np.asarray(arr)
+        if arr.size == 0:
+            return
+        amin, amax = float(arr.min()), float(arr.max())
+        self.min = min(self.min, amin)
+        self.max = max(self.max, amax)
+        aabs = float(np.abs(arr).max())
+        if bins:
+            if self.hist is None or aabs > self.hist_range:
+                new_range = max(aabs, self.hist_range, 1e-12)
+                new_hist = np.zeros(bins, dtype=np.float64)
+                if self.hist is not None and self.hist_range > 0:
+                    # re-bucket old histogram into the wider range
+                    old_edges = np.linspace(0, self.hist_range, bins + 1)
+                    centers = (old_edges[:-1] + old_edges[1:]) / 2
+                    idx = np.minimum((centers / new_range * bins).astype(int), bins - 1)
+                    np.add.at(new_hist, idx, self.hist)
+                self.hist = new_hist
+                self.hist_range = new_range
+            h, _ = np.histogram(np.abs(arr), bins=len(self.hist), range=(0, self.hist_range))
+            self.hist += h
+        self.absmax = max(self.absmax, aabs)
+
+
+@dataclass
+class CalibrationResult:
+    stats: dict[str, TensorStats]
+    config: QConfig
+
+    def scale_zp(self, name: str) -> tuple[float, int]:
+        """Derive (scale, zero_point) for a node's activation."""
+        st = self.stats[name]
+        cfg = self.config
+        qmax = 127 if cfg.act_dtype == "int8" else 255
+        if cfg.calibrate_mode == "percentile" and st.hist is not None:
+            cdf = np.cumsum(st.hist)
+            total = cdf[-1]
+            if total > 0:
+                k = int(np.searchsorted(cdf, total * cfg.percentile / 100.0))
+                amax = (k + 1) / len(st.hist) * st.hist_range
+            else:
+                amax = st.absmax
+        elif cfg.calibrate_mode == "kl" and st.hist is not None:
+            amax = _kl_threshold(st.hist, st.hist_range, qmax + 1)
+        else:
+            amax = st.absmax
+        amax = max(amax, 1e-8)
+        if cfg.act_symmetric:
+            return amax / qmax, 0
+        # asymmetric uint8-style
+        lo, hi = min(st.min, 0.0), max(st.max, 0.0)
+        scale = max((hi - lo) / 255.0, 1e-8)
+        zp = int(np.clip(np.rint(-lo / scale) - 128, -128, 127)) if cfg.act_dtype == "int8" else int(
+            np.clip(np.rint(-lo / scale), 0, 255)
+        )
+        return scale, zp
+
+
+def _kl_threshold(hist: np.ndarray, hist_range: float, num_quant: int) -> float:
+    """KL-divergence calibration (behavioral port of the method in the
+    reference's `python/tvm/relay/quantize/kl_divergence.py`): choose the
+    clipping threshold minimizing KL(P||Q) between the clipped distribution
+    and its num_quant-bucket quantization."""
+    bins = len(hist)
+    if hist.sum() == 0:
+        return hist_range
+    best_kl, best_i = float("inf"), bins
+    start = max(num_quant, bins // 8)
+    for i in range(start, bins + 1, max(1, bins // 128)):
+        p = hist[:i].astype(np.float64).copy()
+        p[i - 1] += hist[i:].sum()  # clip outliers into the last bin
+        if p.sum() == 0:
+            continue
+        # quantize p into num_quant buckets -> expand back
+        factor = i / num_quant
+        q = np.zeros(i, dtype=np.float64)
+        for j in range(num_quant):
+            lo, hi = int(j * factor), int(np.ceil((j + 1) * factor))
+            seg = hist[lo:hi].astype(np.float64)
+            nz = seg > 0
+            if nz.any():
+                q[lo:hi][nz] = seg[nz].sum() / nz.sum()
+        pn = p / p.sum()
+        qn = q / max(q.sum(), 1e-12)
+        mask = pn > 0
+        kl = float(np.sum(pn[mask] * np.log(pn[mask] / np.maximum(qn[mask], 1e-12))))
+        if kl < best_kl:
+            best_kl, best_i = kl, i
+    return best_i / bins * hist_range
+
+
+class Calibrator:
+    """Runs the float graph over a dataset collecting per-node stats."""
+
+    def __init__(self, graph: Graph, config: QConfig = QConfig()):
+        self.graph = infer_types(graph)
+        self.config = config
+        self.stats: dict[str, TensorStats] = {}
+        self._interp = Interpreter(self.graph)
+
+    def collect(self, inputs) -> None:
+        bins = self.config.kl_bins if self.config.calibrate_mode in ("kl", "percentile") else None
+
+        def hook(name, op, args, out):
+            if isinstance(out, np.ndarray) and out.dtype.kind == "f":
+                self.stats.setdefault(name, TensorStats()).update(out, bins)
+
+        # also record graph inputs
+        norm = inputs
+        if isinstance(norm, np.ndarray):
+            norm = [norm]
+        if not isinstance(norm, Mapping):
+            norm = dict(zip([n.name for n in self.graph.inputs], norm))
+        for k, v in norm.items():
+            self.stats.setdefault(k, TensorStats()).update(np.asarray(v), bins)
+        self._interp.run(inputs, intercept=hook)
+
+    def run(self, dataset: Iterable) -> CalibrationResult:
+        for batch in dataset:
+            self.collect(batch)
+        return CalibrationResult(self.stats, self.config)
+
+
+def calibrate(graph: Graph, dataset: Iterable, config: QConfig = QConfig()) -> CalibrationResult:
+    return Calibrator(graph, config).run(dataset)

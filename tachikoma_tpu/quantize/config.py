@@ -1,0 +1,33 @@
+"""Quantization configuration.
+
+The analog of the reference's QConfig (`python/tvm/relay/quantize/quantize.py:58`)
+and RequantizeConfig (`src/relay/qnn/op/requantize_config.h`), as one
+dataclass tree (SURVEY.md §5.6 'one dataclass-config tree')."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class QConfig:
+    # activation quantization
+    act_dtype: str = "int8"
+    act_symmetric: bool = True          # zp=0 (symmetric) vs asymmetric minmax
+    # weight quantization
+    weight_dtype: str = "int8"
+    weight_per_channel: bool = True
+    # accumulator / bias
+    accum_dtype: str = "int32"
+    bias_dtype: str = "int32"
+    # requantize behavior (reference default rounding is UPWARD,
+    # `src/relay/qnn/op/requantize_config.h`)
+    rounding: str = "UPWARD"
+    # calibration
+    calibrate_mode: str = "max"         # "max" (absmax) | "minmax" | "percentile" | "kl"
+    percentile: float = 99.99
+    kl_bins: int = 2048
+    # ops that stay float (executed via dequantize -> float -> quantize)
+    float_ops: frozenset = frozenset({"nn.softmax", "nn.log_softmax", "erf", "nn.gelu"})
+    # skip quantizing graph outputs back to int (emit dequantized floats)
+    dequantize_outputs: bool = True

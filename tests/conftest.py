@@ -8,11 +8,18 @@ distributed-without-a-cluster testing, `tests/python/unittest/test_runtime_rpc.p
 
 import os
 
-# Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import anywhere in the test process.  The harness
+# environment pins JAX_PLATFORMS=axon (remote TPU tunnel); tests must run on
+# local CPU with 8 virtual devices, so force-override rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon PJRT plugin can override the env var; pin via config too.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,159 @@
+"""Quantizer tests: float model -> integer-only graph -> accuracy + dual-run
+bit-exactness (oracle vs XLA), per BASELINE config 1 (LeNet-5 int8)."""
+
+import numpy as np
+import pytest
+
+from tachikoma_tpu import infer_types, run_graph
+from tachikoma_tpu.ir.transforms import fold_batch_norm, fold_constant, simplify
+from tachikoma_tpu.models.vision import lenet5, mlp
+from tachikoma_tpu.quantize.calibrate import calibrate
+from tachikoma_tpu.quantize.config import QConfig
+from tachikoma_tpu.quantize.quantizer import Quantizer, quantize
+from tachikoma_tpu.runtime.executor import JaxExecutor
+
+
+def _dataset(shape, n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal(shape).astype(np.float32) for _ in range(n)]
+
+
+def _int_only(g, allowed_float_tail=("qnn.dequantize", "nn.softmax")):
+    """Assert the graph body is integer-only apart from quantize boundaries."""
+    for n in g.nodes:
+        if n.op in ("var", "const", "qnn.quantize", "qnn.dequantize"):
+            continue
+        if n.op in allowed_float_tail:
+            continue
+        assert n.dtype is None or not n.dtype.startswith("float"), (
+            f"float op survived quantization: {n.name} ({n.op}) -> {n.dtype}"
+        )
+
+
+def test_quantize_mlp_accuracy_and_intness():
+    g = mlp(batch_size=4)
+    data = _dataset((4, 784))
+    qg = quantize(g, data, QConfig(float_ops=frozenset({"nn.softmax"})))
+    _int_only(qg)
+    x = data[0]
+    fout = run_graph(g, x)[0]
+    qout = run_graph(qg, x)[0]
+    # classification agreement on random nets: logits correlated
+    assert np.argmax(fout, -1).tolist() == np.argmax(qout, -1).tolist()
+    assert np.corrcoef(fout.ravel(), qout.ravel())[0, 1] > 0.98
+
+
+def test_quantize_lenet_bitexact_dualrun():
+    g = lenet5(batch_size=2)
+    data = _dataset((2, 28, 28, 1))
+    qg = quantize(g, data)
+    _int_only(qg)
+    x = data[1]
+    # every integer-valued node must match BITWISE between oracle and XLA;
+    # the float tail (dequantize+softmax) matches to 1 ulp
+    int_nodes = [
+        n.name for n in qg.nodes
+        if n.dtype in ("int8", "uint8", "int32") and not n.is_const and not n.is_var
+    ]
+    assert len(int_nodes) >= 10
+    recorded = {}
+    run_graph(qg, x, intercept=lambda name, op, ins, out: recorded.__setitem__(name, out))
+    jx = JaxExecutor(qg, capture=int_nodes + list(qg.outputs)).run(x)
+    for name, got in zip(int_nodes, jx):
+        np.testing.assert_array_equal(recorded[name], got, err_msg=name)
+    oracle_out = run_graph(qg, x)[0]
+    np.testing.assert_allclose(oracle_out, jx[-1], rtol=1e-5, atol=1e-7)
+    # numeric sanity vs float model
+    fout = run_graph(g, x)[0]
+    assert np.argmax(fout, -1).tolist() == np.argmax(np.asarray(jx[-1]), -1).tolist()
+
+
+def test_fold_batch_norm():
+    from tachikoma_tpu import GraphBuilder
+
+    rng = np.random.default_rng(0)
+    b = GraphBuilder()
+    x = b.var("x", (1, 6, 6, 3), "float32")
+    w = b.const(rng.standard_normal((3, 3, 3, 8)).astype(np.float32))
+    c = b.call("nn.conv2d", x, w, padding=(1, 1, 1, 1))
+    g_ = b.const(np.abs(rng.standard_normal(8)).astype(np.float32) + 0.5)
+    b_ = b.const(rng.standard_normal(8).astype(np.float32))
+    m_ = b.const(rng.standard_normal(8).astype(np.float32))
+    v_ = b.const(np.abs(rng.standard_normal(8)).astype(np.float32) + 0.5)
+    n = b.call("nn.batch_norm", c, g_, b_, m_, v_)
+    g = infer_types(b.build(n))
+    folded = infer_types(fold_batch_norm(g))
+    assert not any(nd.op == "nn.batch_norm" for nd in folded.nodes)
+    assert any(nd.op == "nn.bias_add" for nd in folded.nodes)
+    data = rng.standard_normal((1, 6, 6, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        run_graph(g, data)[0], run_graph(folded, data)[0], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fold_constant():
+    from tachikoma_tpu import GraphBuilder
+
+    b = GraphBuilder()
+    x = b.var("x", (2, 2), "float32")
+    c1 = b.const(np.ones((2, 2), np.float32))
+    c2 = b.const(np.full((2, 2), 3.0, np.float32))
+    s = b.call("add", c1, c2)       # const-foldable
+    y = b.call("multiply", x, s)
+    g = infer_types(b.build(y))
+    folded = fold_constant(g)
+    ops = [n.op for n in folded.nodes]
+    assert "add" not in ops
+    data = np.ones((2, 2), np.float32)
+    np.testing.assert_array_equal(run_graph(folded, data)[0], np.full((2, 2), 4.0))
+
+
+def test_calibration_modes():
+    g = mlp(batch_size=4, hidden=(16,))
+    data = _dataset((4, 784), n=3)
+    for mode in ("max", "percentile", "kl"):
+        cfg = QConfig(calibrate_mode=mode)
+        calib = calibrate(simplify(g), data, cfg)
+        s, zp = calib.scale_zp("data")
+        assert s > 0 and zp == 0
+        if mode != "max":
+            # clipping modes should give scale <= absmax scale
+            s_max, _ = type(calib)(calib.stats, QConfig(calibrate_mode="max")).scale_zp("data")
+            assert s <= s_max * 1.01
+
+
+def test_residual_add_quantizes():
+    from tachikoma_tpu import GraphBuilder
+
+    rng = np.random.default_rng(0)
+    b = GraphBuilder()
+    x = b.var("x", (1, 8, 8, 4), "float32")
+    w = b.const((rng.standard_normal((3, 3, 4, 4)) * 0.2).astype(np.float32))
+    c = b.call("nn.conv2d", x, w, padding=(1, 1, 1, 1))
+    r = b.call("nn.relu", c)
+    s = b.call("add", r, x)
+    g = infer_types(b.build(s))
+    data = [rng.standard_normal((1, 8, 8, 4)).astype(np.float32) for _ in range(2)]
+    qg = quantize(g, data)
+    assert any(n.op == "qnn.add" for n in qg.nodes)
+    fout = run_graph(g, data[0])[0]
+    qout = run_graph(qg, data[0])[0]
+    assert np.corrcoef(fout.ravel(), qout.ravel())[0, 1] > 0.99
+
+
+def test_depthwise_and_clip6_quantize():
+    from tachikoma_tpu import GraphBuilder
+
+    rng = np.random.default_rng(1)
+    b = GraphBuilder()
+    x = b.var("x", (1, 8, 8, 8), "float32")
+    w = b.const((rng.standard_normal((3, 3, 1, 8)) * 0.3).astype(np.float32))
+    c = b.call("nn.conv2d", x, w, padding=(1, 1, 1, 1), groups=8)
+    h = b.call("clip", c, a_min=0.0, a_max=6.0)
+    g = infer_types(b.build(h))
+    data = [rng.standard_normal((1, 8, 8, 8)).astype(np.float32) for _ in range(2)]
+    qg = quantize(g, data)
+    assert any(n.op == "qnn.conv2d" and n.attrs.get("groups") == 8 for n in qg.nodes)
+    fout = run_graph(g, data[0])[0]
+    qout = run_graph(qg, data[0])[0]
+    assert np.abs(fout - qout).max() < 0.1
