@@ -1,0 +1,195 @@
+"""Trace-emitting executor + trace verifier.
+
+The deterministic replacement for the reference's graph-runtime trace dumping
+path (debug executor `DebugGetNodeOutput`,
+`src/runtime/graph_executor/debug/graph_executor_debug.cc:296`, feeding the
+tachikoma BYOC serialization): execute the integer graph — on the numpy
+oracle or as ONE XLA program with intermediate capture — and stream
+per-operator records (op id, attrs, input values, param values, expected
+output) into the tachikoma-standard binary format.
+
+Determinism: record order is the graph's topological node order; tensor bytes
+are C-contiguous little-endian; integer graphs produce byte-identical traces
+on every backend (oracle == XLA, single- or multi-device) because the integer
+op semantics are bit-exact.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import BinaryIO, Mapping
+
+import numpy as np
+
+from ..ir.graph import CONST, TUPLE, TUPLE_GET_ITEM, VAR, Graph
+from ..ir.infer import infer_types
+from ..runtime.interpreter import Interpreter
+from .format import (
+    ROLE_INPUT,
+    ROLE_OUTPUT,
+    ROLE_PARAM,
+    OpRecord,
+    TensorRecord,
+    TraceReader,
+    TraceWriter,
+)
+
+
+def _graph_hash(graph: Graph) -> bytes:
+    import hashlib
+
+    return hashlib.sha256(graph.structural_bytes(include_params=True)).digest()
+
+
+def _computational(graph: Graph):
+    return [n for n in graph.nodes if n.op not in (VAR, CONST, TUPLE, TUPLE_GET_ITEM)]
+
+
+def _build_records(graph: Graph, values: dict[str, np.ndarray]):
+    """Yield OpRecords in topological order given all node values."""
+    for node_id, n in enumerate(graph.nodes):
+        if n.op in (VAR, CONST, TUPLE, TUPLE_GET_ITEM):
+            continue
+        tensors = []
+        for i in n.inputs:
+            src = graph[i]
+            role = ROLE_PARAM if src.is_const else ROLE_INPUT
+            tensors.append(TensorRecord.from_array(role, np.asarray(values[i])))
+        out = values[n.name]
+        if isinstance(out, (list, tuple)):
+            for o in out:
+                tensors.append(TensorRecord.from_array(ROLE_OUTPUT, np.asarray(o)))
+        else:
+            tensors.append(TensorRecord.from_array(ROLE_OUTPUT, np.asarray(out)))
+        yield OpRecord(node_id, n.name, n.op, dict(n.attrs), tensors)
+
+
+class TraceEmitter:
+    """Emit a trace for (graph, inputs) using the oracle or the XLA executor."""
+
+    def __init__(self, graph: Graph, backend: str = "jax", meta: dict | None = None):
+        self.graph = infer_types(graph) if any(
+            n.shape is None and n.dtype != "tuple" for n in graph.nodes
+        ) else graph
+        self.backend = backend
+        self.meta = dict(meta or {})
+        self._executor = None
+
+    def _values_oracle(self, inputs) -> dict[str, np.ndarray]:
+        values: dict[str, np.ndarray] = {}
+        interp = Interpreter(self.graph)
+
+        def hook(name, op, args, out):
+            values[name] = out
+
+        interp.run(inputs, intercept=hook)
+        # vars + consts + tuples
+        self._fill_structural(values, inputs)
+        return values
+
+    def _fill_structural(self, values, inputs):
+        g = self.graph
+        if isinstance(inputs, np.ndarray):
+            inputs = [inputs]
+        if not isinstance(inputs, Mapping):
+            inputs = dict(zip([n.name for n in g.inputs], inputs))
+        for n in g.nodes:
+            if n.op == VAR:
+                v = np.asarray(inputs[n.name])
+                if str(v.dtype) != n.dtype:
+                    v = v.astype(n.dtype)
+                values[n.name] = v
+            elif n.op == CONST:
+                values[n.name] = g.params[n.name]
+            elif n.op == TUPLE:
+                values[n.name] = [values[i] for i in n.inputs]
+            elif n.op == TUPLE_GET_ITEM:
+                values[n.name] = values[n.inputs[0]][int(n.attrs["index"])]
+
+    def _values_jax(self, inputs) -> dict[str, np.ndarray]:
+        from ..runtime.executor import JaxExecutor
+
+        names = [n.name for n in _computational(self.graph)]
+        if self._executor is None:
+            self._executor = JaxExecutor(self.graph, capture=names)
+        outs = self._executor.run(inputs)
+        values = dict(zip(names, outs))
+        self._fill_structural(values, inputs)
+        return values
+
+    def emit(self, inputs, f: BinaryIO) -> int:
+        """Write a trace for one batch of inputs; returns record count."""
+        values = (
+            self._values_jax(inputs) if self.backend == "jax" else self._values_oracle(inputs)
+        )
+        comp = _computational(self.graph)
+        w = TraceWriter(f, _graph_hash(self.graph), self.meta)
+        w.begin(len(comp))
+        for rec in _build_records(self.graph, values):
+            w.write(rec)
+        w.finish()
+        return len(comp)
+
+    def emit_bytes(self, inputs) -> bytes:
+        buf = io.BytesIO()
+        self.emit(inputs, buf)
+        return buf.getvalue()
+
+
+def emit_trace(graph: Graph, inputs, path: str | None = None, backend: str = "jax",
+               meta: dict | None = None) -> bytes | int:
+    em = TraceEmitter(graph, backend=backend, meta=meta)
+    if path is None:
+        return em.emit_bytes(inputs)
+    with open(path, "wb") as f:
+        return em.emit(inputs, f)
+
+
+def verify_trace(trace: bytes | str, graph: Graph | None = None) -> dict:
+    """Re-execute every record with the numpy oracle and bit-compare outputs —
+    the 'fake trace consumer' verifier (the role of run_and_verify in the
+    reference's BYOC tests, `tests/python/contrib/test_tachikoma.py:166`,
+    and of the ZKP circuit's witness check).
+
+    Returns {'records': N, 'verified': N_ok, 'mismatches': [names]}.
+    """
+    from ..ir.graph import Node
+    from ..ir.registry import get_op
+
+    if isinstance(trace, (str,)):
+        with open(trace, "rb") as f:
+            reader = TraceReader(f)
+    else:
+        reader = TraceReader(io.BytesIO(trace))
+
+    if graph is not None:
+        gh = _graph_hash(graph)
+        if gh != reader.graph_hash:
+            raise ValueError("trace graph hash does not match supplied graph")
+
+    mismatches = []
+    n_ok = 0
+    for rec in reader:
+        op = get_op(rec.op_name)
+        if op.np_impl is None:
+            mismatches.append((rec.name, "no oracle impl"))
+            continue
+        args = [t.to_array() for t in rec.tensors if t.role in (ROLE_INPUT, ROLE_PARAM)]
+        shadow = Node(rec.name, rec.op_name, tuple(f"i{k}" for k in range(len(args))),
+                      {k: tuple(v) if isinstance(v, list) else v for k, v in rec.attrs.items()})
+        try:
+            out = op.np_impl(*args, node=shadow)
+        except Exception as e:  # pragma: no cover
+            mismatches.append((rec.name, f"exec error: {e}"))
+            continue
+        want = rec.output.to_array()
+        got = np.asarray(out[0] if isinstance(out, (list, tuple)) else out)
+        if want.dtype.kind in "fc":
+            ok = np.allclose(got.astype(np.float64), want.astype(np.float64), rtol=1e-5, atol=1e-6)
+        else:
+            ok = got.shape == want.shape and bool((got == want).all())
+        if ok:
+            n_ok += 1
+        else:
+            mismatches.append((rec.name, "output mismatch"))
+    return {"records": len(reader), "verified": n_ok, "mismatches": mismatches}
