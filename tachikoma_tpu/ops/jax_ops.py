@@ -854,3 +854,26 @@ def _fpm_pa_jax(a, *, node: Node):
         int(node.attrs["axis"]),
         node.attrs.get("rounding", "UPWARD"),
     )
+
+
+@jax_impl("qnn.softmax")
+def _qsoftmax_jax(x, *, node: Node):
+    from .qnn import LUT_SIZE, SOFTMAX_OUT_ZP, softmax_exp_table
+
+    axis = int(node.attrs.get("axis", -1))
+    table = jnp.asarray(softmax_exp_table(float(node.attrs["input_scale"])))
+    v = x.astype(jnp.int32)
+    m = v.max(axis=axis, keepdims=True)
+    d = jnp.clip(m - v, 0, LUT_SIZE - 1)
+    p = jnp.take(table, d, axis=0).astype(jnp.int64)
+    ssum = p.sum(axis=axis, keepdims=True)
+    q = (p * 256 + ssum // 2) // ssum
+    out = jnp.clip(q + SOFTMAX_OUT_ZP, -128, 127)
+    return out.astype(_jdt(node.attrs.get("out_dtype", "int8")))
+
+
+@jax_impl("qnn.lut")
+def _qlut_jax(x, *, node: Node):
+    table = jnp.asarray(np.asarray(node.attrs["table"], dtype=np.int8))
+    idx = x.astype(jnp.int32) + 128
+    return jnp.take(table, idx, axis=0)

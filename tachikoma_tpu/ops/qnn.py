@@ -347,3 +347,75 @@ def _qlrelu_np(x: np.ndarray, *, node: Node) -> np.ndarray:
     out = np.where(x.astype(np.int32) >= izp, pos, neg)
     lo, hi = dt.qmin(out_dtype), dt.qmax(out_dtype)
     return np.clip(out, lo, hi).astype(out_dtype)
+
+
+# -- integer softmax & LUT ops ----------------------------------------------
+# The reference has NO integer softmax (SURVEY.md §5.7: BERT's deterministic
+# "softmax-free path" is a new design obligation).  We pin our own exact
+# integer semantics here; both backends and the trace verifier share them.
+
+LUT_EXP_BITS = 15          # exp table is Q15
+LUT_SIZE = 256
+SOFTMAX_OUT_SCALE = 1.0 / 256.0
+SOFTMAX_OUT_ZP = -128
+
+
+def softmax_exp_table(input_scale: float) -> np.ndarray:
+    """table[k] = round(2^15 * exp(-k * input_scale)), k = 0..255 (int32)."""
+    k = np.arange(LUT_SIZE, dtype=np.float64)
+    return np.rint((1 << LUT_EXP_BITS) * np.exp(-k * float(input_scale))).astype(np.int32)
+
+
+@infer_rule("qnn.softmax")
+def _qsoftmax_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    (a, _) = ins[0]
+    return tuple(a), node.attrs.get("out_dtype", "int8")
+
+
+@np_impl("qnn.softmax")
+def _qsoftmax_np(x: np.ndarray, *, node: Node) -> np.ndarray:
+    """Exact integer softmax:
+      d    = clip(max(x) - x, 0, 255)
+      p    = table[d]                      (Q15 exp)
+      sum  = sum(p)
+      q    = (p * 256 + sum // 2) // sum   (non-negative integer division)
+      out  = clip(q - 128, -128, 127)      (scale 1/256, zp -128)
+    """
+    axis = int(node.attrs.get("axis", -1))
+    table = softmax_exp_table(float(node.attrs["input_scale"]))
+    v = x.astype(np.int64)
+    m = v.max(axis=axis, keepdims=True)
+    d = np.clip(m - v, 0, LUT_SIZE - 1)
+    p = table[d].astype(np.int64)
+    ssum = p.sum(axis=axis, keepdims=True)
+    q = (p * 256 + ssum // 2) // ssum
+    out = np.clip(q + SOFTMAX_OUT_ZP, -128, 127)
+    return out.astype(node.attrs.get("out_dtype", "int8"))
+
+
+@infer_rule("qnn.lut")
+def _qlut_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    (a, _) = ins[0]
+    return tuple(a), node.attrs.get("out_dtype", "int8")
+
+
+@np_impl("qnn.lut")
+def _qlut_np(x: np.ndarray, *, node: Node) -> np.ndarray:
+    """Generic int8 -> int8 elementwise op as a 256-entry table lookup
+    (the TFLite-style realization of any quantized unary nonlinearity;
+    replaces the reference's dequant->float->requant canonicalization of
+    unary elementwise qnn ops, `src/relay/qnn/op/unary_elementwise_op.cc`)."""
+    table = np.asarray(node.attrs["table"], dtype=np.int8)
+    assert table.shape == (LUT_SIZE,)
+    idx = x.astype(np.int32) + 128  # int8 -> [0, 255]
+    return table[idx]
+
+
+def build_lut(float_fn, input_scale: float, input_zp: int,
+              output_scale: float, output_zp: int) -> np.ndarray:
+    """table[q+128] = quantize(f(dequantize(q))) for q in [-128, 127]."""
+    q = np.arange(-128, 128, dtype=np.int32)
+    x = (q - input_zp).astype(np.float64) * input_scale
+    y = float_fn(x.astype(np.float32)).astype(np.float64)
+    out = np.rint(y / output_scale) + output_zp
+    return np.clip(out, -128, 127).astype(np.int8)

@@ -31,3 +31,18 @@ class QConfig:
     float_ops: frozenset = frozenset({"nn.softmax", "nn.log_softmax", "erf", "nn.gelu"})
     # skip quantizing graph outputs back to int (emit dequantized floats)
     dequantize_outputs: bool = True
+    # deterministic softmax-free attention path: rewrite nn.softmax on a
+    # quantized input to the integer LUT softmax (qnn.softmax) — BASELINE
+    # config 4's 'deterministic softmax-free path'
+    integer_softmax: bool = False
+    # float unary ops realized as 256-entry int8 LUTs (qnn.lut) instead of
+    # dequant->float->quant; wins determinism + fusion
+    lut_ops: frozenset = frozenset()
+
+
+# Preset for the BERT/ViT integer-attention trace path.
+TRANSFORMER_INT8 = QConfig(
+    integer_softmax=True,
+    lut_ops=frozenset({"nn.gelu", "tanh", "sigmoid", "nn.silu", "erf"}),
+    float_ops=frozenset({"nn.log_softmax"}),
+)

@@ -75,6 +75,16 @@ class Quantizer:
         cfg = self.cfg
         if v.kind == "quant":
             return v
+        orig = self.g[orig_name] if orig_name in self.g else None
+        if v.kind == "float" and orig is not None and orig.is_const:
+            # constants quantize directly from their values (no calibration)
+            arr = self.g.params[orig_name]
+            scale = max(float(np.abs(arr).max()) / 127.0, 1e-8)
+            q = np.clip(np.rint(arr / scale), -127, 127).astype(cfg.act_dtype)
+            name = self.b.const(q, name=orig_name + "_q")
+            qv = QVal("quant", name, scale, 0, cfg.act_dtype)
+            self.env[orig_name] = qv
+            return qv
         if v.kind == "float":
             scale, zp = self.act_qparams(orig_name)
             name = self.b.call(
@@ -147,8 +157,8 @@ class Quantizer:
             out_dtype=self.cfg.accum_dtype, name=n.name, **attrs,
         )
         accum_scale = np.asarray(data.scale, dtype=np.float64) * np.asarray(wscales)
-        axis = (3 if n.op == "nn.conv2d" else 1) if np.ndim(accum_scale) else -1
-        self.env[n.name] = QVal("accum", out, accum_scale, 0, self.cfg.accum_dtype, axis=axis)
+        # channel axis is the LAST axis for both conv (NHWC) and dense (...N)
+        self.env[n.name] = QVal("accum", out, accum_scale, 0, self.cfg.accum_dtype, axis=-1)
 
     def _batch_matmul(self, n: Node):
         a = self.to_quant(n.inputs[0])
@@ -207,7 +217,28 @@ class Quantizer:
         else:
             self._float_fallback(n)
 
+    def _scalar_const(self, name: str) -> float | None:
+        nd = self.g[name] if name in self.g else None
+        if nd is not None and nd.is_const and self.g.params[name].size == 1:
+            return float(self.g.params[name].reshape(()))
+        return None
+
     def _binary(self, n: Node, qop: str):
+        # scale folding: multiplying a quantized tensor by a positive scalar
+        # constant only rescales its quantization scale — zero runtime ops
+        # (the effect of the reference's FoldScaleAxis,
+        # `src/relay/transforms/fold_scale_axis.cc`)
+        if qop == "qnn.mul":
+            for ti, ci in ((0, 1), (1, 0)):
+                cval = self._scalar_const(n.inputs[ci])
+                src = self.env[n.inputs[ti]]
+                if cval is not None and cval > 0 and src.kind in ("quant", "accum"):
+                    self.env[n.name] = QVal(
+                        src.kind, src.name,
+                        np.asarray(src.scale) * cval if np.ndim(src.scale) else float(src.scale) * cval,
+                        src.zp, src.dtype, src.axis,
+                    )
+                    return
         # qnn.add / qnn.subtract / qnn.mul with calibrated output qparams
         a = self.to_quant(n.inputs[0])
         c = self.to_quant(n.inputs[1])
@@ -275,7 +306,9 @@ class Quantizer:
         if src.kind == "float":
             self._float_fallback(n)
             return
-        if src.kind == "accum" and n.op not in ("reshape", "nn.batch_flatten", "transpose", "squeeze"):
+        if src.kind == "accum":
+            # per-channel accum scales don't survive axis-moving ops;
+            # requantize to int8 first (scalar scale) to stay safe
             src = self.to_quant(n.inputs[0])
         out = self.b.call(n.op, src.name, name=n.name, **dict(n.attrs))
         self.env[n.name] = QVal(src.kind, out, src.scale, src.zp, src.dtype, src.axis)
@@ -289,6 +322,43 @@ class Quantizer:
             self.env[n.name] = QVal("quant", out, src.scale, src.zp, src.dtype)
         else:
             self._float_fallback(n)
+
+    def _softmax(self, n: Node):
+        src = self.env[n.inputs[0]]
+        if not self.cfg.integer_softmax or src.kind == "float":
+            self._float_fallback(n)
+            return
+        from ..ops.qnn import SOFTMAX_OUT_SCALE, SOFTMAX_OUT_ZP
+
+        src = self.to_quant(n.inputs[0])
+        out = self.b.call(
+            "qnn.softmax", src.name,
+            input_scale=float(src.scale), axis=int(n.attrs.get("axis", -1)),
+            out_dtype=self.cfg.act_dtype, name=n.name,
+        )
+        self.env[n.name] = QVal("quant", out, SOFTMAX_OUT_SCALE, SOFTMAX_OUT_ZP, self.cfg.act_dtype)
+
+    def _lut_unary(self, n: Node):
+        src = self.env[n.inputs[0]]
+        if src.kind == "float":
+            self._float_fallback(n)
+            return
+        from ..ir.registry import get_op
+        from ..ops.qnn import build_lut
+
+        src = self.to_quant(n.inputs[0])
+        oscale, ozp = self.act_qparams(n.name)
+        np_fn = get_op(n.op).np_impl
+
+        def f(x):
+            return np_fn(x, node=n)
+
+        table = build_lut(f, float(src.scale), src.zp, oscale, ozp)
+        out = self.b.call(
+            "qnn.lut", src.name, table=[int(v) for v in table],
+            out_dtype=self.cfg.act_dtype, name=n.name,
+        )
+        self.env[n.name] = QVal("quant", out, oscale, ozp, self.cfg.act_dtype)
 
     def _float_fallback(self, n: Node):
         ins = [self.to_float(i).name for i in n.inputs]
@@ -315,6 +385,10 @@ class Quantizer:
             "nn.adaptive_avg_pool2d": self._adaptive_avg_pool,
             "nn.pad": self._pad,
         }
+        if cfg.integer_softmax:
+            handlers["nn.softmax"] = self._softmax
+        for op in cfg.lut_ops:
+            handlers[op] = self._lut_unary
         for op in _PASSTHROUGH - set(handlers):
             handlers[op] = self._passthrough
 
