@@ -1,0 +1,195 @@
+"""Pallas int8 MXU matmul with fused integer requantize epilogue.
+
+The hand-written replacement for the reference's tuned int8 GEMM schedules
+(TOPI `conv2d_int8` / `dense_tensorcore` / VNNI paths, SURVEY.md §8.4):
+int8 x int8 -> int32 on the MXU, tiled (M, N, K) with a VMEM accumulator,
+and the exact fixed-point requantize (bias add + multiply/shift + zero point
++ clip, ops/pallas/qms32.py) fused into the epilogue so the int32
+accumulator never round-trips to HBM.
+
+Zero points: the quantizer always produces wzp=0; a nonzero input zero point
+folds into the bias (acc(x - izp, w) = x.w - izp*colsum(w)), so the inner
+loop is a pure int8 matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+
+from .qms32 import q_multiply_shift_u32
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(x, m):
+    return _cdiv(x, m) * m
+
+
+def _mm_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
+               n_k: int, out_zp: int, rounding: str, qmin: int, qmax: int,
+               out_dtype):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w_ref[...], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _epilogue():
+        acc = acc_ref[...]
+        acc = acc + bias_ref[...]  # (1, bn) broadcast over rows
+        v = q_multiply_shift_u32(acc, m_ref[...], s_ref[...], rounding)
+        if out_zp:
+            v = v + jnp.int32(out_zp)
+        o_ref[...] = jnp.clip(v, qmin, qmax).astype(o_ref.dtype)
+
+
+def _mm_kernel_raw(x_ref, w_ref, o_ref, acc_ref, *, n_k: int):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w_ref[...], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _store():
+        o_ref[...] = acc_ref[...]
+
+
+def _interpret_default() -> bool:
+    import jax
+
+    return jax.devices()[0].platform != "tpu"
+
+
+@functools.partial(
+    # cache compiled callables per static config
+    functools.lru_cache(maxsize=None)
+)
+def _build_qmatmul(M, K, N, block_m, block_n, block_k, out_zp, rounding,
+                   qmin, qmax, out_dtype, fuse: bool, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_k = K // block_k
+    grid = (M // block_m, N // block_n, n_k)
+    if fuse:
+        kernel = functools.partial(
+            _mm_kernel, n_k=n_k, out_zp=out_zp, rounding=rounding,
+            qmin=qmin, qmax=qmax, out_dtype=out_dtype,
+        )
+        in_specs = [
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),   # bias
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),   # multiplier
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),   # shift
+        ]
+        out_jdt = jnp.dtype(out_dtype)
+    else:
+        kernel = functools.partial(_mm_kernel_raw, n_k=n_k)
+        in_specs = [
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+        ]
+        out_jdt = jnp.int32
+
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        )
+        kw["cost_estimate"] = pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N + M * N * (1 if fuse else 4),
+            transcendentals=0,
+        )
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), out_jdt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        ),
+        interpret=interpret,
+        **kw,
+    )
+    return jax.jit(fn)
+
+
+def default_blocks(M, K, N) -> tuple[int, int, int]:
+    """Block sizes: int8 tiling needs (32, 128) minimums; prefer large K
+    blocks (reduction reuse) and M/N ~512 for MXU utilization."""
+    bm = min(_round_up(M, 32), 512)
+    bn = min(_round_up(N, 128), 512)
+    bk = min(_round_up(K, 128), 1024)
+    return bm, bn, bk
+
+
+def qmatmul_int8(
+    x, w, bias=None, multiplier=None, shift=None, out_zp: int = 0,
+    rounding: str = "UPWARD", out_dtype: str = "int8",
+    qmin: int = -128, qmax: int = 127,
+    blocks: tuple[int, int, int] | None = None,
+):
+    """x (M, K) int8  @  w (K, N) int8.
+
+    With multiplier/shift (scalars or per-column (N,) int32 arrays): returns
+    requantized out_dtype (M, N), computing
+        clip(qms(acc + bias, m, s) + out_zp, qmin, qmax)
+    bit-identically to the unfused qnn.dense + bias_add + qnn.requantize
+    chain.  Without multiplier: returns the raw int32 accumulator (+bias).
+    """
+    import jax.numpy as jnp
+
+    M, K = x.shape
+    K2, N = w.shape
+    assert K == K2
+    fuse = multiplier is not None
+    bm, bn, bk = blocks or default_blocks(M, K, N)
+    Mp, Kp, Np = _round_up(M, bm), _round_up(K, bk), _round_up(N, bn)
+
+    xp = jnp.pad(x, ((0, Mp - M), (0, Kp - K))) if (Mp != M or Kp != K) else x
+    wp = jnp.pad(w, ((0, Kp - K), (0, Np - N))) if (Kp != K or Np != N) else w
+
+    if fuse:
+        bias_arr = jnp.zeros((N,), jnp.int32) if bias is None else jnp.asarray(bias, jnp.int32)
+        m_arr = jnp.broadcast_to(jnp.asarray(multiplier, jnp.int32), (N,))
+        s_arr = jnp.broadcast_to(jnp.asarray(shift, jnp.int32), (N,))
+        pad1 = lambda a: (jnp.pad(a, (0, Np - N)) if Np != N else a).reshape(1, Np)
+        # pad multiplier with 1s to keep shifts valid (padded cols are sliced off)
+        m_pad = pad1(m_arr) if Np == N else jnp.pad(m_arr, (0, Np - N), constant_values=1).reshape(1, Np)
+        out = _build_qmatmul(
+            Mp, Kp, Np, bm, bn, bk, int(out_zp), rounding, qmin, qmax,
+            out_dtype, True, _interpret_default(),
+        )(xp, wp, pad1(bias_arr), m_pad, pad1(s_arr))
+    else:
+        out = _build_qmatmul(
+            Mp, Kp, Np, bm, bn, bk, 0, rounding, qmin, qmax, "int32", False,
+            _interpret_default(),
+        )(xp, wp)
+        if bias is not None:
+            out = out + jnp.asarray(bias, jnp.int32)[None, :]
+    if Mp != M or Np != N:
+        out = out[:M, :N]
+    return out

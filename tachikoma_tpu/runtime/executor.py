@@ -36,12 +36,17 @@ class JaxExecutor:
         capture: Sequence[str] | None = None,
         device=None,
         donate_inputs: bool = False,
+        fuse: bool = False,
     ):
         import jax
 
         from ..ops import jax_ops  # noqa: F401  (registers jax impls, enables x64)
 
         g = graph
+        if fuse:
+            from .fuse import fuse_qnn
+
+            g = fuse_qnn(g)
         if any(n.shape is None and n.dtype != "tuple" for n in g.nodes):
             g = infer_types(g)
         self.graph = g

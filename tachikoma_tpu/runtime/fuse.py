@@ -1,0 +1,339 @@
+"""Operator fusion for the integer inference path.
+
+Rewrites qnn op chains into fused kernels so the int32 accumulator never
+round-trips through HBM — the role the reference's FuseOps + TOPI schedule
+fusion plays (`src/relay/transforms/fuse_ops.cc`), but targeted: the only
+fusion that matters on TPU beyond what XLA already does is the
+matmul/conv -> bias -> requantize -> clip epilogue, which XLA cannot fuse
+because our exact requantize uses int64 (or emulated-64) arithmetic.
+
+Patterns (all exact — fused np/jax impls are built from the same primitive
+semantics and are bit-identical to the unfused chain):
+
+  qnn.conv2d  -> [nn.bias_add(const)] -> qnn.requantize -> [clip]  => tk.conv2d_rq
+  qnn.dense   -> [nn.bias_add(const)] -> qnn.requantize -> [clip]  => tk.dense_rq
+  qnn.batch_matmul -> qnn.requantize                     -> [clip] => tk.bmm_rq
+
+multiplier/shift are precomputed at fusion time (integers in attrs), so the
+fused ops are float-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ir.graph import Graph, GraphBuilder, Node
+from ..ir.infer import infer_types
+from ..ir.registry import get_op, infer_rule, jax_impl, np_impl, register_op
+from ..ops.fixed_point import q_multiply_shift_np, q_multiply_shift_per_axis_np
+from ..ops.pallas.qms32 import plan_requantize
+
+_FUSABLE_HEAD = {"qnn.conv2d": "tk.conv2d_rq", "qnn.dense": "tk.dense_rq",
+                 "qnn.batch_matmul": "tk.bmm_rq"}
+
+
+def fuse_qnn(graph: Graph) -> Graph:
+    g = infer_types(graph) if any(n.shape is None and n.dtype != "tuple" for n in graph.nodes) else graph
+    users = g.users()
+
+    def single_user(name):
+        u = users[name]
+        return g[u[0]] if len(u) == 1 else None
+
+    # head -> (bias|None, mid_clip|None, requant, clip|None)
+    chains: dict[str, tuple] = {}
+    consumed: set[str] = set()
+    for n in g.nodes:
+        if n.op not in _FUSABLE_HEAD:
+            continue
+        cur = single_user(n.name)
+        bias = None
+        if cur is not None and cur.op == "nn.bias_add" and g[cur.inputs[1]].is_const:
+            bias = cur
+            cur = single_user(cur.name)
+        mid_clip = None
+        if cur is not None and cur.op == "clip":
+            # accumulator-domain clip (e.g. relu on int32); requantize is
+            # monotone, so the bounds transform exactly to the output domain
+            mid_clip = cur
+            cur = single_user(cur.name)
+        if cur is None or cur.op != "qnn.requantize":
+            continue
+        rq = cur
+        cur = single_user(cur.name)
+        clip = None
+        if cur is not None and cur.op == "clip":
+            clip = cur
+        chains[n.name] = (bias, mid_clip, rq, clip)
+        consumed.add(n.name)
+        for t in (bias, mid_clip, rq, clip):
+            if t is not None:
+                consumed.add(t.name)
+
+    if not chains:
+        return g
+
+    b = GraphBuilder(g.name)
+    mapping: dict[str, str] = {}
+    # vars/consts have no dependencies: emit first so fused heads can
+    # reference bias constants that appear later in topological order
+    for n in g.nodes:
+        if n.is_var:
+            mapping[n.name] = b.var(n.name, n.shape, n.dtype)
+        elif n.is_const:
+            mapping[n.name] = b.const(g.params[n.name], name=n.name)
+    for n in g.nodes:
+        if n.name in mapping:
+            continue
+        if n.name in chains:
+            bias, mid_clip, rq, clip = chains[n.name]
+            rqa = dict(rq.attrs)
+            mult, shift = plan_requantize(
+                rqa["input_scale"], float(rqa["output_scale"])
+            )
+            rounding = rqa.get("rounding", "UPWARD")
+            ozp = int(rqa.get("output_zero_point", 0))
+            out_dtype = rqa.get("out_dtype", "int8")
+            info = np.iinfo(np.dtype(out_dtype))
+            lo, hi = info.min, info.max
+
+            if mid_clip is not None:
+                # transform accumulator-domain bounds through the (monotone)
+                # requantize: f(clip(x, a, b)) == clip(f(x), f(a), f(b))
+                rq_izp = int(rqa.get("input_zero_point", 0))
+
+                def f_bound(v):
+                    vv = np.asarray(np.clip(v, np.iinfo(np.int32).min,
+                                            np.iinfo(np.int32).max), np.int32)
+                    vv = vv - np.int32(rq_izp)
+                    if np.ndim(mult) > 0:
+                        outs = [
+                            int(q_multiply_shift_np(np.asarray([vv]), int(m), int(s), rounding)[0])
+                            for m, s in zip(np.atleast_1d(mult), np.atleast_1d(shift))
+                        ]
+                    else:
+                        outs = [int(q_multiply_shift_np(np.asarray([vv]), int(mult), int(shift), rounding)[0])]
+                    # clamp into the out_dtype range first: channel bounds
+                    # that all saturate are uniform after clamping
+                    return [int(np.clip(o + ozp, info.min, info.max)) for o in outs]
+
+                los = f_bound(int(mid_clip.attrs["a_min"]))
+                his = f_bound(int(mid_clip.attrs["a_max"]))
+                if len(set(los)) == 1 and len(set(his)) == 1:
+                    lo = max(lo, los[0])
+                    hi = min(hi, his[0])
+                else:
+                    # non-uniform per-channel bounds: skip fusing this chain
+                    ins = [mapping[i] for i in n.inputs]
+                    mapping[n.name] = b.call(n.op, *ins, name=n.name, **dict(n.attrs))
+                    for t in (bias, mid_clip, rq, clip):
+                        if t is not None:
+                            consumed.discard(t.name)
+                    continue
+            if clip is not None:
+                lo = max(lo, int(clip.attrs["a_min"]))
+                hi = min(hi, int(clip.attrs["a_max"]))
+
+            tail = clip or rq
+            per_axis = np.ndim(mult) > 0
+            attrs = {k: v for k, v in n.attrs.items() if k not in ("out_dtype",)}
+            attrs.update(
+                multiplier=[int(v) for v in np.atleast_1d(mult)] if per_axis else int(mult),
+                shift=[int(v) for v in np.atleast_1d(shift)] if per_axis else int(shift),
+                rq_input_zero_point=int(rqa.get("input_zero_point", 0)),
+                output_zero_point=ozp,
+                rounding=rounding,
+                out_dtype=out_dtype,
+            )
+            if lo > info.min:
+                attrs["a_min"] = lo
+            if hi < info.max:
+                attrs["a_max"] = hi
+            ins = [mapping[i] for i in n.inputs]
+            if bias is not None:
+                ins.append(mapping[bias.inputs[1]])
+                attrs["has_bias"] = True
+            out = b.call(_FUSABLE_HEAD[n.op], *ins, name=tail.name, **attrs)
+            for t in (n, bias, mid_clip, rq, clip):
+                if t is not None:
+                    mapping[t.name] = out
+            continue
+        if n.name in consumed:
+            # tail members handled with the head; map resolved when head seen
+            continue
+        ins = [mapping[i] for i in n.inputs]
+        mapping[n.name] = b.call(n.op, *ins, name=n.name, **dict(n.attrs))
+    return infer_types(b.build([mapping[o] for o in g.outputs]))
+
+
+# ---------------------------------------------------------------------------
+# fused op definitions
+# ---------------------------------------------------------------------------
+
+def _fused_epilogue_np(acc: np.ndarray, node: Node, bias: np.ndarray | None) -> np.ndarray:
+    a = dict(node.attrs)
+    if bias is not None:
+        shape = [1] * acc.ndim
+        shape[-1] = -1
+        acc = acc + bias.reshape(shape).astype(np.int32)
+    izp = int(a.get("rq_input_zero_point", 0))
+    if izp:
+        acc = acc - np.int32(izp)
+    mult, shift = a["multiplier"], a["shift"]
+    rounding = a.get("rounding", "UPWARD")
+    if np.ndim(mult) > 0:
+        v = q_multiply_shift_per_axis_np(
+            acc, np.asarray(mult, np.int64), np.asarray(shift, np.int64),
+            acc.ndim - 1, rounding,
+        )
+    else:
+        v = q_multiply_shift_np(acc, int(mult), int(shift), rounding)
+    ozp = int(a.get("output_zero_point", 0))
+    if ozp:
+        v = v + np.int32(ozp)
+    out_dtype = a.get("out_dtype", "int8")
+    info = np.iinfo(np.dtype(out_dtype))
+    lo = max(int(a.get("a_min", info.min)), info.min)
+    hi = min(int(a.get("a_max", info.max)), info.max)
+    return np.clip(v, lo, hi).astype(out_dtype)
+
+
+def _fused_epilogue_jax(acc, node: Node, bias):
+    import jax.numpy as jnp
+
+    from ..ops.pallas.qms32 import q_multiply_shift_u32
+
+    a = dict(node.attrs)
+    if bias is not None:
+        shape = [1] * acc.ndim
+        shape[-1] = -1
+        acc = acc + bias.reshape(shape).astype(jnp.int32)
+    izp = int(a.get("rq_input_zero_point", 0))
+    if izp:
+        acc = acc - jnp.int32(izp)
+    mult, shift = a["multiplier"], a["shift"]
+    rounding = a.get("rounding", "UPWARD")
+    if np.ndim(mult) > 0:
+        bshape = [1] * acc.ndim
+        bshape[-1] = -1
+        m = jnp.asarray(np.asarray(mult, np.int32).reshape(bshape))
+        s = jnp.asarray(np.asarray(shift, np.int32).reshape(bshape))
+    else:
+        m, s = int(mult), int(shift)
+    v = q_multiply_shift_u32(acc, m, s, rounding)
+    ozp = int(a.get("output_zero_point", 0))
+    if ozp:
+        v = v + jnp.int32(ozp)
+    out_dtype = a.get("out_dtype", "int8")
+    info = np.iinfo(np.dtype(out_dtype))
+    lo = max(int(a.get("a_min", info.min)), info.min)
+    hi = min(int(a.get("a_max", info.max)), info.max)
+    return jnp.clip(v, lo, hi).astype(jnp.dtype(out_dtype))
+
+
+def _split_bias(node: Node, args):
+    if node.attrs.get("has_bias"):
+        return args[:-1], args[-1]
+    return args, None
+
+
+def _head_shadow(node: Node) -> Node:
+    keep = {k: v for k, v in node.attrs.items()
+            if k in ("strides", "padding", "dilation", "groups",
+                     "input_zero_point", "kernel_zero_point",
+                     "lhs_zero_point", "rhs_zero_point",
+                     "transpose_a", "transpose_b")}
+    keep["out_dtype"] = "int32"
+    return node.with_(attrs=keep)
+
+
+@infer_rule("tk.conv2d_rq")
+def _conv_rq_rel(node, ins):
+    from ..ops import nn as _nn
+
+    shape, _ = _nn._conv2d_rel(node, ins[:2])
+    return shape, node.attrs.get("out_dtype", "int8")
+
+
+@np_impl("tk.conv2d_rq")
+def _conv_rq_np(*args, node: Node):
+    (data, weight), bias = _split_bias(node, args)
+    acc = get_op("qnn.conv2d").np_impl(data, weight, node=_head_shadow(node))
+    return _fused_epilogue_np(acc, node, bias)
+
+
+@jax_impl("tk.conv2d_rq")
+def _conv_rq_jax(*args, node: Node):
+    (data, weight), bias = _split_bias(node, args)
+    acc = get_op("qnn.conv2d").jax_impl(data, weight, node=_head_shadow(node))
+    return _fused_epilogue_jax(acc, node, bias)
+
+
+@infer_rule("tk.dense_rq")
+def _dense_rq_rel(node, ins):
+    from ..ops import nn as _nn
+
+    shape, _ = _nn._dense_rel(node, ins[:2])
+    return shape, node.attrs.get("out_dtype", "int8")
+
+
+@np_impl("tk.dense_rq")
+def _dense_rq_np(*args, node: Node):
+    (data, weight), bias = _split_bias(node, args)
+    acc = get_op("qnn.dense").np_impl(data, weight, node=_head_shadow(node))
+    return _fused_epilogue_np(acc, node, bias)
+
+
+@jax_impl("tk.dense_rq")
+def _dense_rq_jax(*args, node: Node):
+    import jax
+
+    (data, weight), bias = _split_bias(node, args)
+    # Pallas fused kernel on TPU for 2D shapes; epilogue-composed lax
+    # path elsewhere (identical bits either way)
+    if (
+        jax.devices()[0].platform == "tpu"
+        and data.ndim == 2
+        and int(node.attrs.get("input_zero_point", 0)) == 0
+        and int(node.attrs.get("kernel_zero_point", 0)) == 0
+        and int(node.attrs.get("rq_input_zero_point", 0)) == 0
+    ):
+        from ..ops.pallas.matmul_int8 import qmatmul_int8
+
+        a = dict(node.attrs)
+        info = np.iinfo(np.dtype(a.get("out_dtype", "int8")))
+        return qmatmul_int8(
+            data, weight,
+            bias=bias,
+            multiplier=np.asarray(a["multiplier"], np.int32),
+            shift=np.asarray(a["shift"], np.int32),
+            out_zp=int(a.get("output_zero_point", 0)),
+            rounding=a.get("rounding", "UPWARD"),
+            out_dtype=a.get("out_dtype", "int8"),
+            qmin=max(int(a.get("a_min", info.min)), info.min),
+            qmax=min(int(a.get("a_max", info.max)), info.max),
+        )
+    acc = get_op("qnn.dense").jax_impl(data, weight, node=_head_shadow(node))
+    return _fused_epilogue_jax(acc, node, bias)
+
+
+@infer_rule("tk.bmm_rq")
+def _bmm_rq_rel(node, ins):
+    from ..ops import nn as _nn
+
+    shape, _ = _nn._bmm_rel(node, ins[:2])
+    return shape, node.attrs.get("out_dtype", "int8")
+
+
+@np_impl("tk.bmm_rq")
+def _bmm_rq_np(*args, node: Node):
+    (a, c), bias = _split_bias(node, args)
+    acc = get_op("qnn.batch_matmul").np_impl(a, c, node=_head_shadow(node))
+    return _fused_epilogue_np(acc, node, bias)
+
+
+@jax_impl("tk.bmm_rq")
+def _bmm_rq_jax(*args, node: Node):
+    (a, c), bias = _split_bias(node, args)
+    acc = get_op("qnn.batch_matmul").jax_impl(a, c, node=_head_shadow(node))
+    return _fused_epilogue_jax(acc, node, bias)

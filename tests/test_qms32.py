@@ -1,0 +1,66 @@
+"""32-bit-emulated fixed-point multiply vs the int64 oracle — must be
+bit-exact over the full (value, multiplier, shift, rounding) space."""
+
+import numpy as np
+import pytest
+
+from tachikoma_tpu.ops.fixed_point import (
+    TONEAREST,
+    UPWARD,
+    fixed_point_multiplier_shift,
+    q_multiply_shift_np,
+    q_multiply_shift_per_axis_np,
+)
+from tachikoma_tpu.ops.pallas.qms32 import plan_requantize, q_multiply_shift_u32
+
+
+def _values(rng, n=4096):
+    return np.concatenate([
+        rng.integers(-(2**31), 2**31 - 1, size=n, dtype=np.int64),
+        rng.integers(-(2**16), 2**16, size=n, dtype=np.int64),
+        np.array([0, 1, -1, 127, -128, 2**31 - 1, -(2**31), 2**30, -(2**30)]),
+    ]).astype(np.int32)
+
+
+@pytest.mark.parametrize("rounding", [UPWARD, TONEAREST])
+@pytest.mark.parametrize(
+    "mult", [1e-6, 0.0003, 0.021, 0.25, 0.4999, 0.5, 0.75, 1.0 - 2**-31, 1.5, 3.75]
+)
+def test_qms32_bitexact(rng, rounding, mult):
+    m, s = fixed_point_multiplier_shift(mult)
+    xs = _values(rng)
+    want = q_multiply_shift_np(xs, m, s, rounding)
+    got = np.asarray(q_multiply_shift_u32(xs, m, s, rounding))
+    np.testing.assert_array_equal(got, want, err_msg=f"mult={mult} rounding={rounding}")
+
+
+@pytest.mark.parametrize("rounding", [UPWARD, TONEAREST])
+def test_qms32_per_channel(rng, rounding):
+    mults = np.array([0.003, 0.77, 1.25, 0.5, 0.031, 2.5, 0.124, 0.9999])
+    ms, ss = plan_requantize(mults, 1.0)
+    x = rng.integers(-(2**24), 2**24, size=(64, 8), dtype=np.int64).astype(np.int32)
+    want = q_multiply_shift_per_axis_np(x, ms.astype(np.int64), ss.astype(np.int64), 1, rounding)
+    got = np.asarray(q_multiply_shift_u32(x, ms[None, :], ss[None, :], rounding))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_qms32_in_pallas_kernel(rng):
+    """The same function must compile and run inside a Pallas kernel
+    (interpret mode on CPU) bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    m, s = fixed_point_multiplier_shift(0.0217)
+    x = rng.integers(-(2**24), 2**24, size=(64, 128), dtype=np.int64).astype(np.int32)
+
+    def kernel(x_ref, o_ref):
+        o_ref[:] = q_multiply_shift_u32(x_ref[:], m, s, UPWARD)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+        interpret=True,
+    )(x)
+    want = q_multiply_shift_np(x, m, s, UPWARD)
+    np.testing.assert_array_equal(np.asarray(out), want)
