@@ -1,0 +1,243 @@
+"""tk — command-line driver (the tvmc equivalent).
+
+Mirrors the reference's `tvmc compile/run/tune` surface
+(`python/tvm/driver/tvmc/{main.py:114,compiler.py:52,runner.py:71}`) with the
+subcommands this framework's workflow needs:
+
+  quantize  — import a model (zoo or torch file), calibrate, emit integer
+              graph JSON artifact
+  run       — execute a graph artifact (oracle or XLA), print outputs
+  trace     — emit a tachikoma-standard trace binary for given inputs
+  verify    — CRC + semantic verification of a trace binary
+  profile   — per-op timing report
+  bench     — one-line JSON benchmark (same schema as bench.py)
+  info      — show a graph artifact (ops, shapes, hash)
+
+Usage: python -m tachikoma_tpu.cli <subcommand> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_graph(path: str):
+    from .ir.graph import Graph
+
+    with open(path) as f:
+        return Graph.from_json(f.read())
+
+
+def _zoo(name: str, batch: int, image: int | None, seq: int | None):
+    from .models import transformer, vision
+
+    name = name.lower()
+    if name == "lenet5":
+        return vision.lenet5(batch_size=batch)
+    if name == "mlp":
+        return vision.mlp(batch_size=batch)
+    if name in ("resnet18", "resnet34", "resnet50"):
+        return vision.resnet(int(name[6:]), batch_size=batch, image_size=image or 224)
+    if name == "mobilenet_v2":
+        return vision.mobilenet_v2(batch_size=batch, image_size=image or 224)
+    if name in ("bert", "bert_base"):
+        return transformer.bert_base(batch_size=batch, seq_len=seq or 128)
+    if name == "vit_b16":
+        return transformer.vit_b16(batch_size=batch, image_size=image or 224)
+    if name == "vit_l16":
+        return transformer.vit_l16(batch_size=batch, image_size=image or 224)
+    raise SystemExit(f"unknown zoo model {name!r} (see tachikoma_tpu.models)")
+
+
+def _rand_inputs(graph, seed=0):
+    rng = np.random.default_rng(seed)
+    out = {}
+    for n in graph.inputs:
+        if n.dtype.startswith("int"):
+            out[n.name] = rng.integers(0, 100, n.shape).astype(n.dtype)
+        else:
+            out[n.name] = rng.standard_normal(n.shape).astype(n.dtype)
+    return out
+
+
+def _load_inputs(args, graph):
+    if getattr(args, "input", None):
+        data = np.load(args.input)
+        if hasattr(data, "files"):
+            return {k: data[k] for k in data.files}
+        return {graph.inputs[0].name: data}
+    return _rand_inputs(graph)
+
+
+def cmd_quantize(args):
+    from .quantize.config import TRANSFORMER_INT8, QConfig
+    from .quantize.quantizer import quantize
+
+    if args.model.endswith(".json"):
+        g = _load_graph(args.model)
+    else:
+        g = _zoo(args.model, args.batch, args.image_size, args.seq_len)
+    rng = np.random.default_rng(0)
+    if args.calib_data:
+        data = np.load(args.calib_data)
+        batches = [{k: data[k] for k in data.files}] if hasattr(data, "files") else [data]
+    else:
+        batches = [_rand_inputs(g, seed=i) for i in range(args.calib_batches)]
+    cfg = TRANSFORMER_INT8 if args.transformer else QConfig(calibrate_mode=args.calibrate_mode)
+    qg = quantize(g, batches, cfg)
+    with open(args.output, "w") as f:
+        f.write(qg.to_json())
+    print(f"wrote {args.output}: {len(qg)} nodes, hash {qg.structural_hash()[:16]}")
+
+
+def cmd_run(args):
+    g = _load_graph(args.graph)
+    inputs = _load_inputs(args, g)
+    if args.backend == "oracle":
+        from .runtime.interpreter import run_graph
+
+        outs = run_graph(g, inputs)
+    else:
+        from .runtime.executor import JaxExecutor
+
+        outs = JaxExecutor(g, fuse=not args.no_fuse).run(inputs)
+    for name, o in zip(g.outputs, outs):
+        print(f"{name}: {o.dtype}{list(o.shape)}")
+        with np.printoptions(threshold=20, precision=4):
+            print(o)
+    if args.output:
+        np.savez(args.output, **dict(zip(g.outputs, outs)))
+
+
+def cmd_trace(args):
+    g = _load_graph(args.graph)
+    inputs = _load_inputs(args, g)
+    meta = {"model": args.graph}
+    if args.native:
+        from .trace.native import emit_trace_native
+
+        n = emit_trace_native(g, inputs, args.output, backend=args.backend, meta=meta)
+    else:
+        from .trace.emitter import emit_trace
+
+        n = emit_trace(g, inputs, path=args.output, backend=args.backend, meta=meta)
+    import os
+
+    print(f"wrote {args.output}: {n} records, {os.path.getsize(args.output)} bytes")
+
+
+def cmd_verify(args):
+    from .trace.emitter import verify_trace
+
+    graph = _load_graph(args.graph) if args.graph else None
+    if args.crc_only:
+        from .trace.native import native_available, native_verify
+
+        if native_available():
+            n = native_verify(args.trace)
+            print(f"CRC OK: {n} records")
+            return
+    res = verify_trace(args.trace, graph)
+    ok = res["verified"] == res["records"]
+    print(f"verified {res['verified']}/{res['records']} records")
+    for name, why in res["mismatches"][:20]:
+        print(f"  MISMATCH {name}: {why}")
+    sys.exit(0 if ok else 1)
+
+
+def cmd_profile(args):
+    from .runtime.profiler import profile_graph
+
+    g = _load_graph(args.graph)
+    inputs = _load_inputs(args, g)
+    rep = profile_graph(g, inputs, repeats=args.repeats, fuse=not args.no_fuse)
+    if args.format == "table":
+        print(rep.table(top=args.top))
+    elif args.format == "csv":
+        print(rep.csv())
+    else:
+        print(rep.json())
+
+
+def cmd_info(args):
+    g = _load_graph(args.graph)
+    from collections import Counter
+
+    ops = Counter(n.op for n in g.nodes)
+    print(f"graph {g.name}: {len(g)} nodes, hash {g.structural_hash()[:16]}")
+    print(f"inputs : {[(n.name, n.dtype, n.shape) for n in g.inputs]}")
+    print(f"outputs: {[(o, g[o].dtype, g[o].shape) for o in g.outputs]}")
+    for op, c in ops.most_common():
+        print(f"  {op:<24} {c}")
+
+
+def cmd_bench(args):
+    import bench as bench_mod  # repo-root bench.py
+
+    bench_mod.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tachikoma_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("quantize", help="calibrate + quantize a model to an integer graph")
+    q.add_argument("model", help="zoo name (lenet5/resnet50/bert/...) or graph .json")
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("--batch", type=int, default=1)
+    q.add_argument("--image-size", type=int, default=None)
+    q.add_argument("--seq-len", type=int, default=None)
+    q.add_argument("--calib-data", help=".npz of calibration inputs")
+    q.add_argument("--calib-batches", type=int, default=2)
+    q.add_argument("--calibrate-mode", default="max", choices=["max", "minmax", "percentile", "kl"])
+    q.add_argument("--transformer", action="store_true", help="use the integer-attention preset")
+    q.set_defaults(fn=cmd_quantize)
+
+    r = sub.add_parser("run", help="execute a graph artifact")
+    r.add_argument("graph")
+    r.add_argument("--backend", default="jax", choices=["jax", "oracle"])
+    r.add_argument("--input", help=".npy/.npz input file (random if omitted)")
+    r.add_argument("-o", "--output", help="save outputs to .npz")
+    r.add_argument("--no-fuse", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    t = sub.add_parser("trace", help="emit a tachikoma-standard trace binary")
+    t.add_argument("graph")
+    t.add_argument("-o", "--output", required=True)
+    t.add_argument("--backend", default="jax", choices=["jax", "oracle"])
+    t.add_argument("--input", help=".npy/.npz input file")
+    t.add_argument("--native", action="store_true", help="use the C++ writer")
+    t.set_defaults(fn=cmd_trace)
+
+    v = sub.add_parser("verify", help="verify a trace binary")
+    v.add_argument("trace")
+    v.add_argument("--graph", help="graph artifact to check the hash against")
+    v.add_argument("--crc-only", action="store_true")
+    v.set_defaults(fn=cmd_verify)
+
+    pr = sub.add_parser("profile", help="per-op timing report")
+    pr.add_argument("graph")
+    pr.add_argument("--input")
+    pr.add_argument("--repeats", type=int, default=5)
+    pr.add_argument("--top", type=int, default=None)
+    pr.add_argument("--format", default="table", choices=["table", "csv", "json"])
+    pr.add_argument("--no-fuse", action="store_true")
+    pr.set_defaults(fn=cmd_profile)
+
+    i = sub.add_parser("info", help="describe a graph artifact")
+    i.add_argument("graph")
+    i.set_defaults(fn=cmd_info)
+
+    bn = sub.add_parser("bench", help="run the standard benchmark")
+    bn.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

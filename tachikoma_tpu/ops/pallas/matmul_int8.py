@@ -32,9 +32,11 @@ def _round_up(x, m):
 
 def _mm_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
                n_k: int, out_zp: int, rounding: str, qmin: int, qmax: int,
-               out_dtype):
+               out_dtype, shift_values: tuple):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+
+    from .qms32 import q_multiply_shift_select
 
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -48,7 +50,9 @@ def _mm_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
     def _epilogue():
         acc = acc_ref[...]
         acc = acc + bias_ref[...]  # (1, bn) broadcast over rows
-        v = q_multiply_shift_u32(acc, m_ref[...], s_ref[...], rounding)
+        # Mosaic rejects vector shift amounts: select-tree over the distinct
+        # (static) shift values instead
+        v = q_multiply_shift_select(acc, m_ref[...], s_ref[...], shift_values, rounding)
         if out_zp:
             v = v + jnp.int32(out_zp)
         o_ref[...] = jnp.clip(v, qmin, qmax).astype(o_ref.dtype)
@@ -82,7 +86,8 @@ def _interpret_default() -> bool:
     functools.lru_cache(maxsize=None)
 )
 def _build_qmatmul(M, K, N, block_m, block_n, block_k, out_zp, rounding,
-                   qmin, qmax, out_dtype, fuse: bool, interpret: bool = False):
+                   qmin, qmax, out_dtype, fuse: bool, interpret: bool = False,
+                   shift_values: tuple = ()):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -94,6 +99,7 @@ def _build_qmatmul(M, K, N, block_m, block_n, block_k, out_zp, rounding,
         kernel = functools.partial(
             _mm_kernel, n_k=n_k, out_zp=out_zp, rounding=rounding,
             qmin=qmin, qmax=qmax, out_dtype=out_dtype,
+            shift_values=shift_values,
         )
         in_specs = [
             pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
@@ -179,9 +185,10 @@ def qmatmul_int8(
         pad1 = lambda a: (jnp.pad(a, (0, Np - N)) if Np != N else a).reshape(1, Np)
         # pad multiplier with 1s to keep shifts valid (padded cols are sliced off)
         m_pad = pad1(m_arr) if Np == N else jnp.pad(m_arr, (0, Np - N), constant_values=1).reshape(1, Np)
+        shift_values = tuple(sorted({int(v) for v in np.atleast_1d(np.asarray(shift))}))
         out = _build_qmatmul(
             Mp, Kp, Np, bm, bn, bk, int(out_zp), rounding, qmin, qmax,
-            out_dtype, True, _interpret_default(),
+            out_dtype, True, _interpret_default(), shift_values,
         )(xp, wp, pad1(bias_arr), m_pad, pad1(s_arr))
     else:
         out = _build_qmatmul(

@@ -94,6 +94,23 @@ def q_multiply_shift_u32(v, m, shift, rounding: str = "UPWARD"):
     return res.astype(jnp.int32)
 
 
+def q_multiply_shift_select(v, m, shift_vec, shift_values: tuple, rounding: str = "UPWARD"):
+    """Per-channel fixed-point multiply for Mosaic (Pallas TPU), which
+    rejects data-dependent shift amounts: computes the scalar-shift kernel
+    once per DISTINCT shift value (static python ints) and selects
+    elementwise.  Per-channel scale sets span only a few octaves, so
+    len(shift_values) is small (typically <= 4).  Bit-exact vs the int64
+    reference (verified on hardware)."""
+    jnp = _ju()
+    if len(shift_values) == 1:
+        return q_multiply_shift_u32(v, m, int(shift_values[0]), rounding)
+    out = jnp.zeros(v.shape, jnp.int32)
+    for s_val in shift_values:
+        r = q_multiply_shift_u32(v, m, int(s_val), rounding)
+        out = jnp.where(shift_vec == jnp.int32(s_val), r, out)
+    return out
+
+
 def requantize_epilogue(acc, multiplier, shift, out_zp: int,
                         rounding: str = "UPWARD", qmin: int = -128, qmax: int = 127):
     """Fused requantize epilogue for int32 accumulators (per-tensor or

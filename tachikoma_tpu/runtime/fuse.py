@@ -337,3 +337,15 @@ def _bmm_rq_jax(*args, node: Node):
     (a, c), bias = _split_bias(node, args)
     acc = get_op("qnn.batch_matmul").jax_impl(a, c, node=_head_shadow(node))
     return _fused_epilogue_jax(acc, node, bias)
+
+
+# flops rules reuse the head op's MAC counts (for profiler rooflines)
+def _reg_flops():
+    from ..ops import nn as _nn
+
+    register_op("tk.conv2d_rq", flops=_nn._conv2d_flops)
+    register_op("tk.dense_rq", flops=_nn._dense_flops)
+    register_op("tk.bmm_rq", flops=_nn._bmm_flops)
+
+
+_reg_flops()

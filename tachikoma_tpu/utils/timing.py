@@ -1,0 +1,67 @@
+"""Device timing utilities.
+
+The role of the reference's `time_evaluator` adaptive loop
+(`python/tvm/runtime/module.py:273`), adapted to two TPU realities:
+  * dispatch latency (especially over a tunneled device) can exceed kernel
+    time by orders of magnitude, so kernels are iterated INSIDE one jitted
+    program (lax.scan with a forced data dependence to defeat loop-invariant
+    hoisting) rather than timed per dispatch;
+  * wall-clock jitter is handled by differential measurement: time two
+    iteration counts and divide the difference, min over repeats.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+
+def time_jitted(run: Callable[[], None], warmup: int = 2, repeats: int = 5) -> float:
+    """Best-of-repeats wall time of run() (which must block until ready)."""
+    for _ in range(warmup):
+        run()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def time_iterated(make_run: Callable[[int], Callable[[], None]],
+                  lo: int = 8, hi: int = 40, repeats: int = 4) -> float:
+    """Per-iteration time via differential measurement.
+
+    make_run(n) returns a nullary blocking callable executing the workload n
+    times inside ONE device program.  Returns (t(hi) - t(lo)) / (hi - lo)
+    using best-of-repeats for each, which cancels fixed dispatch overhead.
+    """
+    r_lo, r_hi = make_run(lo), make_run(hi)
+    t_lo = time_jitted(r_lo, warmup=1, repeats=repeats)
+    t_hi = time_jitted(r_hi, warmup=1, repeats=repeats)
+    per = (t_hi - t_lo) / (hi - lo)
+    # fall back to the amortized estimate if jitter made the diff nonsense
+    if per <= 0:
+        per = t_hi / hi
+    return per
+
+
+def scan_loop(fn, feedback, init, iters: int):
+    """Build `init -> fn applied iters times` with a forced sequential data
+    dependence: feedback(x, out) -> next x (must be cheap and keep dtype).
+
+    Prevents XLA from hoisting the loop-invariant computation out of the
+    scan, which otherwise silently turns an N-iteration benchmark into one
+    iteration."""
+    import jax
+    from jax import lax
+
+    def body(x, _):
+        out = fn(x)
+        return feedback(x, out), None
+
+    def run(x0):
+        x, _ = lax.scan(body, x0, None, length=iters)
+        return x
+
+    return jax.jit(run).lower(init).compile()
