@@ -264,7 +264,38 @@ def _conv_rq_np(*args, node: Node):
 
 @jax_impl("tk.conv2d_rq")
 def _conv_rq_jax(*args, node: Node):
+    import jax
+
     (data, weight), bias = _split_bias(node, args)
+    a = dict(node.attrs)
+    groups = int(a.get("groups", 1))
+    from ..ops.nn import _pad4, _pair
+
+    strides = _pair(a.get("strides", (1, 1)))
+    padding = _pad4(a.get("padding", (0, 0, 0, 0)))
+    dilation = _pair(a.get("dilation", (1, 1)))
+    if (
+        jax.devices()[0].platform == "tpu"
+        and dilation == (1, 1)
+        and int(a.get("kernel_zero_point", 0)) == 0
+        and int(a.get("rq_input_zero_point", 0)) == 0
+    ):
+        from ..ops.pallas.conv_int8 import qconv2d_int8, qconv2d_supported
+
+        if qconv2d_supported(data.shape, weight.shape, strides, padding, groups):
+            info = np.iinfo(np.dtype(a.get("out_dtype", "int8")))
+            return qconv2d_int8(
+                data, weight, bias=bias,
+                multiplier=np.asarray(a["multiplier"], np.int32),
+                shift=np.asarray(a["shift"], np.int32),
+                strides=strides, padding=padding, groups=groups,
+                input_zero_point=int(a.get("input_zero_point", 0)),
+                out_zp=int(a.get("output_zero_point", 0)),
+                rounding=a.get("rounding", "UPWARD"),
+                out_dtype=a.get("out_dtype", "int8"),
+                qmin=max(int(a.get("a_min", info.min)), info.min),
+                qmax=min(int(a.get("a_max", info.max)), info.max),
+            )
     acc = get_op("qnn.conv2d").jax_impl(data, weight, node=_head_shadow(node))
     return _fused_epilogue_jax(acc, node, bias)
 

@@ -1,0 +1,121 @@
+"""Tuning database — append-only JSONL records of measured kernel configs.
+
+The analog of the reference's tuning-state persistence (SURVEY.md §5.4):
+autotvm's log records (`python/tvm/autotvm/record.py`) and meta_schedule's
+JSONDatabase (`python/tvm/meta_schedule/database/json_database.py`): tuning
+resumes by reloading the log, and best-config application is a pure function
+of it (`apply_history_best`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+# Error taxonomy — the MeasureErrorNo equivalent
+# (`python/tvm/autotvm/measure/measure.py:68-78`); failed trials are data.
+NO_ERROR = 0
+COMPILE_ERROR = 1
+RUNTIME_ERROR = 2
+TIMEOUT = 3
+WRONG_ANSWER = 4
+
+
+@dataclass
+class TuneRecord:
+    workload: str            # e.g. "qmatmul_int8/M4096_K4096_N4096/fused"
+    config: dict             # e.g. {"blocks": [512, 512, 1024]}
+    time_ms: float           # measured kernel time (inf on error)
+    error_no: int = NO_ERROR
+    error_msg: str = ""
+    meta: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "workload": self.workload, "config": self.config,
+                "time_ms": self.time_ms, "error_no": self.error_no,
+                "error_msg": self.error_msg, "meta": self.meta,
+            },
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, line: str) -> "TuneRecord":
+        d = json.loads(line)
+        return cls(d["workload"], d["config"], d["time_ms"],
+                   d.get("error_no", 0), d.get("error_msg", ""), d.get("meta", {}))
+
+
+class TuneDatabase:
+    """Append-only JSONL store with in-memory best index."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self._lock = threading.Lock()
+        self.records: list[TuneRecord] = []
+        self._best: dict[str, TuneRecord] = {}
+        if path and os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        self._ingest(TuneRecord.from_json(line))
+
+    def _ingest(self, rec: TuneRecord):
+        self.records.append(rec)
+        if rec.error_no == NO_ERROR:
+            cur = self._best.get(rec.workload)
+            if cur is None or rec.time_ms < cur.time_ms:
+                self._best[rec.workload] = rec
+
+    def add(self, rec: TuneRecord):
+        with self._lock:
+            self._ingest(rec)
+            if self.path:
+                with open(self.path, "a") as f:
+                    f.write(rec.to_json() + "\n")
+
+    def best(self, workload: str) -> TuneRecord | None:
+        return self._best.get(workload)
+
+    def best_config(self, workload: str) -> dict | None:
+        rec = self._best.get(workload)
+        return rec.config if rec else None
+
+    def workloads(self) -> list[str]:
+        return sorted(self._best)
+
+    def __len__(self):
+        return len(self.records)
+
+
+# Global dispatch context — the ApplyHistoryBest analog.
+_CURRENT_DB: TuneDatabase | None = None
+
+
+class apply_history_best:
+    """Context manager installing a database for kernel config dispatch."""
+
+    def __init__(self, db: TuneDatabase | str):
+        self.db = TuneDatabase(db) if isinstance(db, str) else db
+        self._prev: TuneDatabase | None = None
+
+    def __enter__(self):
+        global _CURRENT_DB
+        self._prev = _CURRENT_DB
+        _CURRENT_DB = self.db
+        return self.db
+
+    def __exit__(self, *exc):
+        global _CURRENT_DB
+        _CURRENT_DB = self._prev
+
+
+def lookup_config(workload: str) -> dict | None:
+    if _CURRENT_DB is None:
+        return None
+    return _CURRENT_DB.best_config(workload)

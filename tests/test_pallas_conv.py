@@ -1,0 +1,73 @@
+"""Pallas int8 conv kernel vs the oracle — bit-exact (interpret mode on CPU;
+identical kernel code compiles for TPU)."""
+
+import numpy as np
+import pytest
+
+from tachikoma_tpu.ir.graph import Node
+from tachikoma_tpu.ir.registry import get_op
+from tachikoma_tpu.ops.fixed_point import requantize_np
+from tachikoma_tpu.ops.pallas.conv_int8 import qconv2d_int8, qconv2d_supported
+from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
+
+
+def oracle(x, w, bias, scales, out_scale, ozp, strides, padding, groups, izp):
+    node = Node(
+        "c", "qnn.conv2d", ("d", "w"),
+        {"strides": strides, "padding": padding, "groups": groups,
+         "input_zero_point": izp, "kernel_zero_point": 0, "out_dtype": "int32"},
+    )
+    acc = get_op("qnn.conv2d").np_impl(x, w, node=node)
+    if bias is not None:
+        acc = acc + bias.reshape(1, 1, 1, -1)
+    return requantize_np(acc, scales, 0, out_scale, ozp, axis=3, out_dtype="int8")
+
+
+@pytest.mark.parametrize(
+    "shape,strides,padding,groups",
+    [
+        ((1, 14, 14, 64), (1, 1), (1, 1, 1, 1), 1),
+        ((2, 9, 9, 32), (2, 2), (1, 1, 1, 1), 1),
+        ((1, 8, 8, 40), (1, 1), (0, 0, 0, 0), 1),    # unaligned cin/cout
+        ((1, 12, 12, 128), (1, 1), (1, 1, 1, 1), 128),  # depthwise
+        ((1, 11, 11, 96), (2, 2), (1, 1, 1, 1), 96),    # depthwise stride 2
+    ],
+)
+def test_qconv_bitexact(rng, shape, strides, padding, groups):
+    n, h, w_, cin = shape
+    cout = cin if groups > 1 else 48
+    k = 3
+    x = rng.integers(-127, 127, shape).astype(np.int8)
+    w = rng.integers(-127, 127, (k, k, cin // groups, cout)).astype(np.int8)
+    bias = rng.integers(-2000, 2000, cout).astype(np.int32)
+    scales = 0.0002 + np.abs(rng.standard_normal(cout)) * 0.0005
+    m_arr, s_arr = plan_requantize(scales, 0.07)
+    got = np.asarray(
+        qconv2d_int8(
+            x, w, bias=bias, multiplier=m_arr, shift=s_arr,
+            strides=strides, padding=padding, groups=groups, out_zp=4,
+        )
+    )
+    want = oracle(x, w, bias, scales, 0.07, 4, strides, padding, groups, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_qconv_input_zero_point(rng):
+    """Nonzero input zp folds into the bias; padded borders must stay exact."""
+    x = rng.integers(-128, 127, (1, 8, 8, 32)).astype(np.int8)
+    w = rng.integers(-127, 127, (3, 3, 32, 32)).astype(np.int8)
+    m, s = plan_requantize(0.0004, 0.05)
+    got = np.asarray(
+        qconv2d_int8(
+            x, w, multiplier=m, shift=s,
+            strides=(1, 1), padding=(1, 1, 1, 1), input_zero_point=-9,
+        )
+    )
+    want = oracle(x, w, None, 0.0004, 0.05, 0, (1, 1), (1, 1, 1, 1), 1, -9)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_supported_predicate():
+    assert qconv2d_supported((1, 56, 56, 128), (3, 3, 128, 128), (1, 1), (1, 1, 1, 1), 1)
+    assert not qconv2d_supported((1, 224, 224, 64), (3, 3, 64, 64), (1, 1), (1, 1, 1, 1), 1)
+    assert qconv2d_supported((1, 56, 56, 96), (3, 3, 1, 96), (1, 1), (1, 1, 1, 1), 96)
