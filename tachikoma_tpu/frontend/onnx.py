@@ -1,0 +1,515 @@
+"""ONNX frontend — ModelProto -> tachikoma_tpu Graph.
+
+The counterpart of `relay.frontend.from_onnx`
+(`python/tvm/relay/frontend/onnx.py:6113`, converter map `:5562`), built on
+the in-tree protobuf codec (onnx_proto.py) and the same NCHW->NHWC
+layout-tag machinery as the torch frontend: conv-domain tensors ride in NHWC
+('nhwc' tag), shape-sensitive ops coerce back to ONNX layout ('onnx' tag).
+
+Shape-computation subgraphs (Shape/Gather/Unsqueeze/Concat feeding Reshape —
+the dynamic-reshape idiom) are constant-folded at import time since this
+framework is static-shape only (XLA requirement).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..ir.graph import Graph, GraphBuilder
+from ..ir.infer import infer_types
+from .onnx_proto import ONNX_DTYPES, load_model, tensor_to_np
+
+
+def _attr_map(node: dict) -> dict[str, Any]:
+    out = {}
+    for a in node.get("attribute", []):
+        name = a["name"]
+        if "i" in a:
+            out[name] = a["i"]
+        elif "f" in a:
+            out[name] = a["f"]
+        elif "s" in a:
+            v = a["s"]
+            out[name] = v.decode() if isinstance(v, (bytes, bytearray)) else v
+        elif "ints" in a:
+            out[name] = list(a["ints"])
+        elif "floats" in a:
+            out[name] = list(a["floats"])
+        elif "t" in a:
+            out[name] = tensor_to_np(a["t"])
+        else:
+            out[name] = None
+    return out
+
+
+class _OnnxImporter:
+    def __init__(self, model: dict, input_shapes: dict | None):
+        self.graph_proto = model["graph"]
+        self.b = GraphBuilder(self.graph_proto.get("name", "from_onnx") or "from_onnx")
+        # onnx value name -> (graph name | np const, layout)
+        self.env: dict[str, tuple[Any, str]] = {}
+        self.consts: dict[str, np.ndarray] = {}
+        self.input_shapes = dict(input_shapes or {})
+
+    # -- value plumbing -----------------------------------------------------
+    def val(self, name: str) -> tuple[str, str]:
+        v, layout = self.env[name]
+        if isinstance(v, np.ndarray):  # materialize lazily-kept constant
+            cn = self.b.const(v, name=name[:40] or None)
+            self.env[name] = (cn, "onnx")
+            return cn, "onnx"
+        return v, layout
+
+    def const_value(self, name: str) -> np.ndarray | None:
+        """Constant value if statically known (for shape-op folding)."""
+        if name in self.consts:
+            return self.consts[name]
+        v, _ = self.env.get(name, (None, None))
+        return v if isinstance(v, np.ndarray) else None
+
+    def as_onnx(self, name: str) -> str:
+        v, layout = self.val(name)
+        if layout == "nhwc":
+            v = self.b.call("transpose", v, axes=(0, 3, 1, 2))
+            self.env[name] = (v, "onnx")
+        return v
+
+    def as_nhwc(self, name: str) -> str:
+        v, layout = self.val(name)
+        if layout == "onnx":
+            v = self.b.call("transpose", v, axes=(0, 2, 3, 1))
+            self.env[name] = (v, "nhwc")
+        return v
+
+    def set(self, name: str, graph_name: str, layout: str):
+        self.env[name] = (graph_name, layout)
+
+    def shape_of(self, name: str) -> tuple[int, ...]:
+        v, layout = self.val(name)
+        g = infer_types(self.b.build([v]))
+        shape = g[v].shape
+        if layout == "nhwc":  # report ONNX-layout shape
+            n, h, w, c = shape
+            return (n, c, h, w)
+        return shape
+
+    # -- driver -------------------------------------------------------------
+    def run(self) -> Graph:
+        gp = self.graph_proto
+        for t in gp.get("initializer", []):
+            arr = tensor_to_np(t)
+            self.env[t["name"]] = (arr, "onnx")
+            self.consts[t["name"]] = arr
+        init_names = set(self.consts)
+        for vi in gp.get("input", []):
+            name = vi["name"]
+            if name in init_names:
+                continue
+            shape, dtype = self._vi_shape(vi, name)
+            self.set(name, self.b.var(name, shape, dtype), "onnx")
+        for node in gp.get("node", []):
+            self.convert(node)
+        outs = [self.as_onnx(o["name"]) for o in gp.get("output", [])]
+        return infer_types(self.b.build(outs))
+
+    def _vi_shape(self, vi: dict, name: str):
+        if name in self.input_shapes:
+            sh = self.input_shapes[name]
+            dt = "float32"
+            if isinstance(sh, tuple) and len(sh) == 2 and isinstance(sh[1], str):
+                sh, dt = sh
+            return tuple(sh), dt
+        tt = vi.get("type", {}).get("tensor_type", {})
+        dtype = ONNX_DTYPES.get(tt.get("elem_type", 1), "float32")
+        dims = []
+        for d in tt.get("shape", {}).get("dim", []):
+            if "dim_value" in d:
+                dims.append(int(d["dim_value"]))
+            else:
+                raise ValueError(
+                    f"input {name} has symbolic dim {d.get('dim_param')!r}; "
+                    f"pass input_shapes={{{name!r}: (...)}}"
+                )
+        return tuple(dims), dtype
+
+    # -- converters ---------------------------------------------------------
+    def convert(self, node: dict):
+        op = node["op_type"]
+        attrs = _attr_map(node)
+        ins = node.get("input", [])
+        outs = node.get("output", [])
+        h = getattr(self, f"op_{op}", None)
+        if h is None:
+            raise NotImplementedError(f"ONNX op {op} not supported")
+        h(ins, outs, attrs)
+
+    def _unary(self, ins, outs, tk_op, **extra):
+        v, layout = self.val(ins[0])
+        self.set(outs[0], self.b.call(tk_op, v, **extra), layout)
+
+    def op_Relu(self, ins, outs, attrs):
+        self._unary(ins, outs, "nn.relu")
+
+    def op_Sigmoid(self, ins, outs, attrs):
+        self._unary(ins, outs, "sigmoid")
+
+    def op_Tanh(self, ins, outs, attrs):
+        self._unary(ins, outs, "tanh")
+
+    def op_Erf(self, ins, outs, attrs):
+        self._unary(ins, outs, "erf")
+
+    def op_Sqrt(self, ins, outs, attrs):
+        self._unary(ins, outs, "sqrt")
+
+    def op_Exp(self, ins, outs, attrs):
+        self._unary(ins, outs, "exp")
+
+    def op_Identity(self, ins, outs, attrs):
+        self.env[outs[0]] = self.env[ins[0]]
+
+    def op_Dropout(self, ins, outs, attrs):
+        self.env[outs[0]] = self.env[ins[0]]
+
+    def op_Gelu(self, ins, outs, attrs):
+        self._unary(ins, outs, "nn.gelu", approximate=attrs.get("approximate", "none"))
+
+    def op_LeakyRelu(self, ins, outs, attrs):
+        self._unary(ins, outs, "nn.leaky_relu", alpha=attrs.get("alpha", 0.01))
+
+    def op_Clip(self, ins, outs, attrs):
+        lo = attrs.get("min")
+        hi = attrs.get("max")
+        if len(ins) > 1 and ins[1]:
+            lo = float(self.const_value(ins[1]))
+        if len(ins) > 2 and ins[2]:
+            hi = float(self.const_value(ins[2]))
+        self._unary(ins, outs, "clip",
+                    a_min=lo if lo is not None else -3.4e38,
+                    a_max=hi if hi is not None else 3.4e38)
+
+    def op_Conv(self, ins, outs, attrs):
+        x = self.as_nhwc(ins[0])
+        w = self.const_value(ins[1])
+        assert w is not None, "dynamic conv weights unsupported"
+        groups = int(attrs.get("group", 1))
+        w_hwio = np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+        wn = self.b.const(w_hwio, name=ins[1][:40] + "_w")
+        pads = attrs.get("pads", [0, 0, 0, 0])  # [t, l, b, r]
+        strides = attrs.get("strides", [1, 1])
+        dil = attrs.get("dilations", [1, 1])
+        if attrs.get("auto_pad", "NOTSET") not in ("NOTSET", None, ""):
+            raise NotImplementedError("auto_pad not supported; use explicit pads")
+        out = self.b.call(
+            "nn.conv2d", x, wn,
+            strides=tuple(strides), padding=(pads[0], pads[1], pads[2], pads[3]),
+            dilation=tuple(dil), groups=groups,
+        )
+        if len(ins) > 2 and ins[2]:
+            bn = self.b.const(self.const_value(ins[2]), name=ins[2][:40] + "_b")
+            out = self.b.call("nn.bias_add", out, bn, axis=-1)
+        self.set(outs[0], out, "nhwc")
+
+    def op_Gemm(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        w = self.const_value(ins[1])
+        assert w is not None
+        alpha, beta = attrs.get("alpha", 1.0), attrs.get("beta", 1.0)
+        if attrs.get("transA"):
+            x = self.b.call("transpose", x, axes=(1, 0))
+        if attrs.get("transB", 0):
+            w = w.T
+        wn = self.b.const(np.ascontiguousarray(w * np.float32(alpha)), name=ins[1][:40] + "_w")
+        out = self.b.call("nn.dense", x, wn)
+        if len(ins) > 2 and ins[2]:
+            bias = self.const_value(ins[2]) * np.float32(beta)
+            out = self.b.call("nn.bias_add", out, self.b.const(bias), axis=-1)
+        self.set(outs[0], out, "onnx")
+
+    def op_MatMul(self, ins, outs, attrs):
+        a = self.as_onnx(ins[0])
+        bw = self.const_value(ins[1])
+        if bw is not None and bw.ndim == 2:
+            out = self.b.call("nn.dense", a, self.b.const(np.ascontiguousarray(bw)))
+        else:
+            b2 = self.as_onnx(ins[1])
+            out = self.b.call("nn.batch_matmul", a, b2)
+        self.set(outs[0], out, "onnx")
+
+    def _binary(self, ins, outs, op):
+        av = self.const_value(ins[0])
+        bv = self.const_value(ins[1])
+        if av is not None and bv is not None:
+            # fold shape arithmetic eagerly
+            fold = {"add": np.add, "subtract": np.subtract, "multiply": np.multiply,
+                    "divide": lambda a, b: a // b if a.dtype.kind in "iu" else a / b}[op](av, bv)
+            self.env[outs[0]] = (fold, "onnx")
+            self.consts[outs[0]] = fold
+            return
+        la = self.env[ins[0]][1] if av is None else None
+        lb = self.env[ins[1]][1] if bv is None else None
+        if la is not None and lb is not None and la != lb:
+            a, b2 = self.as_onnx(ins[0]), self.as_onnx(ins[1])
+            layout = "onnx"
+        else:
+            layout = la or lb
+            a, _ = self.val(ins[0])
+            b2, _ = self.val(ins[1])
+            # channel-vector broadcast against NHWC needs no reshape (C last);
+            # against NCHW-style (1, C, 1, 1) constants flatten to (C,)
+            if layout == "nhwc":
+                for nm, vv in ((ins[0], av), (ins[1], bv)):
+                    if vv is not None and vv.ndim == 4 and vv.shape[0] == 1 and vv.shape[2:] == (1, 1):
+                        squeezed = vv.reshape(1, 1, 1, -1)
+                        cn = self.b.const(squeezed)
+                        if nm == ins[0]:
+                            a = cn
+                        else:
+                            b2 = cn
+        out = self.b.call(op, a, b2)
+        self.set(outs[0], out, layout or "onnx")
+
+    def op_Add(self, ins, outs, attrs):
+        self._binary(ins, outs, "add")
+
+    def op_Sub(self, ins, outs, attrs):
+        self._binary(ins, outs, "subtract")
+
+    def op_Mul(self, ins, outs, attrs):
+        self._binary(ins, outs, "multiply")
+
+    def op_Div(self, ins, outs, attrs):
+        self._binary(ins, outs, "divide")
+
+    def op_Pow(self, ins, outs, attrs):
+        self._binary(ins, outs, "power")
+
+    def _pool(self, ins, outs, attrs, kind):
+        x = self.as_nhwc(ins[0])
+        ks = attrs["kernel_shape"]
+        strides = attrs.get("strides", [1] * len(ks))
+        pads = attrs.get("pads", [0] * (2 * len(ks)))
+        extra = {}
+        if kind == "avg":
+            extra["count_include_pad"] = bool(attrs.get("count_include_pad", 0))
+        out = self.b.call(
+            f"nn.{kind}_pool2d", x,
+            pool_size=tuple(ks), strides=tuple(strides),
+            padding=(pads[0], pads[1], pads[2], pads[3]),
+            ceil_mode=bool(attrs.get("ceil_mode", 0)), **extra,
+        )
+        self.set(outs[0], out, "nhwc")
+
+    def op_MaxPool(self, ins, outs, attrs):
+        self._pool(ins, outs, attrs, "max")
+
+    def op_AveragePool(self, ins, outs, attrs):
+        self._pool(ins, outs, attrs, "avg")
+
+    def op_GlobalAveragePool(self, ins, outs, attrs):
+        x = self.as_nhwc(ins[0])
+        self.set(outs[0], self.b.call("nn.global_avg_pool2d", x), "nhwc")
+
+    def op_BatchNormalization(self, ins, outs, attrs):
+        x = self.as_nhwc(ins[0])
+        gamma, beta, mean, var = (self.const_value(i) for i in ins[1:5])
+        out = self.b.call(
+            "nn.batch_norm", x,
+            self.b.const(gamma), self.b.const(beta),
+            self.b.const(mean), self.b.const(var),
+            epsilon=attrs.get("epsilon", 1e-5),
+        )
+        self.set(outs[0], out, "nhwc")
+
+    def op_LayerNormalization(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        axis = attrs.get("axis", -1)
+        out = self.b.call(
+            "nn.layer_norm", x,
+            self.b.const(self.const_value(ins[1])),
+            self.b.const(self.const_value(ins[2]) if len(ins) > 2 and ins[2] else
+                         np.zeros_like(self.const_value(ins[1]))),
+            axis=axis, epsilon=attrs.get("epsilon", 1e-5),
+        )
+        self.set(outs[0], out, "onnx")
+
+    def op_Softmax(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        self.set(outs[0], self.b.call("nn.softmax", x, axis=attrs.get("axis", -1)), "onnx")
+
+    def op_Flatten(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        assert attrs.get("axis", 1) == 1
+        self.set(outs[0], self.b.call("nn.batch_flatten", x), "onnx")
+
+    def op_Reshape(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        shape = self.const_value(ins[1])
+        assert shape is not None, "dynamic Reshape target must constant-fold"
+        target = []
+        in_shape = self.shape_of(ins[0])
+        for i, s in enumerate(shape.tolist()):
+            target.append(in_shape[i] if s == 0 else int(s))
+        self.set(outs[0], self.b.call("reshape", x, newshape=tuple(target)), "onnx")
+
+    def op_Transpose(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        self.set(outs[0], self.b.call("transpose", x, axes=tuple(attrs.get("perm", []))
+                                      or None), "onnx")
+
+    def op_Concat(self, ins, outs, attrs):
+        cvals = [self.const_value(i) for i in ins]
+        if all(v is not None for v in cvals):
+            fold = np.concatenate(cvals, axis=attrs.get("axis", 0))
+            self.env[outs[0]] = (fold, "onnx")
+            self.consts[outs[0]] = fold
+            return
+        names = [self.as_onnx(i) for i in ins]
+        self.set(outs[0], self.b.call("concatenate", *names, axis=attrs.get("axis", 0)), "onnx")
+
+    def op_Squeeze(self, ins, outs, attrs):
+        axes = attrs.get("axes")
+        if axes is None and len(ins) > 1 and ins[1]:
+            axes = self.const_value(ins[1]).tolist()
+        cv = self.const_value(ins[0])
+        if cv is not None:
+            fold = np.squeeze(cv, axis=tuple(axes) if axes else None)
+            self.env[outs[0]] = (fold, "onnx")
+            self.consts[outs[0]] = fold
+            return
+        x = self.as_onnx(ins[0])
+        self.set(outs[0], self.b.call("squeeze", x, axis=tuple(axes) if axes else None), "onnx")
+
+    def op_Unsqueeze(self, ins, outs, attrs):
+        axes = attrs.get("axes")
+        if axes is None and len(ins) > 1 and ins[1]:
+            axes = self.const_value(ins[1]).tolist()
+        cv = self.const_value(ins[0])
+        if cv is not None:
+            fold = cv
+            for ax in sorted(axes):
+                fold = np.expand_dims(fold, ax)
+            self.env[outs[0]] = (fold, "onnx")
+            self.consts[outs[0]] = fold
+            return
+        x = self.as_onnx(ins[0])
+        out = x
+        for ax in sorted(axes):
+            out = self.b.call("expand_dims", out, axis=ax)
+        self.set(outs[0], out, "onnx")
+
+    def op_Shape(self, ins, outs, attrs):
+        sh = np.asarray(self.shape_of(ins[0]), dtype=np.int64)
+        self.env[outs[0]] = (sh, "onnx")
+        self.consts[outs[0]] = sh
+
+    def op_Constant(self, ins, outs, attrs):
+        if "value" in attrs and attrs["value"] is not None:
+            arr = attrs["value"]
+        elif "value_float" in attrs:
+            arr = np.float32(attrs["value_float"])
+        elif "value_int" in attrs:
+            arr = np.int64(attrs["value_int"])
+        else:
+            raise NotImplementedError("Constant without value")
+        arr = np.asarray(arr)
+        self.env[outs[0]] = (arr, "onnx")
+        self.consts[outs[0]] = arr
+
+    def op_ConstantOfShape(self, ins, outs, attrs):
+        shape = self.const_value(ins[0])
+        val = attrs.get("value")
+        fill = val.reshape(()) if isinstance(val, np.ndarray) else np.float32(0)
+        arr = np.full(tuple(shape.tolist()), fill)
+        self.env[outs[0]] = (arr, "onnx")
+        self.consts[outs[0]] = arr
+
+    def op_Gather(self, ins, outs, attrs):
+        axis = attrs.get("axis", 0)
+        data_c = self.const_value(ins[0])
+        idx_c = self.const_value(ins[1])
+        if data_c is not None and idx_c is not None:
+            fold = np.take(data_c, idx_c.astype(np.int64), axis=axis)
+            self.env[outs[0]] = (fold, "onnx")
+            self.consts[outs[0]] = fold
+            return
+        data, _ = self.val(ins[0])
+        idx, _ = self.val(ins[1])
+        self.set(outs[0], self.b.call("take", data, idx, axis=axis), "onnx")
+
+    def op_Slice(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        if "starts" in attrs:  # opset < 10
+            starts, ends = attrs["starts"], attrs["ends"]
+            axes = attrs.get("axes", list(range(len(starts))))
+            steps = [1] * len(starts)
+        else:
+            starts = self.const_value(ins[1]).tolist()
+            ends = self.const_value(ins[2]).tolist()
+            axes = (self.const_value(ins[3]).tolist()
+                    if len(ins) > 3 and ins[3] else list(range(len(starts))))
+            steps = (self.const_value(ins[4]).tolist()
+                     if len(ins) > 4 and ins[4] else [1] * len(starts))
+        self.set(outs[0], self.b.call(
+            "strided_slice", x, begin=tuple(starts), end=tuple(ends),
+            strides=tuple(steps), axes=tuple(axes)), "onnx")
+
+    def op_Split(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        axis = attrs.get("axis", 0)
+        splits = attrs.get("split")
+        if splits is None and len(ins) > 1 and ins[1]:
+            splits = self.const_value(ins[1]).tolist()
+        if splits is None:
+            tup = self.b.call("split", x, indices_or_sections=len(outs), axis=axis)
+        else:
+            pts = np.cumsum(splits[:-1]).tolist()
+            tup = self.b.call("split", x, indices_or_sections=tuple(pts), axis=axis)
+        for i, o in enumerate(outs):
+            self.set(o, self.b.get_item(tup, i), "onnx")
+
+    def op_Cast(self, ins, outs, attrs):
+        cv = self.const_value(ins[0])
+        target = ONNX_DTYPES[attrs["to"]]
+        if cv is not None:
+            fold = cv.astype(target)
+            self.env[outs[0]] = (fold, "onnx")
+            self.consts[outs[0]] = fold
+            return
+        v, layout = self.val(ins[0])
+        self.set(outs[0], self.b.call("cast", v, dtype=target), layout)
+
+    def op_ReduceMean(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        axes = attrs.get("axes")
+        if axes is None and len(ins) > 1 and ins[1]:
+            axes = self.const_value(ins[1]).tolist()
+        self.set(outs[0], self.b.call(
+            "mean", x, axis=tuple(axes) if axes else None,
+            keepdims=bool(attrs.get("keepdims", 1))), "onnx")
+
+    def op_Pad(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        pads = attrs.get("pads")
+        if pads is None:
+            pads = self.const_value(ins[1]).tolist()
+        rank = len(pads) // 2
+        pw = [(pads[i], pads[i + rank]) for i in range(rank)]
+        val = 0.0
+        if len(ins) > 2 and ins[2]:
+            val = float(self.const_value(ins[2]))
+        self.set(outs[0], self.b.call(
+            "nn.pad", x, pad_width=tuple(pw),
+            pad_mode=attrs.get("mode", "constant"), pad_value=val), "onnx")
+
+
+def from_onnx(model, input_shapes: dict | None = None) -> Graph:
+    """Import an ONNX model (path, bytes, or decoded dict).
+
+    input_shapes: {input_name: shape tuple} overrides/fills symbolic dims.
+    """
+    if not isinstance(model, dict):
+        model = load_model(model)
+    return _OnnxImporter(model, input_shapes).run()
