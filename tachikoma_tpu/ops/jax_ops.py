@@ -877,3 +877,26 @@ def _qlut_jax(x, *, node: Node):
     table = jnp.asarray(np.asarray(node.attrs["table"], dtype=np.int8))
     idx = x.astype(jnp.int32) + 128
     return jnp.take(table, idx, axis=0)
+
+
+@jax_impl("qnn.attention")
+def _qattn_jax(q, k, v, *, node: Node):
+    from .qnn import LUT_SIZE, softmax_exp_table
+
+    scores_scale = float(node.attrs["scores_scale"])
+    out_scale = float(node.attrs["output_scale"])
+    v_scale = float(node.attrs["v_scale"])
+    table = jnp.asarray(softmax_exp_table(scores_scale))
+    s = jnp.matmul(q.astype(jnp.int32), jnp.swapaxes(k.astype(jnp.int32), -1, -2),
+                   preferred_element_type=jnp.int32)
+    m = s.max(axis=-1, keepdims=True)
+    d = jnp.clip(m - s, 0, LUT_SIZE - 1)
+    p = jnp.take(table, d, axis=0).astype(jnp.int64)
+    ssum = p.sum(axis=-1, keepdims=True)
+    u = ((p * 256 + ssum // 2) // ssum).astype(jnp.int32)
+    ctx = jnp.matmul(u, v.astype(jnp.int32), preferred_element_type=jnp.int32)
+    return requantize_jnp(
+        ctx, v_scale / 256.0, 0, out_scale, 0,
+        rounding=node.attrs.get("rounding", "UPWARD"),
+        out_dtype=node.attrs.get("out_dtype", "int8"),
+    )

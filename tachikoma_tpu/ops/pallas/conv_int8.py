@@ -258,7 +258,6 @@ def qconv2d_int8(
     oh = (h + pt + pb - kh) // sh + 1
     ow = (wd + pl_ + pr - kw) // sw + 1
 
-    w_np = np.asarray(w) if not hasattr(w, "device") else None
     bias_arr = jnp.zeros((cout,), jnp.int32) if bias is None else jnp.asarray(bias, jnp.int32)
     if input_zero_point:
         # acc(x - izp, w) = x.w - izp * colsum(w): fold into bias

@@ -361,9 +361,15 @@ SOFTMAX_OUT_ZP = -128
 
 
 def softmax_exp_table(input_scale: float) -> np.ndarray:
-    """table[k] = round(2^15 * exp(-k * input_scale)), k = 0..255 (int32)."""
+    """table[k] = round(2^15 * exp(-k * input_scale)), k = 0..254; the
+    saturation bucket table[255] is pinned to 0 so scores >= 255 quantization
+    steps below the row max contribute nothing (otherwise the clip at index
+    255 would give every far-away score a probability floor of exp(-255*s),
+    badly distorting concentrated distributions at small scales)."""
     k = np.arange(LUT_SIZE, dtype=np.float64)
-    return np.rint((1 << LUT_EXP_BITS) * np.exp(-k * float(input_scale))).astype(np.int32)
+    t = np.rint((1 << LUT_EXP_BITS) * np.exp(-k * float(input_scale))).astype(np.int32)
+    t[LUT_SIZE - 1] = 0
+    return t
 
 
 @infer_rule("qnn.softmax")
@@ -419,3 +425,43 @@ def build_lut(float_fn, input_scale: float, input_zp: int,
     y = float_fn(x.astype(np.float32)).astype(np.float64)
     out = np.rint(y / output_scale) + output_zp
     return np.clip(out, -128, 127).astype(np.int8)
+
+
+# -- fused integer attention -------------------------------------------------
+# qnn.attention: the deterministic integer attention primitive behind the
+# BERT/ViT trace path (BASELINE config 4) and the unit of sequence
+# parallelism (ring attention, parallel/ring_attention.py must match it
+# bit-for-bit).  Semantics (all integer, pinned):
+#   s    = q @ k^T                  (int32)
+#   m_i  = max_j s_ij
+#   p_ij = exp_table[clip(m_i - s_ij, 0, 255)]        (Q15, scores_scale)
+#   sum_i = sum_j p_ij              (int32)
+#   u_ij = (p_ij * 256 + sum_i//2) // sum_i           (0..256)
+#   ctx  = u @ v                    (int32, two's-complement wraparound)
+#   out  = requantize(ctx, v_scale/256 -> output_scale, UPWARD, int8)
+
+@infer_rule("qnn.attention")
+def _qattn_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    (qs, _), (ks, _), (vs, _) = ins[:3]
+    return tuple(qs), node.attrs.get("out_dtype", "int8")
+
+
+@np_impl("qnn.attention")
+def _qattn_np(q: np.ndarray, k: np.ndarray, v: np.ndarray, *, node: Node) -> np.ndarray:
+    scores_scale = float(node.attrs["scores_scale"])
+    out_scale = float(node.attrs["output_scale"])
+    v_scale = float(node.attrs["v_scale"])
+    table = softmax_exp_table(scores_scale)
+    s = q.astype(np.int64) @ np.swapaxes(k.astype(np.int64), -1, -2)
+    s = s.astype(np.int32)
+    m = s.max(axis=-1, keepdims=True)
+    d = np.clip(m.astype(np.int64) - s, 0, LUT_SIZE - 1)
+    p = table[d].astype(np.int64)
+    ssum = p.sum(axis=-1, keepdims=True)
+    u = (p * 256 + ssum // 2) // ssum            # (..., S, S) in [0, 256]
+    ctx = (u.astype(np.int64) @ v.astype(np.int64)).astype(np.int32)
+    return requantize_np(
+        ctx, v_scale / 256.0, 0, out_scale, 0,
+        rounding=node.attrs.get("rounding", "UPWARD"),
+        out_dtype=node.attrs.get("out_dtype", "int8"),
+    )

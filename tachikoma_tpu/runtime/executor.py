@@ -100,8 +100,10 @@ class JaxExecutor:
         return self._jitted(self._params, inputs)
 
     def _normalize(self, inputs) -> dict:
-        if isinstance(inputs, np.ndarray):
-            inputs = [inputs]
+        if isinstance(inputs, np.ndarray) or (
+            hasattr(inputs, "shape") and hasattr(inputs, "dtype")
+        ):
+            inputs = [inputs]  # single (numpy or jax) array
         if not isinstance(inputs, Mapping):
             assert len(self._var_names) == len(inputs), (
                 f"expected {len(self._var_names)} inputs, got {len(inputs)}"
