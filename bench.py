@@ -1,12 +1,15 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
 Headline (BASELINE.json): int8 conv GOPS/chip vs the MXU roofline, measured
-on a ResNet-50-shaped qnn.conv2d workload; extras record full-graph int8
-trace-generation throughput (traces/sec) for quantized ResNet-50.
+on the Pallas direct-conv kernel at a ResNet-50 stage shape; extras record
+int8 matmul throughput and full-graph int8 trace generation (traces/sec) for
+quantized ResNet-50.
 
-Timing protocol mirrors the reference's time_evaluator adaptive loop
-(`python/tvm/runtime/module.py:273`): warm up, then repeat until
-min_repeat_ms, report best-of-repeats.
+Methodology notes (see tachikoma_tpu/utils/timing.py): kernels are iterated
+INSIDE one jitted lax.scan with a full-output data dependence (feedback
+xors the output into the next input) so neither dispatch latency nor XLA
+loop-invariant hoisting/dead-code elimination corrupts the measurement;
+per-iteration time is the difference quotient between two iteration counts.
 """
 
 from __future__ import annotations
@@ -17,83 +20,111 @@ import time
 
 import numpy as np
 
-# TPU v5e (TPU v5 lite) peak int8 throughput per chip, TOPS.
-# Public spec: 394.7 TOPS int8 (v5e datasheet).
+# TPU v5e public peak throughput per chip.
 V5E_INT8_TOPS = 394.7
 V5E_BF16_TFLOPS = 197.0
 
 
-def _timeit(fn, min_repeat_ms=300.0, warmup=3):
-    for _ in range(warmup):
-        fn()
-    times = []
-    total = 0.0
-    while total * 1000 < min_repeat_ms or len(times) < 5:
-        t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        total += dt
-        if len(times) > 200:
-            break
-    return min(times)
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
-def bench_int8_conv(device):
-    """ResNet-50 stage-2 shaped int8 conv (N=8, 56x56x64 -> 3x3x64x64)."""
+def _per_iter(fn, x0, feedback, iters_lo=4, iters_hi=16, repeats=4):
     import jax
+    from jax import lax
+
+    from tachikoma_tpu.utils.timing import time_jitted
+
+    def make(iters):
+        @jax.jit
+        def run(x):
+            def body(a, _):
+                out = fn(a)
+                return feedback(a, out), None
+
+            a, _ = lax.scan(body, x, None, length=iters)
+            return a
+
+        c = run.lower(x0).compile()
+        return lambda: c(x0).block_until_ready()
+
+    t_lo = time_jitted(make(iters_lo), warmup=1, repeats=repeats)
+    t_hi = time_jitted(make(iters_hi), warmup=1, repeats=repeats)
+    per = (t_hi - t_lo) / (iters_hi - iters_lo)
+    if per <= 0:
+        per = t_hi / iters_hi
+    return per
+
+
+def bench_int8_conv_pallas():
+    """ResNet-50 stage-2 shaped conv (8x56x56x128 -> 3x3x128x128) via the
+    Pallas direct kernel with fused requantize."""
     import jax.numpy as jnp
 
-    from tachikoma_tpu.ops import jax_ops  # noqa: F401
-    from tachikoma_tpu.ir.graph import Node
-    from tachikoma_tpu.ir.registry import get_op
+    from tachikoma_tpu.ops.pallas.conv_int8 import qconv2d_int8
+    from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
 
     n, h, w, cin, cout, k = 8, 56, 56, 128, 128, 3
     rng = np.random.default_rng(0)
-    data = jax.device_put(
-        rng.integers(-127, 127, (n, h, w, cin)).astype(np.int8), device
-    )
-    weight = jax.device_put(
-        rng.integers(-127, 127, (k, k, cin, cout)).astype(np.int8), device
-    )
-    node = Node(
-        "bench", "qnn.conv2d", ("d", "w"),
-        {"strides": (1, 1), "padding": (1, 1, 1, 1), "input_zero_point": 0,
-         "kernel_zero_point": 0, "out_dtype": "int32"},
-    )
-    impl = get_op("qnn.conv2d").jax_impl
-    f = jax.jit(lambda d, wt: impl(d, wt, node=node))
-    f(data, weight).block_until_ready()  # compile
+    x = jnp.asarray(rng.integers(-127, 127, (n, h, w, cin)).astype(np.int8))
+    wt = jnp.asarray(rng.integers(-127, 127, (k, k, cin, cout)).astype(np.int8))
+    m, s = plan_requantize(0.0004, 0.05)
 
-    def run():
-        f(data, weight).block_until_ready()
+    def fn(a):
+        return qconv2d_int8(a, wt, multiplier=m, shift=s,
+                            strides=(1, 1), padding=(1, 1, 1, 1))
 
-    t = _timeit(run)
+    def feedback(a, out):
+        return a ^ (out & 1)
+
+    per = _per_iter(fn, x, feedback)
     macs = n * h * w * cout * k * k * cin
-    gops = 2 * macs / t / 1e9
-    return gops, t
+    return 2 * macs / per / 1e9, per
 
 
-def bench_trace_gen(device):
-    """Quantized ResNet-50 full-graph trace generation (execute with per-op
-    capture + binary serialization), traces/sec."""
-    import io
+def bench_int8_matmul_pallas():
+    import jax.numpy as jnp
 
+    from tachikoma_tpu.ops.pallas.matmul_int8 import _build_qmatmul, _interpret_default
+
+    M = K = N = 4096
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.integers(-127, 127, (M, K)).astype(np.int8))
+    B = jnp.asarray(rng.integers(-127, 127, (K, N)).astype(np.int8))
+    raw = _build_qmatmul(M, K, N, 512, 512, 1024, 0, "UPWARD", -128, 127,
+                         "int32", False, _interpret_default())
+
+    def feedback(a, out):
+        return a ^ (out & 1).astype(jnp.int8)
+
+    per = _per_iter(lambda a: raw(a, B), A, feedback)
+    return 2 * M * K * N / per / 1e9, per
+
+
+def bench_trace_gen():
+    """Quantized ResNet-50 full-graph trace generation, traces/sec."""
     from tachikoma_tpu.models.vision import resnet
     from tachikoma_tpu.quantize.quantizer import quantize
     from tachikoma_tpu.trace.emitter import TraceEmitter
 
+    log("bench: building + quantizing ResNet-50 ...")
     g = resnet(50, batch_size=1, image_size=224)
     rng = np.random.default_rng(0)
     data = [rng.standard_normal((1, 224, 224, 3)).astype(np.float32)]
     qg = quantize(g, data)
     em = TraceEmitter(qg, backend="jax")
-    blob = em.emit_bytes(data[0])  # warm (compiles)
-    n_records = len(
-        [n for n in qg.nodes if n.op not in ("var", "const", "tuple", "tuple_get_item")]
+    log("bench: compiling + first trace emit ...")
+    blob = em.emit_bytes(data[0])
+    n_records = sum(
+        1 for n in qg.nodes
+        if n.op not in ("var", "const", "tuple", "tuple_get_item")
     )
-
-    t = _timeit(lambda: em.emit_bytes(data[0]), min_repeat_ms=2000.0, warmup=1)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        em.emit_bytes(data[0])
+        times.append(time.perf_counter() - t0)
+    t = min(times)
     return n_records / t, n_records, len(blob), t
 
 
@@ -102,23 +133,40 @@ def main():
 
     device = jax.devices()[0]
     platform = device.platform
+    log(f"bench: device {device}")
 
-    gops, conv_t = bench_int8_conv(device)
+    log("bench: int8 conv (pallas) ...")
+    try:
+        conv_gops, conv_t = bench_int8_conv_pallas()
+    except Exception as e:  # pragma: no cover
+        log(f"bench: conv kernel failed ({e}); falling back to 0")
+        conv_gops, conv_t = 0.0, float("inf")
+
+    log("bench: int8 matmul (pallas) ...")
+    try:
+        mm_gops, mm_t = bench_int8_matmul_pallas()
+    except Exception as e:  # pragma: no cover
+        log(f"bench: matmul kernel failed ({e})")
+        mm_gops, mm_t = 0.0, float("inf")
+
+    traces_per_sec, n_records, trace_bytes, trace_t = bench_trace_gen()
+
     roofline_gops = V5E_INT8_TOPS * 1000.0
-    frac = gops / roofline_gops if platform == "tpu" else float("nan")
-
-    traces_per_sec, n_records, trace_bytes, trace_t = bench_trace_gen(device)
+    frac = conv_gops / roofline_gops if platform == "tpu" else 0.0
 
     result = {
         "metric": "int8_conv_gops",
-        "value": round(gops, 2),
+        "value": round(conv_gops, 2),
         "unit": "GOPS",
-        "vs_baseline": round(frac, 4) if frac == frac else 0.0,
+        "vs_baseline": round(frac, 4),
         "extra": {
             "device": str(device),
             "platform": platform,
             "conv_time_ms": round(conv_t * 1000, 3),
-            "mxu_roofline_frac": round(frac, 4) if frac == frac else None,
+            "mxu_roofline_frac": round(frac, 4),
+            "int8_matmul_gops": round(mm_gops, 2),
+            "int8_matmul_roofline_frac": round(mm_gops / roofline_gops, 4)
+            if platform == "tpu" else 0.0,
             "resnet50_traces_per_sec": round(traces_per_sec, 2),
             "resnet50_trace_records": n_records,
             "resnet50_trace_bytes": trace_bytes,

@@ -202,3 +202,177 @@ def mobilenet_v2(batch_size=1, image_size=224, num_classes=1000, width_mult=1.0,
     out = _dense(b, gap, 1280, num_classes, rng, "fc")
     sm = b.call("nn.softmax", out, name="prob")
     return infer_types(b.build(sm))
+
+
+def vgg(num_layers=16, batch_size=1, image_size=224, num_classes=1000, seed=0) -> Graph:
+    """VGG-11/13/16/19 (`python/tvm/relay/testing/vgg.py` equivalent)."""
+    plans = {
+        11: (1, 1, 2, 2, 2),
+        13: (2, 2, 2, 2, 2),
+        16: (2, 2, 3, 3, 3),
+        19: (2, 2, 4, 4, 4),
+    }
+    plan = plans[num_layers]
+    widths = (64, 128, 256, 512, 512)
+    rng = _rng(seed)
+    b = GraphBuilder(f"vgg{num_layers}")
+    x = b.var("data", (batch_size, image_size, image_size, 3), "float32")
+    h, cin = x, 3
+    for stage, (reps, cw) in enumerate(zip(plan, widths)):
+        for i in range(reps):
+            h = _conv(b, h, cin, cw, 3, 1, 1, rng, f"conv{stage}_{i}")
+            bias = b.const((rng.standard_normal(cw) * 0.01).astype(np.float32))
+            h = b.call("nn.bias_add", h, bias)
+            h = b.call("nn.relu", h, name=f"relu{stage}_{i}")
+            cin = cw
+        h = b.call("nn.max_pool2d", h, pool_size=(2, 2), strides=(2, 2), name=f"pool{stage}")
+    h = b.call("nn.batch_flatten", h, name="flat")
+    feat = (image_size // 32) ** 2 * 512
+    h = _dense(b, h, feat, 4096, rng, "fc6")
+    h = b.call("nn.relu", h)
+    h = _dense(b, h, 4096, 4096, rng, "fc7")
+    h = b.call("nn.relu", h)
+    h = _dense(b, h, 4096, num_classes, rng, "fc8")
+    return infer_types(b.build(b.call("nn.softmax", h, name="prob")))
+
+
+def squeezenet(batch_size=1, image_size=224, num_classes=1000, seed=0) -> Graph:
+    """SqueezeNet v1.1 (`python/tvm/relay/testing/squeezenet.py` equivalent)."""
+    rng = _rng(seed)
+    b = GraphBuilder("squeezenet")
+
+    def fire(h, cin, squeeze, expand, name):
+        s = _conv(b, h, cin, squeeze, 1, 1, 0, rng, f"{name}_squeeze")
+        s = b.call("nn.relu", s)
+        e1 = _conv(b, s, squeeze, expand, 1, 1, 0, rng, f"{name}_e1")
+        e1 = b.call("nn.relu", e1)
+        e3 = _conv(b, s, squeeze, expand, 3, 1, 1, rng, f"{name}_e3")
+        e3 = b.call("nn.relu", e3)
+        return b.call("concatenate", e1, e3, axis=3, name=f"{name}_out"), expand * 2
+
+    x = b.var("data", (batch_size, image_size, image_size, 3), "float32")
+    h = _conv(b, x, 3, 64, 3, 2, 0, rng, "conv1")
+    h = b.call("nn.relu", h)
+    h = b.call("nn.max_pool2d", h, pool_size=(3, 3), strides=(2, 2), name="pool1")
+    cin = 64
+    h, cin = fire(h, cin, 16, 64, "fire2")
+    h, cin = fire(h, cin, 16, 64, "fire3")
+    h = b.call("nn.max_pool2d", h, pool_size=(3, 3), strides=(2, 2), name="pool3")
+    h, cin = fire(h, cin, 32, 128, "fire4")
+    h, cin = fire(h, cin, 32, 128, "fire5")
+    h = b.call("nn.max_pool2d", h, pool_size=(3, 3), strides=(2, 2), name="pool5")
+    h, cin = fire(h, cin, 48, 192, "fire6")
+    h, cin = fire(h, cin, 48, 192, "fire7")
+    h, cin = fire(h, cin, 64, 256, "fire8")
+    h, cin = fire(h, cin, 64, 256, "fire9")
+    h = _conv(b, h, cin, num_classes, 1, 1, 0, rng, "conv10")
+    h = b.call("nn.relu", h)
+    h = b.call("nn.global_avg_pool2d", h, keepdims=False, name="gap")
+    return infer_types(b.build(b.call("nn.softmax", h, name="prob")))
+
+
+def densenet(batch_size=1, image_size=224, num_classes=1000, growth=32,
+             blocks=(6, 12, 24, 16), seed=0) -> Graph:
+    """DenseNet-121-style (`python/tvm/relay/testing/densenet.py` equivalent)."""
+    rng = _rng(seed)
+    b = GraphBuilder("densenet")
+    x = b.var("data", (batch_size, image_size, image_size, 3), "float32")
+    h = _conv(b, x, 3, 64, 7, 2, 3, rng, "conv0")
+    h = _bn(b, h, 64, rng, "bn0")
+    h = b.call("nn.relu", h)
+    h = b.call("nn.max_pool2d", h, pool_size=(3, 3), strides=(2, 2), padding=(1, 1, 1, 1))
+    cin = 64
+    for bi, reps in enumerate(blocks):
+        for i in range(reps):
+            y = _bn(b, h, cin, rng, f"b{bi}_{i}_bn")
+            y = b.call("nn.relu", y)
+            y = _conv(b, y, cin, growth, 3, 1, 1, rng, f"b{bi}_{i}_conv")
+            h = b.call("concatenate", h, y, axis=3, name=f"b{bi}_{i}_cat")
+            cin += growth
+        if bi != len(blocks) - 1:
+            h = _bn(b, h, cin, rng, f"t{bi}_bn")
+            h = b.call("nn.relu", h)
+            h = _conv(b, h, cin, cin // 2, 1, 1, 0, rng, f"t{bi}_conv")
+            cin //= 2
+            h = b.call("nn.avg_pool2d", h, pool_size=(2, 2), strides=(2, 2))
+    h = _bn(b, h, cin, rng, "bn_final")
+    h = b.call("nn.relu", h)
+    h = b.call("nn.global_avg_pool2d", h, keepdims=False)
+    out = _dense(b, h, cin, num_classes, rng, "fc")
+    return infer_types(b.build(b.call("nn.softmax", out, name="prob")))
+
+
+def inception_v3_stem(batch_size=1, image_size=299, num_classes=1000, seed=0) -> Graph:
+    """Inception-v3-style net (stem + two inception blocks + head) —
+    exercises the multi-branch concat topology of
+    `python/tvm/relay/testing/inception_v3.py` at tractable size."""
+    rng = _rng(seed)
+    b = GraphBuilder("inception_v3")
+
+    def conv_bn(h, cin, cout, k, stride, pad, name):
+        h = _conv(b, h, cin, cout, k, stride, pad, rng, name)
+        h = _bn(b, h, cout, rng, f"{name}_bn")
+        return b.call("nn.relu", h, name=f"{name}_relu")
+
+    x = b.var("data", (batch_size, image_size, image_size, 3), "float32")
+    h = conv_bn(x, 3, 32, 3, 2, 0, "stem1")
+    h = conv_bn(h, 32, 64, 3, 1, 1, "stem2")
+    h = b.call("nn.max_pool2d", h, pool_size=(3, 3), strides=(2, 2))
+    h = conv_bn(h, 64, 192, 3, 1, 1, "stem3")
+    h = b.call("nn.max_pool2d", h, pool_size=(3, 3), strides=(2, 2))
+    cin = 192
+    for bi in range(2):
+        b1 = conv_bn(h, cin, 64, 1, 1, 0, f"i{bi}_b1")
+        b2 = conv_bn(h, cin, 48, 1, 1, 0, f"i{bi}_b2a")
+        b2 = conv_bn(b2, 48, 64, 5, 1, 2, f"i{bi}_b2b")
+        b3 = conv_bn(h, cin, 64, 1, 1, 0, f"i{bi}_b3a")
+        b3 = conv_bn(b3, 64, 96, 3, 1, 1, f"i{bi}_b3b")
+        p = b.call("nn.avg_pool2d", h, pool_size=(3, 3), strides=(1, 1),
+                   padding=(1, 1, 1, 1), count_include_pad=True)
+        b4 = conv_bn(p, cin, 32 if bi == 0 else 64, 1, 1, 0, f"i{bi}_b4")
+        h = b.call("concatenate", b1, b2, b3, b4, axis=3, name=f"i{bi}_out")
+        cin = 64 + 64 + 96 + (32 if bi == 0 else 64)
+    h = b.call("nn.global_avg_pool2d", h, keepdims=False)
+    out = _dense(b, h, cin, num_classes, rng, "fc")
+    return infer_types(b.build(b.call("nn.softmax", out, name="prob")))
+
+
+def dcgan_generator(batch_size=1, latent=100, seed=0) -> Graph:
+    """DCGAN generator (`python/tvm/relay/testing/dcgan.py` equivalent) —
+    exercises conv2d_transpose."""
+    rng = _rng(seed)
+    b = GraphBuilder("dcgan")
+    z = b.var("noise", (batch_size, latent), "float32")
+    h = _dense(b, z, latent, 4 * 4 * 512, rng, "proj")
+    h = b.call("reshape", h, newshape=(batch_size, 4, 4, 512), name="reshape0")
+    cin = 512
+    for i, cout in enumerate((256, 128, 64)):
+        w = (rng.standard_normal((4, 4, cin, cout)) * 0.05).astype(np.float32)
+        h = b.call("nn.conv2d_transpose", h, b.const(w, name=f"deconv{i}_w"),
+                   strides=(2, 2), padding=(1, 1, 1, 1), name=f"deconv{i}")
+        h = _bn(b, h, cout, rng, f"dbn{i}")
+        h = b.call("nn.relu", h)
+        cin = cout
+    w = (rng.standard_normal((4, 4, cin, 3)) * 0.05).astype(np.float32)
+    h = b.call("nn.conv2d_transpose", h, b.const(w, name="deconv_out_w"),
+               strides=(2, 2), padding=(1, 1, 1, 1), name="deconv_out")
+    return infer_types(b.build(b.call("tanh", h, name="img")))
+
+
+def dqn(batch_size=1, image_size=84, num_actions=18, seed=0) -> Graph:
+    """DQN Atari net (`python/tvm/relay/testing/dqn.py` equivalent)."""
+    rng = _rng(seed)
+    b = GraphBuilder("dqn")
+    x = b.var("data", (batch_size, image_size, image_size, 4), "float32")
+    h = _conv(b, x, 4, 32, 8, 4, 0, rng, "conv1")
+    h = b.call("nn.relu", h)
+    h = _conv(b, h, 32, 64, 4, 2, 0, rng, "conv2")
+    h = b.call("nn.relu", h)
+    h = _conv(b, h, 64, 64, 3, 1, 0, rng, "conv3")
+    h = b.call("nn.relu", h)
+    h = b.call("nn.batch_flatten", h)
+    feat = 7 * 7 * 64
+    h = _dense(b, h, feat, 512, rng, "fc1")
+    h = b.call("nn.relu", h)
+    out = _dense(b, h, 512, num_actions, rng, "fc2")
+    return infer_types(b.build(out))
