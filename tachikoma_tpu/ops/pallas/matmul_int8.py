@@ -172,6 +172,15 @@ def qmatmul_int8(
     K2, N = w.shape
     assert K == K2
     fuse = multiplier is not None
+    if blocks is None:
+        # consult the tuning database under apply_history_best, like the
+        # reference's dispatch contexts (`autotvm/task/dispatcher.py`)
+        from ...tune.database import lookup_config
+        from ...tune.tuner import matmul_workload
+
+        cfg = lookup_config(matmul_workload(M, K, N, fuse))
+        if cfg and "blocks" in cfg:
+            blocks = tuple(cfg["blocks"])
     bm, bn, bk = blocks or default_blocks(M, K, N)
     Mp, Kp, Np = _round_up(M, bm), _round_up(K, bk), _round_up(N, bn)
 

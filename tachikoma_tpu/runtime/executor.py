@@ -38,9 +38,16 @@ class JaxExecutor:
         donate_inputs: bool = False,
         fuse: bool = False,
     ):
+        import sys
+
         import jax
 
         from ..ops import jax_ops  # noqa: F401  (registers jax impls, enables x64)
+
+        # deep graphs (ResNet-50 with inline Pallas kernels) exceed the
+        # default python recursion limit during jax tracing
+        if sys.getrecursionlimit() < 10000:
+            sys.setrecursionlimit(10000)
 
         g = graph
         if fuse:
