@@ -46,8 +46,8 @@ class JaxExecutor:
 
         # deep graphs (ResNet-50 with inline Pallas kernels) exceed the
         # default python recursion limit during jax tracing
-        if sys.getrecursionlimit() < 10000:
-            sys.setrecursionlimit(10000)
+        if sys.getrecursionlimit() < 100000:
+            sys.setrecursionlimit(100000)
 
         g = graph
         if fuse:
