@@ -376,3 +376,33 @@ def dqn(batch_size=1, image_size=84, num_actions=18, seed=0) -> Graph:
     h = b.call("nn.relu", h)
     out = _dense(b, h, 512, num_actions, rng, "fc2")
     return infer_types(b.build(out))
+
+
+def lstm(batch_size=1, seq_len=16, input_dim=64, hidden_dim=128, num_classes=10,
+         seed=0) -> Graph:
+    """Unrolled LSTM classifier (`python/tvm/relay/testing/lstm.py`
+    equivalent; static shapes require unrolling — XLA re-rolls via CSE)."""
+    rng = _rng(seed)
+    b = GraphBuilder("lstm")
+    x = b.var("data", (batch_size, seq_len, input_dim), "float32")
+    w_ih = b.const((rng.standard_normal((input_dim, 4 * hidden_dim)) * 0.08).astype(np.float32), "w_ih")
+    w_hh = b.const((rng.standard_normal((hidden_dim, 4 * hidden_dim)) * 0.08).astype(np.float32), "w_hh")
+    bias = b.const((rng.standard_normal(4 * hidden_dim) * 0.01).astype(np.float32), "b")
+    h = b.const(np.zeros((batch_size, hidden_dim), np.float32), "h0")
+    c = b.const(np.zeros((batch_size, hidden_dim), np.float32), "c0")
+    for t in range(seq_len):
+        xt = b.call("strided_slice", x, begin=(0, t), end=(batch_size, t + 1),
+                    strides=(1, 1), axes=(0, 1), name=f"x{t}_slice")
+        xt = b.call("reshape", xt, newshape=(batch_size, input_dim), name=f"x{t}")
+        gates = b.call("add", b.call("nn.dense", xt, w_ih), b.call("nn.dense", h, w_hh))
+        gates = b.call("nn.bias_add", gates, bias, name=f"gates{t}")
+        parts = b.call("split", gates, indices_or_sections=4, axis=1, name=f"split{t}")
+        i_g = b.call("sigmoid", b.get_item(parts, 0))
+        f_g = b.call("sigmoid", b.get_item(parts, 1))
+        g_g = b.call("tanh", b.get_item(parts, 2))
+        o_g = b.call("sigmoid", b.get_item(parts, 3))
+        c = b.call("add", b.call("multiply", f_g, c), b.call("multiply", i_g, g_g),
+                   name=f"c{t}")
+        h = b.call("multiply", o_g, b.call("tanh", c), name=f"h{t}")
+    out = _dense(b, h, hidden_dim, num_classes, rng, "fc")
+    return infer_types(b.build(b.call("nn.softmax", out, name="prob")))

@@ -274,8 +274,10 @@ def _conv_rq_jax(*args, node: Node):
     strides = _pair(a.get("strides", (1, 1)))
     padding = _pad4(a.get("padding", (0, 0, 0, 0)))
     dilation = _pair(a.get("dilation", (1, 1)))
+    import os
+
     if (
-        jax.devices()[0].platform == "tpu"
+        (jax.devices()[0].platform == "tpu" or os.environ.get("TK_FORCE_PALLAS"))
         and dilation == (1, 1)
         and int(a.get("kernel_zero_point", 0)) == 0
         and int(a.get("rq_input_zero_point", 0)) == 0
@@ -322,8 +324,10 @@ def _dense_rq_jax(*args, node: Node):
     (data, weight), bias = _split_bias(node, args)
     # Pallas fused kernel on TPU for 2D shapes; epilogue-composed lax
     # path elsewhere (identical bits either way)
+    import os
+
     if (
-        jax.devices()[0].platform == "tpu"
+        (jax.devices()[0].platform == "tpu" or os.environ.get("TK_FORCE_PALLAS"))
         and data.ndim == 2
         and int(node.attrs.get("input_zero_point", 0)) == 0
         and int(node.attrs.get("kernel_zero_point", 0)) == 0
