@@ -69,7 +69,7 @@ def _conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
         r = q_multiply_shift_select(a, m_ref[...], s_ref[...], shift_values, rounding)
         if out_zp:
             r = r + jnp.int32(out_zp)
-        r = jnp.clip(r, qmin, qmax)
+        r = jnp.clip(r, jnp.int32(qmin), jnp.int32(qmax))
         o_ref[0] = r.reshape(oh, ow, r.shape[-1]).astype(o_ref.dtype)
 
 
@@ -100,7 +100,7 @@ def _dw_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, *,
     r = q_multiply_shift_select(a, m_ref[...][None], s_ref[...][None], shift_values, rounding)
     if out_zp:
         r = r + jnp.int32(out_zp)
-    o_ref[0] = jnp.clip(r, qmin, qmax).astype(o_ref.dtype)
+    o_ref[0] = jnp.clip(r, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -296,7 +296,10 @@ def qconv2d_int8(
             n, hp, wpad, cin_p, cout_p, kh, kw, (sh, sw), oh, ow, bn, bkc,
             int(out_zp), rounding, qmin, qmax, out_dtype, shift_values, interp,
         )
-        out = fn(xp, wp_, pad1(bias_arr), pad1(m_arr, 1), pad1(s_arr))
+        from .matmul_int8 import _x32_tracing
+
+        with _x32_tracing():
+            out = fn(xp, wp_, pad1(bias_arr), pad1(m_arr, 1), pad1(s_arr))
         return out[..., :cout] if cout_p != cout else out
     elif groups == cin and wcin == 1:
         hp0, wp0 = h + pt + pb, wd + pl_ + pr
@@ -317,7 +320,10 @@ def qconv2d_int8(
             n, hp, wpad, c_p, kh, kw, (sh, sw), oh, ow, bc,
             int(out_zp), rounding, qmin, qmax, out_dtype, shift_values, interp,
         )
-        out = fn(xp, wdw, padv(bias_arr), padv(m_arr, 1), padv(s_arr))
+        from .matmul_int8 import _x32_tracing
+
+        with _x32_tracing():
+            out = fn(xp, wdw, padv(bias_arr), padv(m_arr, 1), padv(s_arr))
         return out[..., :cout] if c_p != cout else out
     else:
         raise NotImplementedError("pallas conv supports groups==1 or depthwise")

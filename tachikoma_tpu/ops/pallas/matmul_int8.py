@@ -55,7 +55,7 @@ def _mm_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
         v = q_multiply_shift_select(acc, m_ref[...], s_ref[...], shift_values, rounding)
         if out_zp:
             v = v + jnp.int32(out_zp)
-        o_ref[...] = jnp.clip(v, qmin, qmax).astype(o_ref.dtype)
+        o_ref[...] = jnp.clip(v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
 
 
 def _mm_kernel_raw(x_ref, w_ref, o_ref, acc_ref, *, n_k: int):
@@ -79,6 +79,16 @@ def _interpret_default() -> bool:
     import jax
 
     return jax.devices()[0].platform != "tpu"
+
+
+def _x32_tracing():
+    """Trace pallas calls with 32-bit default types: the kernels are pure
+    32-bit, but under global x64 the python-int ref indices and scalar
+    literals become i64 constants, and Mosaic's i64 convert_element_type
+    lowering recurses unboundedly (observed on v5e)."""
+    import jax
+
+    return jax.enable_x64(False)
 
 
 @functools.partial(
@@ -195,15 +205,19 @@ def qmatmul_int8(
         # pad multiplier with 1s to keep shifts valid (padded cols are sliced off)
         m_pad = pad1(m_arr) if Np == N else jnp.pad(m_arr, (0, Np - N), constant_values=1).reshape(1, Np)
         shift_values = tuple(sorted({int(v) for v in np.atleast_1d(np.asarray(shift))}))
-        out = _build_qmatmul(
+        fn = _build_qmatmul(
             Mp, Kp, Np, bm, bn, bk, int(out_zp), rounding, qmin, qmax,
             out_dtype, True, _interpret_default(), shift_values,
-        )(xp, wp, pad1(bias_arr), m_pad, pad1(s_arr))
+        )
+        with _x32_tracing():
+            out = fn(xp, wp, pad1(bias_arr), m_pad, pad1(s_arr))
     else:
-        out = _build_qmatmul(
+        fn = _build_qmatmul(
             Mp, Kp, Np, bm, bn, bk, 0, rounding, qmin, qmax, "int32", False,
             _interpret_default(),
-        )(xp, wp)
+        )
+        with _x32_tracing():
+            out = fn(xp, wp)
         if bias is not None:
             out = out + jnp.asarray(bias, jnp.int32)[None, :]
     if Mp != M or Np != N:

@@ -46,13 +46,18 @@ def q_multiply_shift_u32(v, m, shift, rounding: str = "UPWARD"):
     shift: int exponent (scalar or int32 array).  Returns int32.
     """
     jnp = _ju()
+    # NOTE: every scalar literal below is explicitly typed.  Under x64,
+    # weakly-typed python ints become i64[] constants, and Mosaic (Pallas
+    # TPU) lowers i64 convert_element_type with unbounded recursion.
+    u0, u1, u31, u32c = (jnp.uint32(0), jnp.uint32(1), jnp.uint32(31), jnp.uint32(32))
+    i0 = jnp.int32(0)
     v = v.astype(jnp.int32)
     m_arr = jnp.asarray(m, dtype=jnp.int32)
     s_arr = jnp.asarray(shift, dtype=jnp.int32)
 
-    left = jnp.maximum(s_arr, 0).astype(jnp.uint32)
-    right = jnp.maximum(-s_arr, 0)
-    n = (right + 31).astype(jnp.uint32)  # total right shift, in [31, 62]
+    left = jnp.maximum(s_arr, i0).astype(jnp.uint32)
+    right = jnp.maximum(-s_arr, i0)
+    n = (right + jnp.int32(31)).astype(jnp.uint32)  # total right shift, [31, 62]
 
     vu = v.astype(jnp.uint32)
     mu = m_arr.astype(jnp.uint32)
@@ -60,37 +65,37 @@ def q_multiply_shift_u32(v, m, shift, rounding: str = "UPWARD"):
     # 64-bit product P = v * m as signed (hi, lo):
     hi_u, lo = _mulhi_mullo_u32(vu, jnp.broadcast_to(mu, vu.shape))
     # unsigned->signed mulhi correction (m > 0 always):
-    hi = hi_u - jnp.where(v < 0, mu, jnp.uint32(0))
+    hi = hi_u - jnp.where(v < i0, mu, u0)
 
     # left shift (only when multiplier > 1):
-    has_left = left > 0
+    has_left = left > u0
     lshift_hi = (hi << left) | jnp.where(
-        has_left, lo >> jnp.clip(jnp.uint32(32) - left, 0, 31), jnp.uint32(0)
+        has_left, lo >> jnp.clip(u32c - left, u0, u31), u0
     )
     hi = jnp.where(has_left, lshift_hi, hi)
     lo = jnp.where(has_left, lo << left, lo)
 
     # rounding addend 2^(n-1):
-    nm1 = n - 1  # in [30, 61]
-    c_lo = jnp.where(nm1 < 32, jnp.uint32(1) << jnp.clip(nm1, 0, 31), jnp.uint32(0))
-    c_hi = jnp.where(nm1 >= 32, jnp.uint32(1) << jnp.clip(nm1 - 32, 0, 31), jnp.uint32(0))
+    nm1 = n - u1  # in [30, 61]
+    c_lo = jnp.where(nm1 < u32c, u1 << jnp.clip(nm1, u0, u31), u0)
+    c_hi = jnp.where(nm1 >= u32c, u1 << jnp.clip(nm1 - u32c, u0, u31), u0)
     if rounding == "TONEAREST":
         # subtract 1 from the addend when the product is negative
-        neg = hi.astype(jnp.int32) < 0
-        borrow_c = (c_lo == 0) & neg  # c_lo - 1 wraps
-        c_lo = c_lo - jnp.where(neg, jnp.uint32(1), jnp.uint32(0))
-        c_hi = c_hi - jnp.where(borrow_c, jnp.uint32(1), jnp.uint32(0))
+        neg = hi.astype(jnp.int32) < i0
+        borrow_c = (c_lo == u0) & neg  # c_lo - 1 wraps
+        c_lo = c_lo - jnp.where(neg, u1, u0)
+        c_hi = c_hi - jnp.where(borrow_c, u1, u0)
     lo2 = lo + c_lo
     carry = (lo2 < lo).astype(jnp.uint32)
     hi2 = hi + c_hi + carry
 
     # arithmetic shift right by n, truncated to low 32 bits (result fits i32)
-    n_lt = jnp.clip(n, 0, 31)
-    res_small = (lo2 >> n_lt) | (hi2 << jnp.clip(jnp.uint32(32) - n_lt, 0, 31))
-    res_big = (hi2.astype(jnp.int32) >> jnp.clip(n - 32, 0, 31).astype(jnp.int32)).astype(
+    n_lt = jnp.clip(n, u0, u31)
+    res_small = (lo2 >> n_lt) | (hi2 << jnp.clip(u32c - n_lt, u0, u31))
+    res_big = (hi2.astype(jnp.int32) >> jnp.clip(n - u32c, u0, u31).astype(jnp.int32)).astype(
         jnp.uint32
     )
-    res = jnp.where(n < 32, res_small, jnp.where(n == 32, hi2, res_big))
+    res = jnp.where(n < u32c, res_small, jnp.where(n == u32c, hi2, res_big))
     return res.astype(jnp.int32)
 
 
@@ -121,7 +126,7 @@ def requantize_epilogue(acc, multiplier, shift, out_zp: int,
     v = q_multiply_shift_u32(acc, multiplier, shift, rounding)
     if out_zp:
         v = v + jnp.int32(out_zp)
-    return jnp.clip(v, qmin, qmax)
+    return jnp.clip(v, jnp.int32(qmin), jnp.int32(qmax))
 
 
 def plan_requantize(input_scale, output_scale: float):
