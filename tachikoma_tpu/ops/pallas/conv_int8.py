@@ -29,6 +29,21 @@ from .matmul_int8 import _interpret_default, _round_up
 _VMEM_IMAGE_BUDGET = 10 * 1024 * 1024
 
 
+def _strided_patch(v, ki, kj, oh, ow, sh, sw, c):
+    """(oh, ow, c) window at offset (ki, kj) with stride (sh, sw).
+
+    Mosaic only supports unit-stride vector slices; strided windows are
+    realized as a contiguous slice + reshape(oh, sh, ow, sw, c) + unit
+    index.  The caller pads the image block so ki + sh*oh <= Hp."""
+    from jax import lax
+
+    if sh == 1 and sw == 1:
+        return lax.slice(v, (ki, kj, 0), (ki + oh, kj + ow, c))
+    region = lax.slice(v, (ki, kj, 0), (ki + sh * oh, kj + sw * ow, c))
+    r = region.reshape(oh, sh, ow, sw, c)
+    return r[:, 0, :, 0, :]
+
+
 def _conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
                  kh: int, kw: int, stride: tuple, oh: int, ow: int,
                  n_cin: int, out_zp: int, rounding: str,
@@ -50,12 +65,7 @@ def _conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
     acc = acc_ref[...]
     for ki in range(kh):
         for kj in range(kw):
-            patch = lax.slice(
-                v,
-                (ki, kj, 0),
-                (ki + (oh - 1) * sh + 1, kj + (ow - 1) * sw + 1, bkc),
-                (sh, sw, 1),
-            )  # (oh, ow, bkc)
+            patch = _strided_patch(v, ki, kj, oh, ow, sh, sw, bkc)
             acc = acc + jnp.dot(
                 patch.reshape(oh * ow, bkc),
                 w_ref[ki, kj],
@@ -89,12 +99,7 @@ def _dw_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, *,
     acc = jnp.zeros((oh, ow, bc), jnp.int32)
     for ki in range(kh):
         for kj in range(kw):
-            patch = lax.slice(
-                v,
-                (ki, kj, 0),
-                (ki + (oh - 1) * sh + 1, kj + (ow - 1) * sw + 1, bc),
-                (sh, sw, 1),
-            )
+            patch = _strided_patch(v, ki, kj, oh, ow, sh, sw, bc)
             acc = acc + patch * w_ref[ki, kj][None, None, :].astype(jnp.int32)
     a = acc + bias_ref[...][None]  # (1,bc) -> (1,1,bc)
     r = q_multiply_shift_select(a, m_ref[...][None], s_ref[...][None], shift_values, rounding)
@@ -283,8 +288,13 @@ def qconv2d_int8(
             raise ValueError("conv image block exceeds VMEM budget; use the XLA path")
         cin_p = _round_up(cin, bkc)
         cout_p = _round_up(cout, bn)
+        # strided windows need ki + sh*oh rows available (see _strided_patch)
+        hp_req = (kh - 1) + sh * oh
+        wp_req = (kw - 1) + sw * ow
+        extra_b = max(0, hp_req - (h + pt + pb))
+        extra_r = max(0, wp_req - (wd + pl_ + pr))
         xp = jnp.pad(
-            x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+            x, ((0, 0), (pt, pb + extra_b), (pl_, pr + extra_r), (0, 0)),
             constant_values=np.int8(input_zero_point),
         )
         if cin_p != cin:
@@ -307,8 +317,12 @@ def qconv2d_int8(
         if bc is None:
             raise ValueError("depthwise image block exceeds VMEM budget")
         c_p = _round_up(cin, bc)
+        hp_req = (kh - 1) + sh * oh
+        wp_req = (kw - 1) + sw * ow
+        extra_b = max(0, hp_req - (h + pt + pb))
+        extra_r = max(0, wp_req - (wd + pl_ + pr))
         xp = jnp.pad(
-            x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+            x, ((0, 0), (pt, pb + extra_b), (pl_, pr + extra_r), (0, 0)),
             constant_values=np.int8(input_zero_point),
         )
         if c_p != cin:
