@@ -19,7 +19,6 @@ Usage: python -m tachikoma_tpu.cli <subcommand> [args]
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 
 import numpy as np

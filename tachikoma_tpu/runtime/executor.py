@@ -11,7 +11,6 @@ node outputs as program outputs instead of re-dispatching ops one by one.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Mapping, Sequence
 
 import numpy as np

@@ -40,8 +40,8 @@ import io
 import json
 import struct
 import zlib
-from dataclasses import dataclass, field
-from typing import BinaryIO, Iterable, Sequence
+from dataclasses import dataclass
+from typing import BinaryIO
 
 import numpy as np
 

@@ -13,9 +13,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import BinaryIO
 
-import numpy as np
 
 from .format import DTYPE_CODES, canonical_attrs, op_id
 
