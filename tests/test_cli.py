@@ -1,0 +1,63 @@
+"""CLI smoke tests (subprocess, like tvmc's driver tests)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, check=True):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "tachikoma_tpu.cli", *args],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    if check:
+        assert r.returncode == 0, r.stderr[-2000:]
+    return r
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path):
+    graph = str(tmp_path / "lenet_q.json")
+    trace = str(tmp_path / "lenet.tktrace")
+
+    r = run_cli("quantize", "lenet5", "-o", graph, "--batch", "2")
+    assert "nodes" in r.stdout
+
+    r = run_cli("info", graph)
+    assert "qnn.conv2d" in r.stdout
+
+    r = run_cli("run", graph, "--backend", "oracle")
+    assert "prob" in r.stdout
+
+    r = run_cli("trace", graph, "-o", trace, "--backend", "oracle", "--native")
+    assert "records" in r.stdout
+
+    r = run_cli("verify", trace, "--graph", graph)
+    assert "verified 25/25" in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_verify_rejects_wrong_graph(tmp_path):
+    g1 = str(tmp_path / "a.json")
+    g2 = str(tmp_path / "b.json")
+    trace = str(tmp_path / "a.tktrace")
+    run_cli("quantize", "lenet5", "-o", g1, "--batch", "1")
+    run_cli("quantize", "mlp", "-o", g2, "--batch", "1")
+    run_cli("trace", g1, "-o", trace, "--backend", "oracle")
+    r = run_cli("verify", trace, "--graph", g2, check=False)
+    assert r.returncode != 0
+
+
+def test_cli_unknown_model():
+    r = run_cli("quantize", "nonexistent_model", "-o", "/dev/null", check=False)
+    assert r.returncode != 0
+    assert "unknown zoo model" in (r.stderr + r.stdout)
