@@ -33,3 +33,13 @@ def rng():
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: requires real TPU hardware")
     config.addinivalue_line("markers", "slow: long-running test")
+
+
+def has_tpu() -> bool:
+    # the test session pins JAX_PLATFORMS=cpu; real-TPU tests are opt-in
+    # via TK_TEST_TPU=1 (the reference's requires_gpu-style capability gate,
+    # `python/tvm/testing/utils.py:1072`)
+    return os.environ.get("TK_TEST_TPU") == "1"
+
+
+requires_tpu = pytest.mark.skipif(not has_tpu(), reason="needs real TPU (set TK_TEST_TPU=1)")
