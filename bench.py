@@ -129,7 +129,14 @@ def bench_trace_gen():
 
 
 def main():
+    import os
+
     import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/tk_jaxcache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     device = jax.devices()[0]
     platform = device.platform
