@@ -99,6 +99,12 @@ OP_IDS = {
     "cast": 34,
     "fixed_point_multiply": 35,
     "fixed_point_multiply_per_axis": 36,
+    "qnn.softmax": 37,
+    "qnn.lut": 38,
+    "qnn.attention": 39,
+    "tk.conv2d_rq": 40,
+    "tk.dense_rq": 41,
+    "tk.bmm_rq": 42,
     # float-side ops that may appear at graph boundaries
     "nn.conv2d": 64,
     "nn.dense": 65,
