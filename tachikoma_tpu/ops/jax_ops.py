@@ -17,9 +17,6 @@ behavior does not depend on the x64 default-dtype change.
 
 from __future__ import annotations
 
-import math
-from functools import partial
-
 import jax
 
 jax.config.update("jax_enable_x64", True)
@@ -37,7 +34,7 @@ from .fixed_point import (  # noqa: E402
     q_multiply_shift_per_axis_jnp,
     requantize_jnp,
 )
-from .nn import _pad4, _pair, conv2d_out_hw  # noqa: E402
+from .nn import _pad4, _pair  # noqa: E402
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 

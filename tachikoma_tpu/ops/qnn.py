@@ -38,18 +38,6 @@ from . import nn as _nn
 from .fixed_point import requantize_np
 
 
-def _q(node: Node, key: str, default=0):
-    v = node.attrs.get(key, default)
-    return v
-
-
-def _req_attrs(node: Node) -> dict:
-    return dict(
-        axis=int(node.attrs.get("axis", -1)),
-        rounding=node.attrs.get("rounding", "UPWARD"),
-    )
-
-
 # -- quantize / dequantize / requantize -------------------------------------
 
 @infer_rule("qnn.quantize")
