@@ -42,6 +42,28 @@ class _Importer:
         self.example_inputs = example_inputs
         self.modules = dict(gm.named_modules())
 
+    # -- static python values (shape arithmetic folds at import) ------------
+    _PYVAL = "#pyval"
+
+    def set_pyval(self, fxn, value):
+        self.env[fxn] = (self._PYVAL, value)
+
+    def is_pyval(self, arg) -> bool:
+        return hasattr(arg, "op") and arg in self.env and self.env[arg][0] == self._PYVAL
+
+    def pyval(self, arg):
+        """Concrete python value of an fx arg (int/tuple/slice or literal)."""
+        if self.is_pyval(arg):
+            return self.env[arg][1]
+        if hasattr(arg, "op"):
+            raise NotImplementedError(f"expected a static value, got node {arg}")
+        return arg
+
+    def shape_via_infer(self, fxn) -> tuple[int, ...]:
+        name = self.as_torch(fxn)
+        g_tmp = infer_types(self.b.build([name]))
+        return g_tmp[name].shape
+
     # -- layout helpers -----------------------------------------------------
     def as_torch(self, fxn) -> str:
         name, layout = self.env[fxn]
@@ -261,9 +283,11 @@ class _Importer:
                 self.call_function(fxn)
             elif fxn.op == "output":
                 outs = fxn.args[0]
-                if not isinstance(outs, (tuple, list)):
+                if isinstance(outs, dict):
+                    outs = list(outs.values())  # insertion order = model order
+                elif not isinstance(outs, (tuple, list)):
                     outs = (outs,)
-                out_names = [self.as_torch(o) for o in outs]
+                out_names = [self.as_torch(o) for o in outs if hasattr(o, "op")]
                 return infer_types(self.b.build(out_names))
         raise RuntimeError("fx graph had no output node")
 
@@ -274,6 +298,16 @@ class _Importer:
         F = torch.nn.functional
         t = fxn.target
 
+        # shape arithmetic/comparison on static values folds eagerly
+        if t in (operator.add, operator.sub, operator.mul, operator.truediv,
+                 operator.floordiv, operator.mod, operator.pow,
+                 operator.eq, operator.ne, operator.lt, operator.le,
+                 operator.gt, operator.ge) and all(
+            self.is_pyval(a) or not hasattr(a, "op") for a in fxn.args
+        ):
+            vals = [self.pyval(a) for a in fxn.args]
+            self.set_pyval(fxn, t(*vals))
+            return
         if t in (operator.add, torch.add, "add"):
             self._binary(fxn, "add")
         elif t in (operator.sub, torch.sub, "sub"):
@@ -314,9 +348,38 @@ class _Importer:
         elif t in ("view", "reshape", torch.reshape):
             x = self.as_torch(fxn.args[0])
             shape = fxn.args[1:] if not isinstance(fxn.args[1], (list, tuple)) else fxn.args[1]
-            shape = tuple(int(s) if not hasattr(s, "op") else -1 for s in shape)
+            shape = tuple(int(self.pyval(s)) if (self.is_pyval(s) or not hasattr(s, "op")) else -1
+                          for s in shape)
             out = self.b.call("reshape", x, newshape=shape, name=fxn.name)
             self.set(fxn, out, "torch")
+        elif t in ("expand", torch.Tensor.expand if hasattr(torch.Tensor, "expand") else "expand"):
+            x = self.as_torch(fxn.args[0])
+            in_shape = self.shape_via_infer(fxn.args[0])
+            tgt = [self.pyval(a) for a in fxn.args[1:]]
+            tgt = [in_shape[i] if v == -1 else int(v) for i, v in enumerate(tgt)]
+            out = self.b.call("broadcast_to", x, shape=tuple(tgt), name=fxn.name)
+            self.set(fxn, out, "torch")
+        elif t in ("unsqueeze", torch.unsqueeze):
+            name, layout = self.env[fxn.args[0]]
+            out = self.b.call("expand_dims", name, axis=fxn.args[1], name=fxn.name)
+            self.set(fxn, out, "torch" if layout == "torch" else layout)
+        elif t in ("to", "type_as", "float", "long", "int"):
+            # dtype casts: map to our cast or passthrough
+            src = fxn.args[0]
+            name, layout = self.env[src]
+            target = None
+            if t == "float":
+                target = "float32"
+            elif t in ("long", "int"):
+                target = "int32"
+            elif len(fxn.args) > 1 and isinstance(fxn.args[1], torch.dtype):
+                target = {torch.float32: "float32", torch.int64: "int32",
+                          torch.int32: "int32", torch.bool: "bool",
+                          torch.float16: "float32"}.get(fxn.args[1])
+            if target is None:
+                self.set(fxn, name, layout)
+            else:
+                self.set(fxn, self.b.call("cast", name, dtype=target, name=fxn.name), layout)
         elif t in ("permute", torch.permute):
             x = self.as_torch(fxn.args[0])
             axes = fxn.args[1:] if not isinstance(fxn.args[1], (list, tuple)) else fxn.args[1]
@@ -367,10 +430,52 @@ class _Importer:
         elif t is operator.getitem:
             src = fxn.args[0]
             idx = fxn.args[1]
+            if self.is_pyval(src):
+                self.set_pyval(fxn, self.pyval(src)[self.pyval(idx)])
+                return
             src_name, layout = self.env[src]
             if isinstance(idx, int):
                 out = self.b.get_item(src_name, idx, name=fxn.name)
                 self.set(fxn, out, layout)
+            elif isinstance(idx, (slice, tuple)) or idx is None:
+                # tensor slicing, e.g. position_ids[:, :seq_len]
+                name = self.as_torch(src)
+                rank = len(self.shape_via_infer(src))
+                idxs = idx if isinstance(idx, tuple) else (idx,)
+                begin, end, strides, axes = [], [], [], []
+                int_axes = []
+                out = name
+                ax = 0
+                for it in idxs:
+                    if it is None:
+                        out = self.b.call("expand_dims", out, axis=ax)
+                        rank += 1
+                        ax += 1
+                        continue
+                    if isinstance(it, slice):
+                        if it != slice(None):
+                            begin.append(self.pyval(it.start) if it.start is not None else 0)
+                            end.append(self.pyval(it.stop) if it.stop is not None else None)
+                            strides.append(self.pyval(it.step) if it.step is not None else 1)
+                            axes.append(ax)
+                        ax += 1
+                    elif isinstance(it, int):
+                        begin.append(it)
+                        end.append(it + 1)
+                        strides.append(1)
+                        axes.append(ax)
+                        int_axes.append(ax)
+                        ax += 1
+                    else:
+                        raise NotImplementedError(f"getitem index {it!r}")
+                if begin:
+                    out = self.b.call(
+                        "strided_slice", out, begin=tuple(begin), end=tuple(end),
+                        strides=tuple(strides), axes=tuple(axes), name=fxn.name,
+                    )
+                if int_axes:
+                    out = self.b.call("squeeze", out, axis=tuple(int_axes))
+                self.set(fxn, out, "torch")
             else:
                 raise NotImplementedError(f"getitem with {idx!r}")
         elif t in (F.adaptive_avg_pool2d,):
@@ -389,8 +494,87 @@ class _Importer:
             self.set(fxn, out, "nhwc")
         elif t in (torch.pow, operator.pow, "pow"):
             self._binary(fxn, "power")
-        elif t in ("size", "dim"):
-            raise NotImplementedError("dynamic size() not supported — static shapes only")
+        elif t is getattr:
+            attr = fxn.args[1]
+            if self.is_pyval(fxn.args[0]):
+                self.set_pyval(fxn, getattr(self.pyval(fxn.args[0]), attr))
+            elif attr == "shape":
+                self.set_pyval(fxn, tuple(int(v) for v in self.shape_via_infer(fxn.args[0])))
+            elif attr in ("dtype", "device"):
+                self.set_pyval(fxn, attr)  # opaque; only used by to()/casts we ignore
+            else:
+                raise NotImplementedError(f"getattr {attr!r}")
+        elif t in ("size", torch.Tensor.size):
+            shape = self.shape_via_infer(fxn.args[0])
+            if len(fxn.args) > 1:
+                self.set_pyval(fxn, int(shape[fxn.args[1]]))
+            else:
+                self.set_pyval(fxn, tuple(int(v) for v in shape))
+        elif t == "dim":
+            self.set_pyval(fxn, len(self.shape_via_infer(fxn.args[0])))
+        elif t is F.scaled_dot_product_attention:
+            q = self.as_torch(fxn.args[0])
+            k = self.as_torch(fxn.args[1])
+            v = self.as_torch(fxn.args[2])
+            attn_mask = fxn.kwargs.get("attn_mask",
+                                       fxn.args[3] if len(fxn.args) > 3 else None)
+            assert not fxn.kwargs.get("is_causal", False), "causal sdpa unsupported"
+            head_dim = self.shape_via_infer(fxn.args[0])[-1]
+            scale = fxn.kwargs.get("scale") or head_dim ** -0.5
+            kt = self.b.call("nn.batch_matmul", q, k, transpose_b=True)
+            sc = self.b.call("multiply", kt, self.b.const(np.float32(scale)))
+            if attn_mask is not None:
+                sc = self.b.call("add", sc, self.as_torch(attn_mask))
+            att = self.b.call("nn.softmax", sc, axis=-1)
+            out = self.b.call("nn.batch_matmul", att, v, name=fxn.name)
+            self.set(fxn, out, "torch")
+        elif t in ("masked_fill", torch.masked_fill):
+            x = self.as_torch(fxn.args[0])
+            mask = self.as_torch(fxn.args[1])
+            fill = self.pyval(fxn.args[2])
+            fill = float(fill) if not isinstance(fill, (int, float)) else fill
+            fc = self.b.const(np.float32(fill))
+            out = self.b.call("where", mask, fc, x, name=fxn.name)
+            self.set(fxn, out, "torch")
+        elif t in ("mul_", "add_"):
+            self._binary(fxn, "multiply" if t == "mul_" else "add")
+        elif t is torch.finfo:
+            self.set_pyval(fxn, torch.finfo(torch.float32))
+        elif t is torch.iinfo:
+            self.set_pyval(fxn, torch.iinfo(torch.int32))
+        elif t is torch.tensor:
+            val = self.pyval(fxn.args[0])
+            dtype = fxn.kwargs.get("dtype")
+            np_dt = {torch.long: "int32", torch.int64: "int32", torch.int32: "int32",
+                     torch.float32: "float32", None: None}.get(dtype)
+            arr = np.asarray(val)
+            if np_dt:
+                arr = arr.astype(np_dt)
+            elif arr.dtype == np.int64:
+                arr = arr.astype(np.int32)
+            cn = self.b.const(arr, name=fxn.name)
+            self.set(fxn, cn, "torch")
+        elif t in (torch.arange,):
+            args = [self.pyval(a) for a in fxn.args]
+            dtype = fxn.kwargs.get("dtype")
+            np_dt = "int32" if dtype in (torch.long, torch.int64, torch.int32, None) else "float32"
+            arr = np.arange(*args).astype(np_dt)
+            cn = self.b.const(arr, name=fxn.name)
+            self.set(fxn, cn, "torch")
+        elif t in (torch.zeros, torch.ones):
+            shape = [self.pyval(a) for a in (fxn.args[0] if isinstance(fxn.args[0], (list, tuple)) else fxn.args)]
+            fill = np.zeros if t is torch.zeros else np.ones
+            arr = fill(tuple(int(v) for v in shape), dtype=np.float32)
+            cn = self.b.const(arr, name=fxn.name)
+            self.set(fxn, cn, "torch")
+        elif t in (torch.rsub,):
+            # rsub(a, b) = b - a with b usually scalar
+            a = fxn.args[0]
+            bscalar = fxn.args[1]
+            an, layout = self.env[a]
+            sc = self.b.const(np.asarray(self.pyval(bscalar), dtype=np.float32))
+            out = self.b.call("subtract", sc, an, name=fxn.name)
+            self.set(fxn, out, layout)
         else:
             raise NotImplementedError(f"fx target {t} ({fxn.op})")
 

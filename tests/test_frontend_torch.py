@@ -144,3 +144,50 @@ def test_import_then_quantize():
         want = m(torch.from_numpy(data[0])).numpy()
     got = run_graph(qg, {"x": data[0]})[0]
     assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
+
+
+@pytest.mark.slow
+def test_huggingface_bert():
+    """Import a HF transformers BERT (config-constructed; the HF fx tracer
+    path + pyval shape folding + SDPA decomposition + dict outputs)."""
+    transformers = pytest.importorskip("transformers")
+    m = transformers.BertModel(
+        transformers.BertConfig(
+            vocab_size=100, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64,
+        )
+    ).eval()
+    g = from_torch(m, {"input_ids": (2, 16)}, input_dtypes={"input_ids": "int32"})
+    ids = np.random.default_rng(0).integers(0, 100, (2, 16)).astype(np.int32)
+    from tachikoma_tpu import run_graph
+
+    got = run_graph(g, {"input_ids": ids})
+    with torch.no_grad():
+        ref = m(input_ids=torch.from_numpy(ids.astype(np.int64)))
+    np.testing.assert_allclose(got[0], ref.last_hidden_state.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(got[1], ref.pooler_output.numpy(), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_huggingface_bert_quantizes():
+    transformers = pytest.importorskip("transformers")
+    m = transformers.BertModel(
+        transformers.BertConfig(
+            vocab_size=100, hidden_size=32, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64,
+        )
+    ).eval()
+    g = from_torch(m, {"input_ids": (2, 16)}, input_dtypes={"input_ids": "int32"})
+    from tachikoma_tpu.quantize.config import TRANSFORMER_INT8
+    from tachikoma_tpu.quantize.quantizer import quantize
+    from tachikoma_tpu import run_graph
+
+    rng = np.random.default_rng(0)
+    data = [{"input_ids": rng.integers(0, 100, (2, 16)).astype(np.int32)} for _ in range(2)]
+    qg = quantize(g, data, TRANSFORMER_INT8)
+    assert any(n.op == "qnn.dense" for n in qg.nodes)
+    fout = run_graph(g, data[0])[0]
+    qout = run_graph(qg, data[0])[0]
+    assert np.corrcoef(fout.ravel(), qout.ravel())[0, 1] > 0.97
