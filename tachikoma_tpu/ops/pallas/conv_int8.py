@@ -236,9 +236,11 @@ def qconv2d_supported(x_shape, w_shape, strides, padding, groups: int) -> bool:
 
 
 def _pick_dw_bc(hp, wpad, oh, ow, c) -> int | None:
-    for bc in (128, 64, 32):
-        if (hp * wpad * bc * 4 + oh * ow * bc * 5) * 2 <= _VMEM_IMAGE_BUDGET:
-            return bc
+    # Mosaic: the last block dim must be a multiple of 128 (or the whole,
+    # padded, array dim) — channel blocks are always 128 here.
+    bc = 128
+    if (hp * wpad * bc * 4 + oh * ow * bc * 5) * 2 <= _VMEM_IMAGE_BUDGET:
+        return bc
     return None
 
 
