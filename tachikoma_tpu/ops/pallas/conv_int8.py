@@ -94,12 +94,12 @@ def _dw_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, *,
     from .qms32 import q_multiply_shift_select
 
     sh, sw = stride
-    v = x_ref[0].astype(jnp.int32)  # (Hp, Wp, bc)
+    v = x_ref[0]  # (Hp, Wp, bc) int8 — upcast per patch to bound VMEM peaks
     bc = v.shape[-1]
     acc = jnp.zeros((oh, ow, bc), jnp.int32)
     for ki in range(kh):
         for kj in range(kw):
-            patch = _strided_patch(v, ki, kj, oh, ow, sh, sw, bc)
+            patch = _strided_patch(v, ki, kj, oh, ow, sh, sw, bc).astype(jnp.int32)
             acc = acc + patch * w_ref[ki, kj][None, None, :].astype(jnp.int32)
     a = acc + bias_ref[...][None]  # (1,bc) -> (1,1,bc)
     r = q_multiply_shift_select(a, m_ref[...][None], s_ref[...][None], shift_values, rounding)
@@ -230,7 +230,12 @@ def qconv2d_supported(x_shape, w_shape, strides, padding, groups: int) -> bool:
     if groups == 1:
         bkc = min(_round_up(cin, 32), 512)
         return _pick_bn(hp, wpad, bkc, oh, ow, cout, kh, kw) is not None
-    if groups == cin and wcin == 1:  # depthwise (int32 upcast of the image)
+    if groups == cin and wcin == 1:  # depthwise
+        # stride > 1 needs the reshape-subsample trick whose relayout
+        # transients exceed the 16MB scoped-VMEM limit at MobileNet sizes
+        # (measured on v5e); those layers take the XLA path
+        if (sh, sw) != (1, 1):
+            return False
         return _pick_dw_bc(hp, wpad, oh, ow, cin) is not None
     return False
 
