@@ -228,7 +228,7 @@ def qconv2d_supported(x_shape, w_shape, strides, padding, groups: int) -> bool:
     oh = (hp - kh) // sh + 1
     ow = (wpad - kw) // sw + 1
     if groups == 1:
-        bkc = min(_round_up(cin, 32), 512)
+        bkc = min(_round_up(cin, 128), 512)  # int8 lane dim: 128-aligned
         return _pick_bn(hp, wpad, bkc, oh, ow, cout, kh, kw) is not None
     if groups == cin and wcin == 1:  # depthwise
         # stride > 1 needs the reshape-subsample trick whose relayout
@@ -287,7 +287,7 @@ def qconv2d_int8(
     interp = _interpret_default()
 
     if groups == 1:
-        bkc = min(_round_up(cin, 32), 512)
+        bkc = min(_round_up(cin, 128), 512)  # int8 lane dim: 128-aligned
         hp0 = h + pt + pb
         wp0 = wd + pl_ + pr
         bn = _pick_bn(hp0, wp0, bkc, oh, ow, cout, kh, kw)
