@@ -207,7 +207,12 @@ def requantize_jnp(
     rounding: str = UPWARD,
     out_dtype: str = "int8",
 ):
+    """XLA requantize.  Uses the 32-bit emulation of the 64-bit fixed-point
+    multiply (ops/pallas/qms32.py, bit-exact vs the int64 reference) — int64
+    is emulated and ~100x slower on TPU VPUs."""
     import jax.numpy as jnp
+
+    from .pallas.qms32 import q_multiply_shift_u32
 
     v = x.astype(jnp.int32)
     if input_zero_point != 0:
@@ -216,13 +221,20 @@ def requantize_jnp(
     if in_scale.ndim == 0:
         if float(in_scale) != float(output_scale):
             m, s = fixed_point_multiplier_shift(float(in_scale) / float(output_scale))
-            v = q_multiply_shift_jnp(v, m, s, rounding)
+            v = q_multiply_shift_u32(v, m, s, rounding)
     else:
         mult = in_scale / float(output_scale)
         ms, ss = zip(*(fixed_point_multiplier_shift(float(d)) for d in mult))
         ax = axis if axis >= 0 else v.ndim + axis
-        v = q_multiply_shift_per_axis_jnp(v, np.array(ms), np.array(ss), ax, rounding)
+        bshape = [1] * v.ndim
+        bshape[ax] = -1
+        v = q_multiply_shift_u32(
+            v,
+            np.array(ms, np.int32).reshape(bshape),
+            np.array(ss, np.int32).reshape(bshape),
+            rounding,
+        )
     if output_zero_point != 0:
         v = v + jnp.int32(output_zero_point)
     lo, hi = np.iinfo(np.dtype(out_dtype)).min, np.iinfo(np.dtype(out_dtype)).max
-    return jnp.clip(v, lo, hi).astype(out_dtype)
+    return jnp.clip(v, jnp.int32(lo), jnp.int32(hi)).astype(out_dtype)

@@ -782,7 +782,7 @@ def _qmul_jax(lhs, rhs, *, node: Node):
     rzp = int(node.attrs.get("rhs_zero_point", 0))
     l = lhs.astype(jnp.int32) - jnp.int32(lzp)
     r = rhs.astype(jnp.int32) - jnp.int32(rzp)
-    prod = (l.astype(jnp.int64) * r.astype(jnp.int64)).astype(jnp.int32)
+    prod = l * r  # int32 wraparound == int64-then-truncate (mod 2^32)
     new_scale = float(np.asarray(node.attrs["lhs_scale"]).item()) * float(
         np.asarray(node.attrs["rhs_scale"]).item()
     )
@@ -855,24 +855,27 @@ def _fpm_pa_jax(a, *, node: Node):
 
 @jax_impl("qnn.softmax")
 def _qsoftmax_jax(x, *, node: Node):
+    # All-int32 realization (identical values: p <= 2^15, so p*256 and the
+    # row sums stay within int32 for seq <= 65536) — int64 is emulated and
+    # slow on TPU, and gathers are replaced by a one-hot MXU matmul.
     from .qnn import LUT_SIZE, SOFTMAX_OUT_ZP, softmax_exp_table
 
     axis = int(node.attrs.get("axis", -1))
-    table = jnp.asarray(softmax_exp_table(float(node.attrs["input_scale"])))
+    table = jnp.asarray(softmax_exp_table(float(node.attrs["input_scale"])), dtype=jnp.int32)
     v = x.astype(jnp.int32)
     m = v.max(axis=axis, keepdims=True)
     d = jnp.clip(m - v, 0, LUT_SIZE - 1)
-    p = jnp.take(table, d, axis=0).astype(jnp.int64)
-    ssum = p.sum(axis=axis, keepdims=True)
-    q = (p * 256 + ssum // 2) // ssum
-    out = jnp.clip(q + SOFTMAX_OUT_ZP, -128, 127)
+    p = jnp.take(table, d, axis=0)
+    ssum = p.sum(axis=axis, keepdims=True, dtype=jnp.int32)
+    q = (p * jnp.int32(256) + ssum // jnp.int32(2)) // ssum
+    out = jnp.clip(q + jnp.int32(SOFTMAX_OUT_ZP), jnp.int32(-128), jnp.int32(127))
     return out.astype(_jdt(node.attrs.get("out_dtype", "int8")))
 
 
 @jax_impl("qnn.lut")
 def _qlut_jax(x, *, node: Node):
     table = jnp.asarray(np.asarray(node.attrs["table"], dtype=np.int8))
-    idx = x.astype(jnp.int32) + 128
+    idx = x.astype(jnp.int32) + jnp.int32(128)
     return jnp.take(table, idx, axis=0)
 
 
@@ -888,9 +891,9 @@ def _qattn_jax(q, k, v, *, node: Node):
                    preferred_element_type=jnp.int32)
     m = s.max(axis=-1, keepdims=True)
     d = jnp.clip(m - s, 0, LUT_SIZE - 1)
-    p = jnp.take(table, d, axis=0).astype(jnp.int64)
-    ssum = p.sum(axis=-1, keepdims=True)
-    u = ((p * 256 + ssum // 2) // ssum).astype(jnp.int32)
+    p = jnp.take(table, d, axis=0).astype(jnp.int32)
+    ssum = p.sum(axis=-1, keepdims=True, dtype=jnp.int32)
+    u = (p * jnp.int32(256) + ssum // jnp.int32(2)) // ssum
     ctx = jnp.matmul(u, v.astype(jnp.int32), preferred_element_type=jnp.int32)
     return requantize_jnp(
         ctx, v_scale / 256.0, 0, out_scale, 0,
