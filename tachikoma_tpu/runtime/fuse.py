@@ -328,7 +328,7 @@ def _dense_rq_jax(*args, node: Node):
 
     if (
         (jax.devices()[0].platform == "tpu" or os.environ.get("TK_FORCE_PALLAS"))
-        and data.ndim == 2
+        and data.ndim >= 2
         and int(node.attrs.get("input_zero_point", 0)) == 0
         and int(node.attrs.get("kernel_zero_point", 0)) == 0
         and int(node.attrs.get("rq_input_zero_point", 0)) == 0
@@ -337,8 +337,10 @@ def _dense_rq_jax(*args, node: Node):
 
         a = dict(node.attrs)
         info = np.iinfo(np.dtype(a.get("out_dtype", "int8")))
-        return qmatmul_int8(
-            data, weight,
+        lead = data.shape[:-1]
+        x2d = data.reshape(-1, data.shape[-1]) if data.ndim > 2 else data
+        out = qmatmul_int8(
+            x2d, weight,
             bias=bias,
             multiplier=np.asarray(a["multiplier"], np.int32),
             shift=np.asarray(a["shift"], np.int32),
@@ -348,6 +350,7 @@ def _dense_rq_jax(*args, node: Node):
             qmin=max(int(a.get("a_min", info.min)), info.min),
             qmax=min(int(a.get("a_max", info.max)), info.max),
         )
+        return out.reshape(*lead, out.shape[-1]) if data.ndim > 2 else out
     acc = get_op("qnn.dense").jax_impl(data, weight, node=_head_shadow(node))
     return _fused_epilogue_jax(acc, node, bias)
 
