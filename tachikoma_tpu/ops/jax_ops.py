@@ -45,11 +45,30 @@ def _jdt(dtype: str):
 
 # -- conv / dense / matmul ---------------------------------------------------
 
-def _conv2d_core(data, weight, node: Node, accum_int: bool):
+def _conv2d_core(data, weight, node: Node, accum_int: bool,
+                 xmax: int | None = None, wmax: int | None = None):
     strides = _pair(node.attrs.get("strides", (1, 1)))
     pt, pl, pb, pr = _pad4(node.attrs.get("padding", (0, 0, 0, 0)))
     dilation = _pair(node.attrs.get("dilation", (1, 1)))
     groups = int(node.attrs.get("groups", 1))
+    if accum_int and xmax is not None and wmax is not None:
+        # integer convs bypass the MXU in XLA; when every partial sum fits
+        # exactly in float32 (reduction k * |x|max * |w|max < 2^24), the
+        # float conv of the same values is bit-exact and MXU-fast.
+        kh, kw = weight.shape[0], weight.shape[1]
+        k = kh * kw * weight.shape[2]
+        if k * xmax * wmax < (1 << 24):
+            out = lax.conv_general_dilated(
+                data.astype(jnp.float32), weight.astype(jnp.float32),
+                window_strides=strides,
+                padding=((pt, pb), (pl, pr)),
+                rhs_dilation=dilation,
+                dimension_numbers=_DIMNUMS,
+                feature_group_count=groups,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            return out.astype(jnp.int32)
     pref = jnp.int32 if accum_int else jnp.float32
     return lax.conv_general_dilated(
         data,
@@ -66,7 +85,9 @@ def _conv2d_core(data, weight, node: Node, accum_int: bool):
 @jax_impl("nn.conv2d")
 def _conv2d_jax(data, weight, *, node: Node):
     integer = dt.is_int(str(data.dtype))
-    out = _conv2d_core(data, weight, node, integer)
+    small = str(data.dtype) in ("int8", "uint8") and str(weight.dtype) in ("int8", "uint8")
+    out = _conv2d_core(data, weight, node, integer,
+                       xmax=128 if small else None, wmax=128 if small else None)
     od = node.attrs.get("out_dtype")
     if od:
         return out.astype(_jdt(od))
@@ -79,11 +100,13 @@ def _qconv2d_jax(data, weight, *, node: Node):
     kzp = node.attrs.get("kernel_zero_point", 0)
     d = data.astype(jnp.int32) - jnp.int32(izp)
     w = weight.astype(jnp.int32)
+    kzp_max = int(np.max(np.abs(kzp))) if np.ndim(kzp) > 0 else abs(int(kzp))
     if np.ndim(kzp) > 0:
         w = w - jnp.asarray(np.asarray(kzp, np.int32).reshape(1, 1, 1, -1))
     elif int(kzp) != 0:
         w = w - jnp.int32(kzp)
-    out = _conv2d_core(d, w, node, True)
+    out = _conv2d_core(d, w, node, True,
+                       xmax=128 + abs(izp), wmax=128 + kzp_max)
     return out.astype(_jdt(node.attrs.get("out_dtype", "int32")))
 
 
@@ -152,7 +175,6 @@ def _qdense_jax(data, weight, *, node: Node):
 
 def _bmm(a, b, node: Node, azp=0, bzp=0):
     integer = dt.is_int(str(a.dtype))
-    pref = jnp.int32 if integer else jnp.float32
     x = a.astype(jnp.int32) - jnp.int32(azp) if (integer and azp) else a
     y = b.astype(jnp.int32) - jnp.int32(bzp) if (integer and bzp) else b
     if integer and (azp or bzp):
@@ -162,7 +184,26 @@ def _bmm(a, b, node: Node, azp=0, bzp=0):
         x = jnp.swapaxes(x, -1, -2)
     if node.attrs.get("transpose_b", False):
         y = jnp.swapaxes(y, -1, -2)
-    out = jnp.matmul(x, y, preferred_element_type=pref)
+    if not integer:
+        return jnp.matmul(x, y, preferred_element_type=jnp.float32), integer
+    k = x.shape[-1]
+    amax = 128 + abs(int(azp))
+    bmax = 128 + abs(int(bzp))
+    if (
+        str(a.dtype) in ("int8", "uint8")
+        and k * amax * bmax < (1 << 24)
+    ):
+        # int8 batched matmuls don't hit the MXU in XLA; a float32 matmul of
+        # the same values IS bit-exact here (int8 values are exact in
+        # bf16/f32; every product <= 2^14+eps and every partial sum < 2^24,
+        # both exactly representable), and runs at MXU speed.
+        out = jnp.matmul(
+            x.astype(jnp.float32), y.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        return out, integer
+    out = jnp.matmul(x, y, preferred_element_type=jnp.int32)
     return out, integer
 
 
