@@ -62,16 +62,17 @@ def _conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
 
     v = x_ref[0]  # (Hp, Wp, bkc) int8
     bkc = v.shape[-1]
-    acc = acc_ref[...]
-    for ki in range(kh):
-        for kj in range(kw):
-            patch = _strided_patch(v, ki, kj, oh, ow, sh, sw, bkc)
-            acc = acc + jnp.dot(
-                patch.reshape(oh * ow, bkc),
-                w_ref[ki, kj],
-                preferred_element_type=jnp.int32,
-            )
-    acc_ref[...] = acc
+    # im2col in VMEM: concatenate the kh*kw shifted windows along the
+    # reduction axis and run ONE (oh*ow, kh*kw*bkc) matmul — a far better
+    # MXU shape than kh*kw thin K=bkc matmuls
+    cols = [
+        _strided_patch(v, ki, kj, oh, ow, sh, sw, bkc).reshape(oh * ow, bkc)
+        for ki in range(kh)
+        for kj in range(kw)
+    ]
+    patch = jnp.concatenate(cols, axis=-1) if len(cols) > 1 else cols[0]
+    wmat = w_ref[...].reshape(kh * kw * bkc, w_ref.shape[-1])
+    acc_ref[...] += jnp.dot(patch, wmat, preferred_element_type=jnp.int32)
 
     @pl.when(pl.program_id(2) == n_cin - 1)
     def _epilogue():
