@@ -58,10 +58,10 @@ def _per_iter(fn, x0, feedback, iters_lo=4, iters_hi=16, repeats=4):
 
 def bench_int8_conv_pallas():
     """ResNet-50 stage-2 shaped conv (8x56x56x128 -> 3x3x128x128) via the
-    Pallas direct kernel with fused requantize."""
+    flat shifted-matmul Pallas kernel with fused requantize."""
     import jax.numpy as jnp
 
-    from tachikoma_tpu.ops.pallas.conv_int8 import qconv2d_int8
+    from tachikoma_tpu.ops.pallas.conv_flat import qconv2d_flat
     from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
 
     n, h, w, cin, cout, k = 8, 56, 56, 128, 128, 3
@@ -71,13 +71,13 @@ def bench_int8_conv_pallas():
     m, s = plan_requantize(0.0004, 0.05)
 
     def fn(a):
-        return qconv2d_int8(a, wt, multiplier=m, shift=s,
+        return qconv2d_flat(a, wt, multiplier=m, shift=s,
                             strides=(1, 1), padding=(1, 1, 1, 1))
 
     def feedback(a, out):
         return a ^ (out & 1)
 
-    per = _per_iter(fn, x, feedback)
+    per = _per_iter(fn, x, feedback, iters_lo=20, iters_hi=120)
     macs = n * h * w * cout * k * k * cin
     return 2 * macs / per / 1e9, per
 

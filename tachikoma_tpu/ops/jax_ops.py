@@ -941,3 +941,50 @@ def _qattn_jax(q, k, v, *, node: Node):
         rounding=node.attrs.get("rounding", "UPWARD"),
         out_dtype=node.attrs.get("out_dtype", "int8"),
     )
+
+
+@jax_impl("qnn.layer_norm")
+def _qln_jax(x, *, node: Node):
+    """Bit-identical realization of ops/qnn.py qnn.layer_norm (int32 + one
+    IEEE int->f32 conversion; the fixed-point multiply runs on the u32
+    emulation so no int64 is needed on TPU)."""
+    from .pallas.qms32 import q_multiply_shift_u32
+    from .qnn import _LN_RSQRT_TABLE
+
+    a = node.attrs
+    k1, k2 = int(a["k1"]), int(a["k2"])
+    n = x.shape[-1]
+
+    def rsh(v, k):
+        if k <= 0:
+            return v
+        return (v + jnp.int32(1 << (k - 1))) >> jnp.int32(k)
+
+    t = x.astype(jnp.int32) - jnp.int32(a.get("input_zero_point", 0))
+    s = t.sum(axis=-1, keepdims=True, dtype=jnp.int32)
+    c = jnp.int32(n) * t - s
+    d = rsh(c, k1)
+    v = jnp.maximum((d * d).sum(axis=-1, keepdims=True, dtype=jnp.int32),
+                    jnp.int32(1))
+    fb = v.astype(jnp.float32)                     # IEEE RNE int->f32
+    bits = lax.bitcast_convert_type(fb, jnp.int32)  # v>0 => sign bit 0
+    e = bits >> jnp.int32(23)
+    mant8 = (bits >> jnp.int32(15)) & jnp.int32(0xFF)
+    frac = (bits >> jnp.int32(7)) & jnp.int32(0xFF)
+    odd = (e - jnp.int32(127)) & jnp.int32(1)
+    e2 = (e - jnp.int32(127)) >> jnp.int32(1)
+    idx = odd * jnp.int32(256) + mant8
+    table = jnp.asarray(_LN_RSQRT_TABLE, jnp.int32)
+    t0 = jnp.take(table, idx, axis=0)
+    t1 = jnp.take(table, idx + jnp.int32(1), axis=0)
+    r = t0 - (((t0 - t1) * frac) >> jnp.int32(8))  # Q15
+    y = rsh(c, k2) * r
+    sign = jnp.asarray(np.asarray(a["sign"], np.int32))
+    y = y * sign
+    m_ch = jnp.asarray(np.asarray(a["multiplier"], np.int32))
+    s_ch = jnp.asarray(np.asarray(a["shift"], np.int32))
+    sh = s_ch - e2                                 # rows x channels
+    out = q_multiply_shift_u32(y, m_ch, sh, "UPWARD")
+    out = out + jnp.asarray(np.asarray(a["bias"], np.int32))
+    odt = a.get("out_dtype", "int8")
+    return jnp.clip(out, jnp.int32(dt.qmin(odt)), jnp.int32(dt.qmax(odt))).astype(_jdt(odt))

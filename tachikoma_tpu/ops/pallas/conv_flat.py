@@ -1,0 +1,579 @@
+"""Flattened-HW Pallas int8 conv2d: MXU spatial tiling with zero relayout.
+
+Round-2 rearchitecture of the direct conv (the round-1 kernel held one whole
+image per grid cell and built an im2col patch matrix with lane-dimension
+concatenates — 1.2% of the MXU roofline).  This kernel instead plays the role
+of the reference's tuned int8 conv schedules
+(`/root/reference/python/tvm/topi/cuda/conv2d_int8.py:31` conv2d_NCHWc_int8,
+`/root/reference/python/tvm/topi/x86/conv2d_int8.py:136` VNNI NCHWc) with a
+TPU-native design:
+
+*Flat trick.*  Pad the image to (Hp, Wp), flatten space to rows of a
+(N*Hp*Wp, C) matrix, and compute the conv "over-wide": output row
+m = n*FH + oh*Wp + ow for ALL ow in [0, Wp) (the last kw-1 columns of each
+row are garbage, sliced off afterwards).  Then the input patch for kernel
+tap (ki, kj) is the UNIT-STRIDE row slice  xflat[m + ki*Wp + kj]  — no
+reshape, no concatenate, no strided window.  Each tap is one dense
+(bm, C) x (C, bn) int8 MXU matmul accumulated into a VMEM int32 scratch,
+with the exact fixed-point requantize epilogue fused before the single int8
+store.  Spatial over-compute is (Hp*Wp)/(OH*OW) ≈ 7% for 56x56 k3.
+
+*Strides via polyphase decomposition.*  A stride-(sh,sw) conv is rewritten
+as a stride-1 conv over phase-subsampled images stacked on the channel dim:
+    out = conv_s1( stack_{p,q} x[p::sh, q::sw],  W'[a,b,(p,q,c),o] )
+with W'[a,b,(p,q,c),o] = W[a*sh+p, b*sw+q, c, o] (zero where out of range).
+The kernel itself is stride-1-only; phase extraction is one XLA
+reshape/transpose of the input.
+
+*Grid.*  (M/bm, COUT/bn, CIN'/bk) with the flat image resident in VMEM as a
+single non-M-blocked block (Pallas does not re-DMA a block whose index map
+is unchanged across grid steps); the kernel slices it at
+pl.ds(program_id(0)*bm + tap_offset, bm).  The K axis is the reduction
+("arbitrary") dimension.
+
+Depthwise convolution uses the same flat layout on the VPU: per-channel
+multiply-accumulate over taps with an in-kernel M-chunk loop (no MXU), with
+per-phase tap lists so polyphase stride-2 wastes zero MACs.
+
+1x1 convs are routed to the tuned Pallas matmul (`matmul_int8.qmatmul_int8`)
+— a 1x1 conv IS a GEMM; stride-2 1x1 subsamples the input first (exact).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .matmul_int8 import _cdiv, _interpret_default, _round_up, _x32_tracing
+
+# conservative per-core VMEM budget for kernel working sets (bytes)
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# MXU kernel (groups == 1)
+# ---------------------------------------------------------------------------
+
+def _flat_conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
+                      taps: tuple, wph: int, bm: int, pad: int, n_k: int,
+                      fuse: bool, out_zp: int, rounding: str, qmin: int,
+                      qmax: int, shift_values: tuple):
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    from .qms32 import q_multiply_shift_select
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # one ALIGNED dynamic load covering every tap's window (Mosaic requires
+    # sublane-aligned dynamic offsets).  int8 is (4,1)-packed in VMEM, so a
+    # row shift by r in {1,2,3} is an expensive byte shuffle: extract at most
+    # 4 byte-phase windows (one per off%4 residue — wph is padded to a
+    # multiple of 4 so row taps stay pack-aligned) and give every tap a
+    # 4-aligned static slice of its phase window.
+    m0 = pl.multiple_of(pl.program_id(0) * bm, bm)
+    win = x_ref[pl.ds(m0, bm + pad), :]
+    bkc = win.shape[-1]
+    wlen = bm + pad - 4
+    wins = {}
+    for r in sorted({(a * wph + b) % 4 for (a, b) in taps}):
+        wins[r] = lax.slice(win, (r, 0), (r + wlen, bkc))
+    for (a, b) in taps:
+        off = a * wph + b
+        r = off % 4
+        patch = lax.slice(wins[r], (off - r, 0), (off - r + bm, bkc))
+        acc_ref[...] += jnp.dot(
+            patch, w_ref[a, b], preferred_element_type=jnp.int32
+        )
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _epilogue():
+        acc = acc_ref[...] + bias_ref[...]
+        if fuse:
+            v = q_multiply_shift_select(
+                acc, m_ref[...], s_ref[...], shift_values, rounding)
+            if out_zp:
+                v = v + jnp.int32(out_zp)
+            o_ref[...] = jnp.clip(
+                v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+        else:
+            o_ref[...] = acc
+
+
+@functools.lru_cache(maxsize=None)
+def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
+                     fuse, out_zp, rounding, qmin, qmax, out_dtype,
+                     shift_values, interpret):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_k = cin_p // bk
+    grid = (mp // bm, cout_p // bn, n_k)
+    taps = tuple((a, b) for a in range(khp) for b in range(kwp))
+    kernel = functools.partial(
+        _flat_conv_kernel, taps=taps, wph=wph, bm=bm, pad=fhx - mp, n_k=n_k,
+        fuse=fuse, out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
+        shift_values=shift_values,
+    )
+    kw_extra = {}
+    if not interpret:
+        kw_extra["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        )
+        kw_extra["cost_estimate"] = pl.CostEstimate(
+            flops=2 * mp * cout_p * khp * kwp * cin_p,
+            bytes_accessed=fhx * cin_p + khp * kwp * cin_p * cout_p
+            + mp * cout_p * (1 if fuse else 4),
+            transcendentals=0,
+        )
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (mp, cout_p), jnp.dtype(out_dtype) if fuse else jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                # whole flat image: constant across (i, j) so Pallas fetches
+                # it once per k-block, not per M/N tile
+                pl.BlockSpec((fhx, bk), lambda i, j, k: (0, k)),
+                pl.BlockSpec((khp, kwp, bk, bn), lambda i, j, k: (0, 0, k, j)),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        ),
+        interpret=interpret,
+        **kw_extra,
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# VPU depthwise kernel
+# ---------------------------------------------------------------------------
+
+def _flat_dw_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, *,
+                    taps: tuple, wph: int, n_rows: int, mchunk: int,
+                    out_zp: int, rounding: str, qmin: int, qmax: int,
+                    shift_values: tuple):
+    """x_ref (1, P, FHX, bc); w_ref (n_taps, bc); o_ref (1, n_rows_p, bc).
+
+    taps: ((phase_idx, flat_offset, tap_idx), ...) — per-phase tap lists so
+    polyphase stride decomposition wastes no MACs."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from .qms32 import q_multiply_shift_select
+
+    from jax import lax
+
+    pad = x_ref.shape[2] - o_ref.shape[1]  # >= maxoff, static
+    bc = w_ref.shape[-1]
+    n_chunks = _cdiv(n_rows, mchunk)
+    phases = sorted({p for (p, _, _) in taps})
+    for ci in range(n_chunks):
+        r0 = ci * mchunk  # static, mchunk-aligned
+        # upcast each phase window to int32 ONCE: row shifts on 32-bit
+        # values are native sublane rotates (int8 is (4,1)-packed, where a
+        # shift by 1 row would be a byte shuffle)
+        wins = {p: x_ref[0, p, pl.ds(r0, mchunk + pad), :].astype(jnp.int32)
+                for p in phases}
+        acc = jnp.zeros((mchunk, bc), jnp.int32)
+        for (p, off, t) in taps:
+            patch = lax.slice(wins[p], (off, 0), (off + mchunk, bc))
+            acc = acc + patch * w_ref[t][None, :].astype(jnp.int32)
+        acc = acc + bias_ref[...]
+        v = q_multiply_shift_select(
+            acc, m_ref[...], s_ref[...], shift_values, rounding)
+        if out_zp:
+            v = v + jnp.int32(out_zp)
+        o_ref[0, pl.ds(r0, mchunk), :] = jnp.clip(
+            v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_flat_dw(n, p, fhx, c_p, n_rows, n_rows_p, n_taps, bc, mchunk,
+                   taps, wph, out_zp, rounding, qmin, qmax, out_dtype,
+                   shift_values, interpret):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (n, c_p // bc)
+    kernel = functools.partial(
+        _flat_dw_kernel, taps=taps, wph=wph, n_rows=n_rows, mchunk=mchunk,
+        out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
+        shift_values=shift_values,
+    )
+    kw_extra = {}
+    if not interpret:
+        kw_extra["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        )
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n_rows_p, c_p), jnp.dtype(out_dtype)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, p, fhx, bc), lambda b, j: (b, 0, 0, j)),
+                pl.BlockSpec((n_taps, bc), lambda b, j: (0, j)),
+                pl.BlockSpec((1, bc), lambda b, j: (0, j)),
+                pl.BlockSpec((1, bc), lambda b, j: (0, j)),
+                pl.BlockSpec((1, bc), lambda b, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, n_rows_p, bc), lambda b, j: (b, 0, j)),
+        ),
+        interpret=interpret,
+        **kw_extra,
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# geometry / phase decomposition helpers
+# ---------------------------------------------------------------------------
+
+def _phase_geometry(h, w, kh, kw, sh, sw, padding):
+    """Output + phase-image geometry for the polyphase stride-1 rewrite."""
+    pt, pl_, pb, pr = padding
+    hp0, wp0 = h + pt + pb, w + pl_ + pr
+    oh = (hp0 - kh) // sh + 1
+    ow = (wp0 - kw) // sw + 1
+    khp = _cdiv(kh, sh)
+    kwp = _cdiv(kw, sw)
+    hph = oh + khp - 1   # phase image height (stride-1 conv geometry)
+    wph = ow + kwp - 1
+    return oh, ow, khp, kwp, hph, wph
+
+
+def _phase_stack(x, kh, kw, sh, sw, padding, izp):
+    """(N,H,W,C) -> (N, Hph, Wph, sh*sw*C) phase-stacked stride-1 image.
+
+    All spatial padding uses the input zero point so the folded-bias zero
+    point correction stays exact."""
+    import jax.numpy as jnp
+
+    n, h, w, c = x.shape
+    pt, pl_, pb, pr = padding
+    oh, ow, khp, kwp, hph, wph = _phase_geometry(h, w, kh, kw, sh, sw, padding)
+    hs, ws = hph * sh, wph * sw
+    xp = jnp.pad(
+        x,
+        ((0, 0), (pt, hs - h - pt), (pl_, ws - w - pl_), (0, 0)),
+        constant_values=np.int8(izp),
+    )
+    if (sh, sw) == (1, 1):
+        return xp, (oh, ow, khp, kwp, hph, wph)
+    xr = xp.reshape(n, hph, sh, wph, sw, c)
+    xr = jnp.transpose(xr, (0, 1, 3, 2, 4, 5)).reshape(n, hph, wph, sh * sw * c)
+    return xr, (oh, ow, khp, kwp, hph, wph)
+
+
+def _phase_weights(w, sh, sw):
+    """(KH,KW,CIN,COUT) -> (KH',KW',sh*sw*CIN,COUT) polyphase weights."""
+    import jax.numpy as jnp
+
+    kh, kw, cin, cout = w.shape
+    khp, kwp = _cdiv(kh, sh), _cdiv(kw, sw)
+    wp = jnp.zeros((khp, kwp, sh, sw, cin, cout), w.dtype)
+    wj = jnp.asarray(w)
+    for p in range(sh):
+        for q in range(sw):
+            na = _cdiv(kh - p, sh)
+            nb = _cdiv(kw - q, sw)
+            if na <= 0 or nb <= 0:
+                continue
+            wp = wp.at[:na, :nb, p, q].set(wj[p::sh, q::sw])
+    return wp.reshape(khp, kwp, sh * sw * cin, cout)
+
+
+def _pick_conv_blocks(mp, cin_p, cout_p, khp, kwp, fhx):
+    """(bm, bn, bk) under the VMEM budget; prefer wide N for tap-slice
+    amortization, large K blocks for reduction locality."""
+    for bk in (min(cin_p, 512), 256, 128):
+        if bk > cin_p or cin_p % bk:
+            continue
+        for bn in (512, 256, 128):
+            if bn > cout_p or cout_p % bn:
+                continue
+            for bm in (512, 256, 128):
+                if bm > mp or mp % bm:
+                    continue
+                vm = (2 * fhx * bk                       # flat image (dbuf)
+                      + 2 * khp * kwp * bk * bn          # weights
+                      + bm * bn * 4                      # acc scratch
+                      + 2 * bm * bn)                     # out block
+                if vm <= _VMEM_BUDGET:
+                    return bm, bn, bk
+    return None
+
+
+def _flat_lengths(n, hph, wph, khp, kwp, bm):
+    fh = hph * wph
+    maxoff = (khp - 1) * wph + (kwp - 1)
+    mp = _round_up(n * fh, bm)
+    # +4: the in-kernel byte-phase windows slice [r, r + bm + pad - 4)
+    fhx = mp + _round_up(max(maxoff, 1) + 4, 32)
+    return fh, mp, fhx
+
+
+def qconv2d_flat_supported(x_shape, w_shape, strides, padding,
+                           groups: int) -> bool:
+    n, h, w, cin = x_shape
+    kh, kw, wcin, cout = w_shape
+    sh, sw = strides
+    if groups == 1:
+        if kh == 1 and kw == 1:
+            return True  # matmul route
+        oh, ow, khp, kwp, hph, wph = _phase_geometry(
+            h, w, kh, kw, sh, sw, padding)
+        cin_p = _round_up(sh * sw * cin, 128)
+        cout_p = _round_up(cout, 128)
+        fh, mp, fhx = _flat_lengths(n, hph, _round_up(wph, 4), khp, kwp, 512)
+        return _pick_conv_blocks(mp, cin_p, cout_p, khp, kwp, fhx) is not None
+    if groups == cin and wcin == 1:  # depthwise
+        oh, ow, khp, kwp, hph, wph = _phase_geometry(
+            h, w, kh, kw, sh, sw, padding)
+        p = sh * sw
+        fh = hph * wph
+        maxoff = (khp - 1) * wph + (kwp - 1)
+        fhx = _round_up(oh * wph + maxoff, 32)
+        bc = 128
+        vm = 2 * p * fhx * bc + 2 * _round_up(oh * wph, 32) * bc \
+            + 512 * bc * 4
+        return vm <= _VMEM_BUDGET
+    return False
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def qconv2d_flat(
+    x, w, bias=None, multiplier=None, shift=None, *,
+    strides=(1, 1), padding=(0, 0, 0, 0), groups: int = 1,
+    input_zero_point: int = 0,
+    out_zp: int = 0, rounding: str = "UPWARD", out_dtype: str = "int8",
+    qmin: int = -128, qmax: int = 127,
+    blocks: tuple | None = None,
+):
+    """NHWC int8 conv with fused exact requantize (flat shifted-matmul).
+
+    Same contract as the round-1 `conv_int8.qconv2d_int8`: x (N,H,W,CIN)
+    int8, w (KH,KW,CIN/groups,COUT) int8, groups in {1, CIN(depthwise)};
+    nonzero input_zero_point folds into the bias via weight column sums."""
+    import jax.numpy as jnp
+
+    n, h, wd, cin = x.shape
+    kh, kw, wcin, cout = w.shape
+    sh, sw = strides
+
+    bias_arr = (jnp.zeros((cout,), jnp.int32) if bias is None
+                else jnp.asarray(bias, jnp.int32))
+    if input_zero_point:
+        colsum = jnp.sum(jnp.asarray(w, jnp.int32),
+                         axis=(0, 1, 2) if groups == 1 else (0, 1))
+        if groups != 1:
+            colsum = colsum.reshape(-1)
+        bias_arr = bias_arr - jnp.int32(input_zero_point) * colsum
+
+    fuse = multiplier is not None
+    if fuse:
+        m_arr = jnp.broadcast_to(jnp.asarray(multiplier, jnp.int32), (cout,))
+        s_arr = jnp.broadcast_to(jnp.asarray(shift, jnp.int32), (cout,))
+        shift_values = tuple(sorted({int(v) for v in np.atleast_1d(np.asarray(shift))}))
+    else:
+        m_arr = s_arr = None
+        shift_values = ()
+
+    interp = _interpret_default()
+
+    if groups == 1 and kh == 1 and kw == 1:
+        # pass the caller's (host) multiplier/shift: qmatmul_int8 derives the
+        # static shift-value set with np.asarray, which must not see tracers
+        return _conv1x1_matmul(
+            x, w, bias_arr, multiplier, shift, strides, padding,
+            input_zero_point, out_zp, rounding, out_dtype, qmin, qmax, fuse)
+
+    if groups == 1:
+        return _conv_mxu(
+            x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
+            input_zero_point, out_zp, rounding, out_dtype, qmin, qmax,
+            fuse, blocks, interp)
+    elif groups == cin and wcin == 1:
+        if not fuse:
+            raise NotImplementedError("flat depthwise requires fused requantize")
+        return _conv_dw_vpu(
+            x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
+            input_zero_point, out_zp, rounding, out_dtype, qmin, qmax, interp)
+    raise NotImplementedError("flat conv supports groups==1 or depthwise")
+
+
+def _conv1x1_matmul(x, w, bias_arr, m_arr, s_arr, strides, padding,
+                    izp, out_zp, rounding, out_dtype, qmin, qmax, fuse):
+    """1x1 conv == GEMM on the tuned Pallas matmul; stride subsamples first."""
+    import jax.numpy as jnp
+
+    from .matmul_int8 import qmatmul_int8
+
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    sh, sw = strides
+    pt, pl_, pb, pr = padding
+    if any(padding):
+        x = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+                    constant_values=np.int8(izp))
+    if (sh, sw) != (1, 1):
+        x = x[:, ::sh, ::sw, :]
+    n, oh, ow, _ = x.shape
+    xm = x.reshape(n * oh * ow, cin)
+    wm = jnp.asarray(w).reshape(cin, cout)
+    if fuse:
+        out = qmatmul_int8(
+            xm, wm, bias=bias_arr, multiplier=m_arr, shift=s_arr,
+            out_zp=out_zp, rounding=rounding, out_dtype=out_dtype,
+            qmin=qmin, qmax=qmax)
+    else:
+        out = qmatmul_int8(xm, wm, bias=bias_arr)
+    return out.reshape(n, oh, ow, cout)
+
+
+def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
+              izp, out_zp, rounding, out_dtype, qmin, qmax, fuse, blocks,
+              interp):
+    import jax.numpy as jnp
+
+    n, h, wd, cin = x.shape
+    kh, kw, _, cout = w.shape
+    sh, sw = strides
+
+    xs, (oh, ow, khp, kwp, hph, wph) = _phase_stack(
+        x, kh, kw, sh, sw, padding, izp)
+    # pad the phase-image width to a multiple of 4 so row-tap offsets stay
+    # int8-pack-aligned in the kernel (extra over-wide garbage columns only)
+    wph4 = _round_up(wph, 4)
+    if wph4 != wph:
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, wph4 - wph), (0, 0)),
+                     constant_values=np.int8(izp))
+        wph = wph4
+    wps = _phase_weights(jnp.asarray(w), sh, sw)  # (khp,kwp,P*cin,cout)
+    cin_s = wps.shape[2]
+    cin_p = _round_up(cin_s, 128)
+    cout_p = _round_up(cout, 128)
+
+    if blocks is None:
+        from ...tune.database import lookup_config
+
+        cfg = lookup_config(flat_conv_workload(
+            n, h, wd, cin, cout, kh, kw, strides, fuse))
+        if cfg and "blocks" in cfg:
+            blocks = tuple(cfg["blocks"])
+    if blocks is not None:
+        bm, bn, bk = blocks
+        fh, mp, fhx = _flat_lengths(n, hph, wph, khp, kwp, bm)
+    else:
+        fh, mp, fhx = _flat_lengths(n, hph, wph, khp, kwp, 512)
+        picked = _pick_conv_blocks(mp, cin_p, cout_p, khp, kwp, fhx)
+        if picked is None:
+            raise ValueError("flat conv exceeds VMEM budget; use the XLA path")
+        bm, bn, bk = picked
+        fh, mp, fhx = _flat_lengths(n, hph, wph, khp, kwp, bm)
+
+    xflat = xs.reshape(n * hph * wph, cin_s)
+    pad_rows = fhx - xflat.shape[0]
+    xflat = jnp.pad(xflat, ((0, pad_rows), (0, cin_p - cin_s)))
+    wfull = jnp.pad(wps, ((0, 0), (0, 0), (0, cin_p - cin_s),
+                          (0, cout_p - cout)))
+
+    pad1 = lambda a, cv=0: jnp.pad(
+        a, (0, cout_p - cout), constant_values=cv).reshape(1, cout_p)
+    if fuse:
+        b1, m1, s1 = pad1(bias_arr), pad1(m_arr, 1), pad1(s_arr)
+    else:
+        b1 = pad1(bias_arr)
+        m1 = jnp.ones((1, cout_p), jnp.int32)
+        s1 = jnp.zeros((1, cout_p), jnp.int32)
+
+    fn = _build_flat_conv(
+        mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk, fuse,
+        int(out_zp), rounding, qmin, qmax, out_dtype, shift_values, interp)
+    with _x32_tracing():
+        out = fn(xflat, wfull, b1, m1, s1)
+    # (mp, cout_p) over-wide -> (n, oh, ow, cout)
+    out = out[: n * fh].reshape(n, hph, wph, cout_p)
+    return out[:, :oh, :ow, :cout]
+
+
+def _conv_dw_vpu(x, w, bias_arr, m_arr, s_arr, shift_values, strides,
+                 padding, izp, out_zp, rounding, out_dtype, qmin, qmax,
+                 interp):
+    import jax.numpy as jnp
+
+    n, h, wd, c = x.shape
+    kh, kw, _, cout = w.shape
+    sh, sw = strides
+    pnum = sh * sw
+
+    oh, ow, khp, kwp, hph, wph = _phase_geometry(h, wd, kh, kw, sh, sw, padding)
+    hs, ws = hph * sh, wph * sw
+    pt, pl_, pb, pr = padding
+    xp = jnp.pad(
+        x, ((0, 0), (pt, hs - h - pt), (pl_, ws - wd - pl_), (0, 0)),
+        constant_values=np.int8(izp))
+    # phases unstacked: (N, P, Hph, Wph, C)
+    xr = xp.reshape(n, hph, sh, wph, sw, c)
+    xr = jnp.transpose(xr, (0, 2, 4, 1, 3, 5)).reshape(n, pnum, hph, wph, c)
+
+    # exact per-phase tap lists: tap (a,b) of phase (p,q) uses w[a*sh+p, b*sw+q]
+    taps = []
+    wrows = []
+    wj = jnp.asarray(w).reshape(kh, kw, c)
+    for p in range(sh):
+        for q in range(sw):
+            for a in range(_cdiv(kh - p, sh)):
+                for b in range(_cdiv(kw - q, sw)):
+                    taps.append((p * sw + q, a * wph + b, len(wrows)))
+                    wrows.append(wj[a * sh + p, b * sw + q])
+    wmat = jnp.stack(wrows)  # (n_taps, C)
+
+    n_rows = oh * wph        # over-wide output rows per image
+    maxoff = (khp - 1) * wph + (kwp - 1)
+    mchunk = 512
+    n_rows_p = _round_up(n_rows, mchunk)
+    fhx = _round_up(n_rows_p + max(maxoff, 1), 32)
+
+    c_p = _round_up(c, 128)
+    bc = 128
+    xflat = xr.reshape(n, pnum, hph * wph, c)
+    xflat = jnp.pad(
+        xflat, ((0, 0), (0, 0), (0, fhx - hph * wph), (0, c_p - c)))
+    wmat = jnp.pad(wmat, ((0, 0), (0, c_p - c)))
+    pad1 = lambda a, cv=0: jnp.pad(
+        a, (0, c_p - cout), constant_values=cv).reshape(1, c_p)
+
+    fn = _build_flat_dw(
+        n, pnum, fhx, c_p, n_rows, n_rows_p, len(taps), bc, mchunk,
+        tuple(taps), wph, int(out_zp), rounding, qmin, qmax, out_dtype,
+        shift_values, interp)
+    with _x32_tracing():
+        out = fn(xflat, wmat, pad1(bias_arr), pad1(m_arr, 1), pad1(s_arr))
+    out = out[:, :n_rows].reshape(n, oh, wph, c_p)
+    return out[:, :, :ow, :cout]
+
+
+def flat_conv_workload(n, h, w, cin, cout, kh, kw, strides, fuse) -> str:
+    sh, sw = strides
+    return (f"qconv2d_flat/N{n}_H{h}_W{w}_C{cin}_O{cout}_K{kh}x{kw}"
+            f"_S{sh}x{sw}{'_rq' if fuse else ''}")

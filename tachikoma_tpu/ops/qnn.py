@@ -453,3 +453,121 @@ def _qattn_np(q: np.ndarray, k: np.ndarray, v: np.ndarray, *, node: Node) -> np.
         rounding=node.attrs.get("rounding", "UPWARD"),
         out_dtype=node.attrs.get("out_dtype", "int8"),
     )
+
+
+# -- integer layer norm ------------------------------------------------------
+# The reference lowers nn.layer_norm as a float TOPI op
+# (`python/tvm/topi/nn/layer_norm.py`, registered in `src/relay/op/nn/nn.cc`);
+# a float island breaks the integer-only trace contract AND costs ~50x on the
+# BERT hot path (round-1 RESULTS.md).  qnn.layer_norm pins integer-only
+# semantics shared bit-for-bit by the numpy oracle and the XLA/TPU backend:
+#
+#   t   = x - z_x                        (int32, |t| <= 255)
+#   S   = sum(t); c = N*t - S            (int32; (x-mu)/s_x = c/N)
+#   d   = rshift_round(c, k1); V = max(sum(d^2), 1)        (int32)
+#   rsqrt(V) via the IEEE-754 bit pattern of float32(V) (int->f32 conversion
+#       is correctly-rounded on every backend): exponent e, u = mant*2^odd
+#       in [1,4), r = interp(RSQRT_TABLE, u) ~= 2^15/sqrt(u), so
+#       1/sqrt(V) = r * 2^-15 * 2^-e2 with e2 = (e-127)>>1
+#   y   = rshift_round(c, k2) * r * sign(gamma_ch)         (|y| < 2^30)
+#   out = clip(qms(y, m_ch, s_ch - e2) + bias_ch)          (int8)
+#
+# where (m_ch, s_ch) encode |gamma_ch| * sqrt(N) * 2^(k2-15-k1) / s_out and
+# bias_ch = round(beta_ch/s_out) + z_out.  k1/k2 are pinned per N so every
+# intermediate fits int32 (k1: sum of squares; k2: the Q15 product).
+
+LN_RSQRT_BITS = 15
+
+
+def rsqrt_table() -> np.ndarray:
+    """513-entry Q15 table of 2^15/sqrt(u) over u in [1, 4] (monotone,
+    contiguous across the even/odd-exponent halves; entry 512 = u=4)."""
+    i = np.arange(513, dtype=np.float64)
+    u = np.where(i < 256, 1.0 + i / 256.0, 2.0 + (i - 256.0) / 128.0)
+    return np.rint((1 << LN_RSQRT_BITS) / np.sqrt(u)).astype(np.int32)
+
+
+_LN_RSQRT_TABLE = rsqrt_table()
+
+
+def _ln_shift_plan(n_feat: int) -> tuple[int, int]:
+    maxc = 2 * 255 * n_feat
+    k1 = 0
+    while n_feat * (-(-maxc // (1 << k1))) ** 2 >= (1 << 31):
+        k1 += 1
+    k2 = max(0, maxc.bit_length() + LN_RSQRT_BITS - 30)
+    return k1, k2
+
+
+def plan_layer_norm(gamma, beta, in_scale: float, in_zp: int,
+                    out_scale: float, out_zp: int, n_feat: int) -> dict:
+    """Fold float gamma/beta into qnn.layer_norm integer attrs."""
+    from .fixed_point import fixed_point_multiplier_shift
+
+    gamma = np.asarray(gamma, np.float64).ravel()
+    beta = np.asarray(beta, np.float64).ravel()
+    k1, k2 = _ln_shift_plan(n_feat)
+    a_ch = (np.maximum(np.abs(gamma), 1e-12) * np.sqrt(n_feat)
+            * 2.0 ** (k2 - LN_RSQRT_BITS - k1) / float(out_scale))
+    ms, ss = zip(*(fixed_point_multiplier_shift(float(a)) for a in a_ch))
+    bias = np.clip(np.rint(beta / float(out_scale)) + out_zp,
+                   -(1 << 30), 1 << 30).astype(np.int64)
+    return {
+        "multiplier": [int(v) for v in ms],
+        "shift": [int(v) for v in ss],
+        "sign": [int(v) for v in np.where(gamma < 0, -1, 1)],
+        "bias": [int(v) for v in bias],
+        "k1": k1, "k2": k2,
+        "input_zero_point": int(in_zp),
+    }
+
+
+def _rshift_round_np(v: np.ndarray, k: int) -> np.ndarray:
+    if k <= 0:
+        return v
+    return (v + (1 << (k - 1))) >> k
+
+
+@infer_rule("qnn.layer_norm")
+def _qln_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    (a, _) = ins[0]
+    return tuple(a), node.attrs.get("out_dtype", "int8")
+
+
+@np_impl("qnn.layer_norm")
+def _qln_np(x: np.ndarray, *, node: Node) -> np.ndarray:
+    a = node.attrs
+    k1, k2 = int(a["k1"]), int(a["k2"])
+    n = x.shape[-1]
+    t = x.astype(np.int32) - np.int32(a.get("input_zero_point", 0))
+    s = t.sum(axis=-1, keepdims=True, dtype=np.int32)
+    c = np.int32(n) * t - s
+    d = _rshift_round_np(c, k1)
+    v = np.maximum((d * d).sum(axis=-1, keepdims=True, dtype=np.int32), 1)
+    fb = np.float32(0) + v.astype(np.float32)      # IEEE RNE int->f32
+    bits = fb.view(np.uint32).astype(np.int64)
+    e = (bits >> 23).astype(np.int32)
+    mant8 = ((bits >> 15) & 0xFF).astype(np.int32)
+    frac = ((bits >> 7) & 0xFF).astype(np.int32)
+    odd = (e - 127) & 1
+    e2 = (e - 127) >> 1
+    idx = odd * 256 + mant8
+    t0 = _LN_RSQRT_TABLE[idx]
+    t1 = _LN_RSQRT_TABLE[idx + 1]
+    r = t0 - (((t0 - t1) * frac) >> 8)             # Q15
+    y = _rshift_round_np(c, k2) * r                # int32 (< 2^30 by k2)
+    sign = np.asarray(a["sign"], np.int32)
+    y = y * sign
+    # per-element fixed-point multiply: m_ch * 2^(s_ch - e2 - 31), UPWARD
+    # (identical sequencing to fixed_point.q_multiply_shift with array shift)
+    m_ch = np.asarray(a["multiplier"], np.int64)
+    s_ch = np.asarray(a["shift"], np.int64)
+    sh = s_ch - e2.astype(np.int64)                # broadcast rows x channels
+    left = np.maximum(sh, 0)
+    total_right = np.int64(31) + np.maximum(-sh, 0)
+    prod = (y.astype(np.int64) << left) * m_ch
+    prod = prod + (np.int64(1) << (total_right - 1))
+    out = prod >> total_right
+    out = out + np.asarray(a["bias"], np.int64)
+    odt = a.get("out_dtype", "int8")
+    return np.clip(out, dt.qmin(odt), dt.qmax(odt)).astype(odt)

@@ -282,7 +282,10 @@ def _conv_rq_jax(*args, node: Node):
         and int(a.get("kernel_zero_point", 0)) == 0
         and int(a.get("rq_input_zero_point", 0)) == 0
     ):
-        from ..ops.pallas.conv_int8 import qconv2d_int8, qconv2d_supported
+        from ..ops.pallas.conv_flat import (
+            qconv2d_flat as qconv2d_int8,
+            qconv2d_flat_supported as qconv2d_supported,
+        )
 
         if qconv2d_supported(data.shape, weight.shape, strides, padding, groups):
             info = np.iinfo(np.dtype(a.get("out_dtype", "int8")))

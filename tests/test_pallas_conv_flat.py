@@ -1,0 +1,88 @@
+"""Flat shifted-matmul Pallas conv vs the oracle — bit-exact (interpret mode
+on CPU; identical kernel code compiles for TPU)."""
+
+import numpy as np
+import pytest
+
+from tachikoma_tpu.ir.graph import Node
+from tachikoma_tpu.ir.registry import get_op
+from tachikoma_tpu.ops.fixed_point import requantize_np
+from tachikoma_tpu.ops.pallas.conv_flat import (
+    qconv2d_flat,
+    qconv2d_flat_supported,
+)
+from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
+
+
+def oracle(x, w, bias, scales, out_scale, ozp, strides, padding, groups, izp):
+    node = Node(
+        "c", "qnn.conv2d", ("d", "w"),
+        {"strides": strides, "padding": padding, "groups": groups,
+         "input_zero_point": izp, "kernel_zero_point": 0, "out_dtype": "int32"},
+    )
+    acc = get_op("qnn.conv2d").np_impl(x, w, node=node)
+    if bias is not None:
+        acc = acc + bias.reshape(1, 1, 1, -1)
+    return requantize_np(acc, scales, 0, out_scale, ozp, axis=3, out_dtype="int8")
+
+
+@pytest.mark.parametrize(
+    "shape,k,strides,padding,groups",
+    [
+        ((1, 14, 14, 64), 3, (1, 1), (1, 1, 1, 1), 1),
+        ((2, 9, 9, 32), 3, (2, 2), (1, 1, 1, 1), 1),      # polyphase stride 2
+        ((1, 8, 8, 40), 3, (1, 1), (0, 0, 0, 0), 1),      # unaligned cin/cout
+        ((1, 10, 10, 32), 1, (1, 1), (0, 0, 0, 0), 1),    # 1x1 -> matmul
+        ((1, 11, 11, 32), 1, (2, 2), (0, 0, 0, 0), 1),    # 1x1 stride 2
+        ((2, 7, 7, 24), 5, (3, 3), (2, 2, 2, 2), 1),      # odd k, stride 3
+        ((1, 12, 12, 128), 3, (1, 1), (1, 1, 1, 1), 128),   # depthwise
+        ((1, 11, 11, 96), 3, (2, 2), (1, 1, 1, 1), 96),     # dw stride 2
+        ((1, 14, 14, 160), 5, (2, 2), (2, 2, 2, 2), 160),   # dw 5x5 stride 2
+    ],
+)
+def test_flat_conv_bitexact(rng, shape, k, strides, padding, groups):
+    n, h, w_, cin = shape
+    cout = cin if groups > 1 else 48
+    x = rng.integers(-127, 127, shape).astype(np.int8)
+    w = rng.integers(-127, 127, (k, k, cin // groups, cout)).astype(np.int8)
+    bias = rng.integers(-2000, 2000, cout).astype(np.int32)
+    scales = 0.0002 + np.abs(rng.standard_normal(cout)) * 0.0005
+    m_arr, s_arr = plan_requantize(scales, 0.07)
+    assert qconv2d_flat_supported(shape, w.shape, strides, padding, groups)
+    got = np.asarray(
+        qconv2d_flat(
+            x, w, bias=bias, multiplier=m_arr, shift=s_arr,
+            strides=strides, padding=padding, groups=groups, out_zp=4,
+        )
+    )
+    want = oracle(x, w, bias, scales, 0.07, 4, strides, padding, groups, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_flat_conv_input_zero_point(rng):
+    """Nonzero input zp folds into the bias; izp-padded borders + polyphase
+    phase padding must stay exact."""
+    for strides in [(1, 1), (2, 2)]:
+        x = rng.integers(-128, 127, (1, 9, 9, 32)).astype(np.int8)
+        w = rng.integers(-127, 127, (3, 3, 32, 32)).astype(np.int8)
+        m, s = plan_requantize(0.0004, 0.05)
+        got = np.asarray(
+            qconv2d_flat(
+                x, w, multiplier=m, shift=s, strides=strides,
+                padding=(1, 1, 1, 1), input_zero_point=7,
+            )
+        )
+        want = oracle(x, w, None, 0.0004, 0.05, 0, strides, (1, 1, 1, 1), 1, 7)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_flat_conv_raw_acc(rng):
+    """Unfused mode returns the exact int32 accumulator (+bias)."""
+    x = rng.integers(-127, 127, (1, 8, 8, 32)).astype(np.int8)
+    w = rng.integers(-127, 127, (3, 3, 32, 16)).astype(np.int8)
+    node = Node("c", "qnn.conv2d", ("d", "w"),
+                {"strides": (1, 1), "padding": (1, 1, 1, 1), "groups": 1,
+                 "out_dtype": "int32"})
+    want = get_op("qnn.conv2d").np_impl(x, w, node=node)
+    got = np.asarray(qconv2d_flat(x, w, strides=(1, 1), padding=(1, 1, 1, 1)))
+    np.testing.assert_array_equal(got, want)
