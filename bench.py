@@ -77,7 +77,7 @@ def bench_int8_conv_pallas():
     def feedback(a, out):
         return a ^ (out & 1)
 
-    per = _per_iter(fn, x, feedback, iters_lo=20, iters_hi=120)
+    per = _per_iter(fn, x, feedback, iters_lo=10, iters_hi=50)
     macs = n * h * w * cout * k * k * cin
     return 2 * macs / per / 1e9, per
 
@@ -114,18 +114,20 @@ def bench_trace_gen():
     qg = quantize(g, data)
     em = TraceEmitter(qg, backend="jax")
     log("bench: compiling + first trace emit ...")
-    blob = em.emit_bytes(data[0])
-    n_records = sum(
-        1 for n in qg.nodes
-        if n.op not in ("var", "const", "tuple", "tuple_get_item")
-    )
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "tk_bench_trace.bin")
+    n_records = em.emit_to(data[0], path)  # native zero-copy writer
+    trace_bytes = os.path.getsize(path)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        em.emit_bytes(data[0])
+        em.emit_to(data[0], path)
         times.append(time.perf_counter() - t0)
     t = min(times)
-    return n_records / t, n_records, len(blob), t
+    os.unlink(path)
+    return n_records / t, n_records, trace_bytes, t
 
 
 def main():

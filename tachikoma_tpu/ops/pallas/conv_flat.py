@@ -573,7 +573,9 @@ def _conv_dw_vpu(x, w, bias_arr, m_arr, s_arr, shift_values, strides,
     return out[:, :, :ow, :cout]
 
 
-def flat_conv_workload(n, h, w, cin, cout, kh, kw, strides, fuse) -> str:
+def flat_conv_workload(n, h, w, cin, cout, kh, kw, strides, fuse,
+                       groups: int = 1) -> str:
     sh, sw = strides
+    g = f"_G{groups}" if groups != 1 else ""
     return (f"qconv2d_flat/N{n}_H{h}_W{w}_C{cin}_O{cout}_K{kh}x{kw}"
-            f"_S{sh}x{sw}{'_rq' if fuse else ''}")
+            f"_S{sh}x{sw}{g}{'_rq' if fuse else ''}")

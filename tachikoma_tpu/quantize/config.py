@@ -38,6 +38,9 @@ class QConfig:
     # float unary ops realized as 256-entry int8 LUTs (qnn.lut) instead of
     # dequant->float->quant; wins determinism + fusion
     lut_ops: frozenset = frozenset()
+    # nn.layer_norm -> qnn.layer_norm (pinned integer semantics) instead of a
+    # dequantized float island (ops/qnn.py integer layer norm)
+    integer_layer_norm: bool = True
 
 
 # Preset for the BERT/ViT integer-attention trace path.

@@ -360,6 +360,33 @@ class Quantizer:
         )
         self.env[n.name] = QVal("quant", out, oscale, ozp, self.cfg.act_dtype)
 
+    def _layer_norm(self, n: Node):
+        """nn.layer_norm -> qnn.layer_norm with pinned integer semantics
+        (ops/qnn.py); removes the float island that dominates the BERT hot
+        path.  Falls back when gamma/beta aren't constants or the axis isn't
+        the last dimension."""
+        src = self.env[n.inputs[0]]
+        axis = int(n.attrs.get("axis", -1))
+        shape = self.g[n.inputs[0]].shape
+        if (src.kind == "float"
+                or shape is None
+                or axis not in (-1, len(shape) - 1)
+                or n.inputs[1] not in self.g.params
+                or n.inputs[2] not in self.g.params):
+            self._float_fallback(n)
+            return
+        from ..ops.qnn import plan_layer_norm
+
+        src = self.to_quant(n.inputs[0])
+        gamma = self.g.params[n.inputs[1]]
+        beta = self.g.params[n.inputs[2]]
+        oscale, ozp = self.act_qparams(n.name)
+        attrs = plan_layer_norm(gamma, beta, float(src.scale), src.zp,
+                                oscale, ozp, int(shape[-1]))
+        attrs["out_dtype"] = self.cfg.act_dtype
+        out = self.b.call("qnn.layer_norm", src.name, name=n.name, **attrs)
+        self.env[n.name] = QVal("quant", out, oscale, ozp, self.cfg.act_dtype)
+
     def _float_fallback(self, n: Node):
         ins = [self.to_float(i).name for i in n.inputs]
         out = self.b.call(n.op, *ins, name=n.name, **dict(n.attrs))
@@ -387,6 +414,8 @@ class Quantizer:
         }
         if cfg.integer_softmax:
             handlers["nn.softmax"] = self._softmax
+        if getattr(cfg, "integer_layer_norm", False):
+            handlers["nn.layer_norm"] = self._layer_norm
         for op in cfg.lut_ops:
             handlers[op] = self._lut_unary
         for op in _PASSTHROUGH - set(handlers):

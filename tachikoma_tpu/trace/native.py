@@ -132,6 +132,41 @@ class NativeTraceWriter:
         if rc != 0:
             raise RuntimeError(f"tk_record_end failed: {rc}")
 
+    def write_node(self, node_id: int, node, in_arrays, out_arrays):
+        """Zero-copy record write: numpy array buffers are handed to the C
+        writer directly (no .tobytes() copies, no TensorRecord objects) —
+        the hot path for full-graph trace generation."""
+        import numpy as np
+
+        lib = self._lib
+        name_b = node.name.encode()
+        op_b = node.op.encode()
+        attrs_b = canonical_attrs(dict(node.attrs))
+        rc = lib.tk_record_begin(
+            self._handle, node_id, op_id(node.op),
+            name_b, len(name_b), op_b, len(op_b),
+            attrs_b, len(attrs_b), len(in_arrays) + len(out_arrays),
+        )
+        if rc != 0:
+            raise RuntimeError(f"tk_record_begin failed: {rc}")
+        for role, arr in [*in_arrays, *out_arrays]:
+            a = np.ascontiguousarray(arr)
+            if a.dtype == np.bool_:
+                a = a.astype(np.uint8)
+                code = DTYPE_CODES["bool"]
+            else:
+                code = DTYPE_CODES[str(a.dtype)]
+            dims = (ctypes.c_uint32 * a.ndim)(*a.shape)
+            rc = lib.tk_record_tensor(
+                self._handle, role, code, a.ndim, dims,
+                ctypes.cast(a.ctypes.data, ctypes.c_char_p), a.nbytes,
+            )
+            if rc != 0:
+                raise RuntimeError(f"tk_record_tensor failed: {rc}")
+        rc = lib.tk_record_end(self._handle)
+        if rc != 0:
+            raise RuntimeError(f"tk_record_end failed: {rc}")
+
     def finish(self):
         rc = self._lib.tk_writer_finish(self._handle)
         self._handle = None

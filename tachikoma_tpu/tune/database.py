@@ -115,7 +115,29 @@ class apply_history_best:
         _CURRENT_DB = self._prev
 
 
+_DEFAULT_DB: TuneDatabase | None = None
+_DEFAULT_DB_LOADED = False
+
+# The packaged pretuned database — the TopHub analog
+# (`/root/reference/python/tvm/autotvm/tophub.py:41`): measured on a real
+# v5e chip and shipped in-tree so models get tuned blockings with no setup.
+TOPHUB_PATH = os.path.join(os.path.dirname(__file__), "tophub_v5e.jsonl")
+
+
+def default_database() -> TuneDatabase | None:
+    """The fallback database: $TK_TUNE_DB if set, else the packaged tophub
+    file (loaded once)."""
+    global _DEFAULT_DB, _DEFAULT_DB_LOADED
+    if not _DEFAULT_DB_LOADED:
+        _DEFAULT_DB_LOADED = True
+        path = os.environ.get("TK_TUNE_DB", TOPHUB_PATH)
+        if path and os.path.exists(path):
+            _DEFAULT_DB = TuneDatabase(path)
+    return _DEFAULT_DB
+
+
 def lookup_config(workload: str) -> dict | None:
-    if _CURRENT_DB is None:
+    db = _CURRENT_DB if _CURRENT_DB is not None else default_database()
+    if db is None:
         return None
-    return _CURRENT_DB.best_config(workload)
+    return db.best_config(workload)

@@ -29,6 +29,30 @@ def matmul_workload(M: int, K: int, N: int, fused: bool) -> str:
     return f"qmatmul_int8/M{M}_K{K}_N{N}/{'fused' if fused else 'raw'}"
 
 
+def _feedback_sum(a, out):
+    """Full-output consumption: the xor bit depends on EVERY output element
+    (a bare element pick would let XLA narrow the computation)."""
+    import jax.numpy as jnp
+
+    return a ^ (out.astype(jnp.int32).sum() & 1).astype(a.dtype)
+
+
+def _measure_scan(fn, x0, repeats: int = 3,
+                  iters_lo: int = 8, iters_hi: int = 40) -> tuple[float, int, str]:
+    """Compile + measure per-iteration time with the scan differential
+    protocol (dispatch over the tunnel costs ~25 ms; naive per-dispatch
+    timing would swamp every kernel)."""
+    from ..utils.timing import per_iter_scan
+
+    try:
+        t = per_iter_scan(fn, x0, _feedback_sum, iters_lo, iters_hi, repeats)
+        return t, NO_ERROR, ""
+    except Exception:
+        tb = traceback.format_exc(limit=4)
+        err = COMPILE_ERROR if ("Mosaic" in tb or "compile" in tb.lower()) else RUNTIME_ERROR
+        return float("inf"), err, tb[-500:]
+
+
 def conv_workload(n, h, w, cin, cout, kh, kw, stride, groups) -> str:
     return (
         f"qconv2d_int8/N{n}_H{h}_W{w}_C{cin}_O{cout}_K{kh}x{kw}"
@@ -37,12 +61,20 @@ def conv_workload(n, h, w, cin, cout, kh, kw, stride, groups) -> str:
 
 
 def matmul_candidates(M: int, K: int, N: int) -> list[tuple[int, int, int]]:
+    from ..ops.pallas.matmul_int8 import _round_up
+
+    mp = _round_up(M, 32)
+    np_ = _round_up(N, 128)
+    kp = _round_up(K, 128)
     cands = []
-    for bm in (256, 512, 1024):
-        for bn in (256, 512, 1024):
-            for bk in (512, 1024, 2048):
-                if bm <= M * 2 and bn <= N * 2 and bk <= K * 2:
-                    cands.append((min(bm, M), min(bn, N), min(bk, K)))
+    for bm in (128, 256, 512, 1024):
+        for bn in (128, 256, 512, 1024):
+            for bk in (128, 256, 512, 1024, 2048):
+                bm2, bn2, bk2 = min(bm, mp), min(bn, np_), min(bk, kp)
+                # VMEM: double-buffered x/w blocks + int32 acc + out
+                vm = 2 * bm2 * bk2 + 2 * bk2 * bn2 + 4 * bm2 * bn2 + 2 * bm2 * bn2
+                if vm <= 12 * 1024 * 1024:
+                    cands.append((bm2, bn2, bk2))
     return sorted(set(cands))
 
 
@@ -73,40 +105,117 @@ def tune_matmul(
     from ..ops.pallas.matmul_int8 import _build_qmatmul, _interpret_default
     from ..ops.pallas.qms32 import plan_requantize
 
+    from ..ops.pallas.matmul_int8 import qmatmul_int8
+
     rng = np.random.default_rng(0)
     A = jnp.asarray(rng.integers(-127, 127, (M, K)).astype(np.int8))
     B = jnp.asarray(rng.integers(-127, 127, (K, N)).astype(np.int8))
-    interp = _interpret_default()
     if fused:
         mult, shift = plan_requantize(0.0004, 0.05)
-        bias = jnp.zeros((1, N), jnp.int32)
-        mv = jnp.full((1, N), mult, jnp.int32)
-        sv = jnp.full((1, N), shift, jnp.int32)
 
     workload = matmul_workload(M, K, N, fused)
     for bm, bn, bk in candidates or matmul_candidates(M, K, N):
-        if M % bm or N % bn or K % bk:
-            continue
-
-        def build():
+        def fn(a, _blocks=(bm, bn, bk)):
             if fused:
-                f = _build_qmatmul(M, K, N, bm, bn, bk, 0, "UPWARD", -128, 127,
-                                   "int8", True, interp, (int(shift),))
-                args = (A, B, bias, mv, sv)
-            else:
-                f = _build_qmatmul(M, K, N, bm, bn, bk, 0, "UPWARD", -128, 127,
-                                   "int32", False, interp)
-                args = (A, B)
-            f(*args).block_until_ready()  # compile now
-            return lambda: f(*args).block_until_ready()
+                return qmatmul_int8(a, B, multiplier=mult, shift=shift,
+                                    blocks=_blocks)
+            return qmatmul_int8(a, B, blocks=_blocks)
 
-        t, err, msg = measure_candidate(build)
-        rec = TuneRecord(workload, {"blocks": [bm, bn, bk]},
-                         t * 1e3 if t != float("inf") else float("inf"), err, msg)
+        t, err, msg = _measure_scan(fn, A)
+        rec = TuneRecord(
+            workload, {"blocks": [bm, bn, bk]},
+            t * 1e3 if t != float("inf") else float("inf"), err, msg,
+            meta={"tops": round(2 * M * K * N / t / 1e12, 2)} if err == NO_ERROR else {},
+        )
         db.add(rec)
         if verbose:
-            status = f"{t*1e3:.3f} ms" if err == NO_ERROR else f"err{err}"
+            status = (f"{t*1e6:.1f} us ({rec.meta.get('tops', 0)} TOPS)"
+                      if err == NO_ERROR else f"err{err}")
             print(f"  {workload} blocks=({bm},{bn},{bk}): {status}", flush=True)
+    return db.best(workload)
+
+
+def conv_flat_candidates(mp, cin_p, cout_p, khp, kwp, fhx) -> list[tuple[int, int, int]]:
+    from ..ops.pallas.conv_flat import _VMEM_BUDGET
+
+    cands = []
+    for bk in (128, 256, 512):
+        if bk > cin_p or cin_p % bk:
+            continue
+        for bn in (128, 256, 512):
+            if bn > cout_p or cout_p % bn:
+                continue
+            for bm in (128, 256, 512, 1024, 2048):
+                if bm > mp:
+                    continue
+                vm = (2 * fhx * bk + 2 * khp * kwp * bk * bn
+                      + bm * bn * 4 + 2 * bm * bn)
+                if vm <= _VMEM_BUDGET:
+                    cands.append((bm, bn, bk))
+    return sorted(set(cands))
+
+
+def tune_conv_flat(
+    shape: tuple, wshape: tuple, strides, padding, groups, db: TuneDatabase,
+    verbose: bool = True,
+) -> TuneRecord | None:
+    """Grid-search the flat conv kernel's (bm, bn, bk) blockings."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas.conv_flat import (
+        _flat_lengths,
+        _phase_geometry,
+        flat_conv_workload,
+        qconv2d_flat,
+        qconv2d_flat_supported,
+    )
+    from ..ops.pallas.matmul_int8 import _round_up
+    from ..ops.pallas.qms32 import plan_requantize
+
+    n, h, w, cin = shape
+    kh, kw, wcin, cout = wshape
+    sh, sw = strides
+    workload = flat_conv_workload(n, h, w, cin, cout, kh, kw, strides, True,
+                                  groups)
+    if not qconv2d_flat_supported(shape, wshape, strides, padding, groups):
+        db.add(TuneRecord(workload, {}, float("inf"), COMPILE_ERROR, "unsupported"))
+        return None
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-127, 127, shape).astype(np.int8))
+    wt = jnp.asarray(rng.integers(-127, 127, wshape).astype(np.int8))
+    m, s = plan_requantize(0.0004, 0.05)
+
+    if groups == 1 and (kh, kw) != (1, 1):
+        oh, ow, khp, kwp, hph, wph = _phase_geometry(h, w, kh, kw, sh, sw, padding)
+        wph = _round_up(wph, 4)
+        cin_p = _round_up(sh * sw * cin, 128)
+        cout_p = _round_up(cout, 128)
+        fh, mp, fhx = _flat_lengths(n, hph, wph, khp, kwp, 512)
+        cands = conv_flat_candidates(mp, cin_p, cout_p, khp, kwp, fhx)
+    else:
+        cands = [None]  # matmul-routed 1x1 / depthwise: single internal config
+
+    macs = n * ((h + padding[0] + padding[2] - kh) // sh + 1) * (
+        (w + padding[1] + padding[3] - kw) // sw + 1
+    ) * cout * kh * kw * (cin // groups)
+    for blocks in cands:
+        def fn(a, _blocks=blocks):
+            return qconv2d_flat(a, wt, multiplier=m, shift=s,
+                                strides=tuple(strides), padding=tuple(padding),
+                                groups=groups, blocks=_blocks)
+
+        t, err, msg = _measure_scan(fn, x)
+        rec = TuneRecord(
+            workload,
+            {"blocks": list(blocks)} if blocks else {"kernel": "routed"},
+            t * 1e3 if t != float("inf") else float("inf"), err, msg,
+            meta={"tops": round(2 * macs / t / 1e12, 2)} if err == NO_ERROR else {},
+        )
+        db.add(rec)
+        if verbose:
+            status = (f"{t*1e6:.1f} us ({rec.meta.get('tops', 0)} TOPS)"
+                      if err == NO_ERROR else f"err{err}: {msg[:60]}")
+            print(f"  {workload} {blocks}: {status}", flush=True)
     return db.best(workload)
 
 

@@ -65,3 +65,23 @@ def scan_loop(fn, feedback, init, iters: int):
         return x
 
     return jax.jit(run).lower(init).compile()
+
+
+def per_iter_scan(fn, x0, feedback, iters_lo: int = 8, iters_hi: int = 40,
+                  repeats: int = 4) -> float:
+    """Per-iteration kernel time via the scan + differential protocol.
+
+    feedback(x, out) must consume the FULL output (e.g. a shape-matched xor)
+    — a scalar-reduced feedback lets XLA narrow the computation and fakes
+    impossible throughputs (observed on v5e)."""
+
+    def make(iters):
+        c = scan_loop(fn, feedback, x0, iters)
+        return lambda: c(x0).block_until_ready()
+
+    t_lo = time_jitted(make(iters_lo), warmup=1, repeats=repeats)
+    t_hi = time_jitted(make(iters_hi), warmup=1, repeats=repeats)
+    per = (t_hi - t_lo) / (iters_hi - iters_lo)
+    if per <= 0:
+        per = t_hi / iters_hi
+    return per
