@@ -52,6 +52,9 @@ class _OnnxImporter:
         self.env: dict[str, tuple[Any, str]] = {}
         self.consts: dict[str, np.ndarray] = {}
         self.input_shapes = dict(input_shapes or {})
+        # onnx value name -> (scale array, zp array, axis, per_axis) for
+        # constants that came through QuantizeLinear/DequantizeLinear
+        self.qdq_info: dict[str, tuple] = {}
 
     # -- value plumbing -----------------------------------------------------
     def val(self, name: str) -> tuple[str, str]:
@@ -190,6 +193,130 @@ class _OnnxImporter:
                     a_min=lo if lo is not None else -3.4e38,
                     a_max=hi if hi is not None else 3.4e38)
 
+    # -- QDQ / prequantized import ------------------------------------------
+    # QuantizeLinear/DequantizeLinear pairs import as qnn.quantize/dequantize
+    # nodes; dequantized weight constants fold to float but carry their model
+    # scales as const-node attrs (qdq_scale/qdq_zero_point) so the FQ2I pass
+    # (quantize/fq2i.py) recovers the EXACT int8 weights — the behavior of
+    # the reference's FakeQuantizationToInteger
+    # (`/root/reference/src/relay/transforms/fake_quantization_to_integer.cc:540`).
+
+    def _mark_qdq(self, const_name: str, onnx_name: str, last_axis_was: int):
+        """Mark an imported weight const with its model quantization scales.
+        last_axis_was: which ORIGINAL axis ended up last after any layout
+        transpose (per-axis scales must live on the last axis)."""
+        info = self.qdq_info.get(onnx_name)
+        if info is None:
+            return
+        scale, zp, axis, per_axis = info
+        if per_axis and axis != last_axis_was:
+            return  # channel axis didn't land on the last dim; skip marking
+        if np.any(np.asarray(zp) != 0):
+            return  # integer kernels assume symmetric weights
+        self.b.annotate(
+            const_name,
+            qdq_scale=[float(s) for s in np.atleast_1d(scale)],
+            qdq_per_axis=bool(per_axis),
+        )
+
+    def op_QuantizeLinear(self, ins, outs, attrs):
+        scale = self.const_value(ins[1])
+        zp = self.const_value(ins[2]) if len(ins) > 2 and ins[2] else None
+        out_dtype = str(zp.dtype) if zp is not None else "int8"
+        per_axis = scale.ndim > 0 and scale.size > 1
+        zp_v = int(np.atleast_1d(zp)[0]) if (zp is not None and not per_axis) else (
+            [int(v) for v in zp] if zp is not None else 0)
+        xc = self.const_value(ins[0])
+        if xc is not None:
+            axis = int(attrs.get("axis", 1))
+            s = np.asarray(scale, np.float32)
+            z = np.asarray(zp if zp is not None else 0, np.int32)
+            if per_axis:
+                sh = [1] * xc.ndim
+                sh[axis] = -1
+                s = s.reshape(sh)
+                z = z.reshape(sh) if z.ndim > 0 else z
+            info = np.iinfo(np.dtype(out_dtype))
+            q = np.clip(np.rint(xc.astype(np.float32) / s) + z,
+                        info.min, info.max).astype(out_dtype)
+            self.env[outs[0]] = (q, "onnx")
+            self.consts[outs[0]] = q
+            self.qdq_info[outs[0]] = (np.atleast_1d(scale), np.atleast_1d(
+                zp if zp is not None else 0), int(attrs.get("axis", 1)), per_axis)
+            return
+        v, layout = self.val(ins[0])
+        out = self.b.call(
+            "qnn.quantize", v,
+            scale=[float(s) for s in np.atleast_1d(scale)] if per_axis else float(scale),
+            zero_point=zp_v, out_dtype=out_dtype,
+            name=outs[0][:40] or None,
+        )
+        self.set(outs[0], out, layout)
+
+    def op_DequantizeLinear(self, ins, outs, attrs):
+        scale = self.const_value(ins[1])
+        zp = self.const_value(ins[2]) if len(ins) > 2 and ins[2] else None
+        per_axis = scale.ndim > 0 and scale.size > 1
+        qc = self.const_value(ins[0])
+        if qc is not None:
+            # dequantized constant (weights/bias): fold to float, remember
+            # the model scales for exact FQ2I recovery
+            axis = int(attrs.get("axis", 1)) if per_axis else 0
+            s = np.asarray(scale, np.float32)
+            z = np.asarray(zp if zp is not None else 0, np.int32)
+            if per_axis:
+                sh = [1] * qc.ndim
+                sh[axis] = -1
+                s = s.reshape(sh)
+                z = z.reshape(sh) if z.ndim > 0 else z
+            wf = ((qc.astype(np.int64) - z).astype(np.float32) * s).astype(np.float32)
+            self.env[outs[0]] = (wf, "onnx")
+            self.consts[outs[0]] = wf
+            self.qdq_info[outs[0]] = (np.atleast_1d(scale), np.atleast_1d(
+                zp if zp is not None else 0), axis, per_axis)
+            return
+        v, layout = self.val(ins[0])
+        zp_v = int(np.atleast_1d(zp)[0]) if (zp is not None and not per_axis) else (
+            [int(x) for x in zp] if zp is not None else 0)
+        out = self.b.call(
+            "qnn.dequantize", v,
+            scale=[float(s) for s in np.atleast_1d(scale)] if per_axis else float(scale),
+            zero_point=zp_v,
+            name=outs[0][:40] or None,
+        )
+        self.set(outs[0], out, layout)
+
+    def op_QLinearConv(self, ins, outs, attrs):
+        """QLinearConv decomposes to dequantize -> Conv -> quantize; FQ2I
+        then reconstitutes the integer conv with the model's scales."""
+        x_s, x_zp = self.const_value(ins[1]), self.const_value(ins[2])
+        y_s, y_zp = self.const_value(ins[6]), self.const_value(ins[7])
+        dq_x = f"{outs[0]}__dqx"
+        self.op_DequantizeLinear([ins[0], ins[1], ins[2]], [dq_x], {})
+        dq_w = f"{outs[0]}__dqw"
+        self.op_DequantizeLinear([ins[3], ins[4], ins[5]], [dq_w], {"axis": 0})
+        conv_out = f"{outs[0]}__conv"
+        conv_ins = [dq_x, dq_w]
+        if len(ins) > 8 and ins[8]:
+            bq = self.const_value(ins[8])  # int32, scale = x_s * w_s
+            ws = np.atleast_1d(self.const_value(ins[4])).astype(np.float64)
+            bf = (bq.astype(np.float64) * (float(np.atleast_1d(x_s)[0]) * ws)).astype(np.float32)
+            dq_b = f"{outs[0]}__dqb"
+            self.env[dq_b] = (bf, "onnx")
+            self.consts[dq_b] = bf
+            conv_ins.append(dq_b)
+        self.op_Conv(conv_ins, [conv_out], attrs)
+        self.op_QuantizeLinear([conv_out, ins[6], ins[7]], outs, {})
+
+    def op_QLinearMatMul(self, ins, outs, attrs):
+        dq_a = f"{outs[0]}__dqa"
+        self.op_DequantizeLinear([ins[0], ins[1], ins[2]], [dq_a], {})
+        dq_b = f"{outs[0]}__dqb"
+        self.op_DequantizeLinear([ins[3], ins[4], ins[5]], [dq_b], {})
+        mm = f"{outs[0]}__mm"
+        self.op_MatMul([dq_a, dq_b], [mm], {})
+        self.op_QuantizeLinear([mm, ins[6], ins[7]], outs, {})
+
     def op_Conv(self, ins, outs, attrs):
         x = self.as_nhwc(ins[0])
         w = self.const_value(ins[1])
@@ -197,6 +324,8 @@ class _OnnxImporter:
         groups = int(attrs.get("group", 1))
         w_hwio = np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
         wn = self.b.const(w_hwio, name=ins[1][:40] + "_w")
+        # OIHW axis 0 (out channels) lands on the last HWIO axis
+        self._mark_qdq(wn, ins[1], last_axis_was=0)
         pads = attrs.get("pads", [0, 0, 0, 0])  # [t, l, b, r]
         strides = attrs.get("strides", [1, 1])
         dil = attrs.get("dilations", [1, 1])
@@ -222,6 +351,9 @@ class _OnnxImporter:
         if attrs.get("transB", 0):
             w = w.T
         wn = self.b.const(np.ascontiguousarray(w * np.float32(alpha)), name=ins[1][:40] + "_w")
+        if alpha == 1.0:
+            # (N,K) axis 0 -> last after transB transpose; (K,N) axis 1 is last
+            self._mark_qdq(wn, ins[1], last_axis_was=0 if attrs.get("transB", 0) else 1)
         out = self.b.call("nn.dense", x, wn)
         if len(ins) > 2 and ins[2]:
             bias = self.const_value(ins[2]) * np.float32(beta)
@@ -232,7 +364,9 @@ class _OnnxImporter:
         a = self.as_onnx(ins[0])
         bw = self.const_value(ins[1])
         if bw is not None and bw.ndim == 2:
-            out = self.b.call("nn.dense", a, self.b.const(np.ascontiguousarray(bw)))
+            wn = self.b.const(np.ascontiguousarray(bw))
+            self._mark_qdq(wn, ins[1], last_axis_was=1)
+            out = self.b.call("nn.dense", a, wn)
         else:
             b2 = self.as_onnx(ins[1])
             out = self.b.call("nn.batch_matmul", a, b2)

@@ -340,6 +340,18 @@ class GraphBuilder:
         self.nodes.append(node)
         return node.name
 
+    def annotate(self, name: str, **attrs) -> str:
+        """Attach/overwrite attrs on an already-added node (e.g. marking an
+        imported constant with its source quantization parameters)."""
+        for i in range(len(self.nodes) - 1, -1, -1):
+            if self.nodes[i].name == name:
+                merged = dict(self.nodes[i].attrs)
+                merged.update({k: _canon_attr(v) for k, v in attrs.items()
+                               if v is not None})
+                self.nodes[i] = self.nodes[i].with_(attrs=merged)
+                return name
+        raise KeyError(name)
+
     def var(self, name: str, shape: Sequence[int] | None, dtype: str | None) -> str:
         return self._add(
             Node(

@@ -394,7 +394,7 @@ class Quantizer:
 
     # -- driver --------------------------------------------------------------
 
-    def run(self) -> Graph:
+    def _make_handlers(self) -> dict:
         cfg = self.cfg
         handlers: dict[str, Callable[[Node], None]] = {
             "nn.conv2d": self._conv_dense,
@@ -420,7 +420,11 @@ class Quantizer:
             handlers[op] = self._lut_unary
         for op in _PASSTHROUGH - set(handlers):
             handlers[op] = self._passthrough
+        return handlers
 
+    def run(self) -> Graph:
+        cfg = self.cfg
+        handlers = self._make_handlers()
         for n in self.g.nodes:
             if n.op == VAR:
                 name = self.b.var(n.name, n.shape, n.dtype)

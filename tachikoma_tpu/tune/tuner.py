@@ -45,7 +45,7 @@ def _measure_scan(fn, x0, repeats: int = 3,
     from ..utils.timing import per_iter_scan
 
     try:
-        t = per_iter_scan(fn, x0, _feedback_sum, iters_lo, iters_hi, repeats)
+        t = per_iter_scan(fn, x0, _feedback_sum, iters_lo, None, repeats)
         return t, NO_ERROR, ""
     except Exception:
         tb = traceback.format_exc(limit=4)
@@ -114,16 +114,18 @@ def tune_matmul(
         mult, shift = plan_requantize(0.0004, 0.05)
 
     workload = matmul_workload(M, K, N, fused)
-    for bm, bn, bk in candidates or matmul_candidates(M, K, N):
-        def fn(a, _blocks=(bm, bn, bk)):
+    cands = list(candidates or matmul_candidates(M, K, N)) + ["xla"]
+    for cand in cands:
+        def fn(a, _blocks=cand):
             if fused:
                 return qmatmul_int8(a, B, multiplier=mult, shift=shift,
                                     blocks=_blocks)
             return qmatmul_int8(a, B, blocks=_blocks)
 
         t, err, msg = _measure_scan(fn, A)
+        cfg = {"impl": "xla"} if cand == "xla" else {"blocks": list(cand)}
         rec = TuneRecord(
-            workload, {"blocks": [bm, bn, bk]},
+            workload, cfg,
             t * 1e3 if t != float("inf") else float("inf"), err, msg,
             meta={"tops": round(2 * M * K * N / t / 1e12, 2)} if err == NO_ERROR else {},
         )
@@ -131,7 +133,7 @@ def tune_matmul(
         if verbose:
             status = (f"{t*1e6:.1f} us ({rec.meta.get('tops', 0)} TOPS)"
                       if err == NO_ERROR else f"err{err}")
-            print(f"  {workload} blocks=({bm},{bn},{bk}): {status}", flush=True)
+            print(f"  {workload} {cfg}: {status}", flush=True)
     return db.best(workload)
 
 
@@ -139,13 +141,14 @@ def conv_flat_candidates(mp, cin_p, cout_p, khp, kwp, fhx) -> list[tuple[int, in
     from ..ops.pallas.conv_flat import _VMEM_BUDGET
 
     cands = []
-    for bk in (128, 256, 512):
+    bks = [b for b in (256, 512) if b <= cin_p and cin_p % b == 0] or [min(cin_p, 128)]
+    for bk in bks:
         if bk > cin_p or cin_p % bk:
             continue
         for bn in (128, 256, 512):
             if bn > cout_p or cout_p % bn:
                 continue
-            for bm in (128, 256, 512, 1024, 2048):
+            for bm in (512, 1024, 2048):
                 if bm > mp:
                     continue
                 vm = (2 * fhx * bk + 2 * khp * kwp * bk * bn

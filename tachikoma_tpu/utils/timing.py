@@ -67,21 +67,34 @@ def scan_loop(fn, feedback, init, iters: int):
     return jax.jit(run).lower(init).compile()
 
 
-def per_iter_scan(fn, x0, feedback, iters_lo: int = 8, iters_hi: int = 40,
-                  repeats: int = 4) -> float:
+def per_iter_scan(fn, x0, feedback, iters_lo: int = 8,
+                  iters_hi: int | None = None, repeats: int = 4) -> float:
     """Per-iteration kernel time via the scan + differential protocol.
 
     feedback(x, out) must consume the FULL output (e.g. a shape-matched xor)
     — a scalar-reduced feedback lets XLA narrow the computation and fakes
-    impossible throughputs (observed on v5e)."""
+    impossible throughputs (observed on v5e).
+
+    iters_hi=None (default) picks the high count ADAPTIVELY so the
+    differential (iters_hi - iters_lo) * per_iter clears the dispatch jitter
+    (~1-3 ms over the tunnel): fast kernels otherwise read as the dispatch
+    floor divided by the iteration count (observed: every sub-50us kernel
+    'measuring' ~620 us = 25 ms / 40)."""
 
     def make(iters):
         c = scan_loop(fn, feedback, x0, iters)
         return lambda: c(x0).block_until_ready()
 
     t_lo = time_jitted(make(iters_lo), warmup=1, repeats=repeats)
-    t_hi = time_jitted(make(iters_hi), warmup=1, repeats=repeats)
-    per = (t_hi - t_lo) / (iters_hi - iters_lo)
-    if per <= 0:
-        per = t_hi / iters_hi
-    return per
+    if iters_hi is not None:
+        t_hi = time_jitted(make(iters_hi), warmup=1, repeats=repeats)
+        per = (t_hi - t_lo) / (iters_hi - iters_lo)
+        return per if per > 0 else t_hi / iters_hi
+    # escalate the iteration count until the differential clears 10 ms
+    # (each level costs one compile; fast kernels need ~512-4096 iters)
+    for iters in (128, 512, 2048, 4096):
+        t_hi = time_jitted(make(iters), warmup=1, repeats=repeats)
+        if t_hi - t_lo >= 0.01 or iters >= 4096:
+            per = (t_hi - t_lo) / (iters - iters_lo)
+            return per if per > 0 else t_hi / iters
+    return t_lo / iters_lo  # unreachable
