@@ -317,6 +317,27 @@ class _OnnxImporter:
         self.op_MatMul([dq_a, dq_b], [mm], {})
         self.op_QuantizeLinear([mm, ins[6], ins[7]], outs, {})
 
+
+    def _auto_pads(self, auto_pad, in_hw, ks, strides, dils, pads):
+        """Resolve ONNX auto_pad (SAME_UPPER/SAME_LOWER/VALID) to explicit
+        [t, l, b, r] pads (onnx spec: extra padding goes to the end for
+        SAME_UPPER, to the beginning for SAME_LOWER)."""
+        if auto_pad in ("NOTSET", None, ""):
+            return pads
+        if auto_pad == "VALID":
+            return [0, 0, 0, 0]
+        out = []
+        for d in range(2):
+            eff_k = (ks[d] - 1) * dils[d] + 1
+            osz = -(-in_hw[d] // strides[d])
+            total = max((osz - 1) * strides[d] + eff_k - in_hw[d], 0)
+            if auto_pad == "SAME_UPPER":
+                out.append((total // 2, total - total // 2))
+            else:  # SAME_LOWER
+                out.append((total - total // 2, total // 2))
+        (pt, pb), (pl, pr) = out
+        return [pt, pl, pb, pr]
+
     def op_Conv(self, ins, outs, attrs):
         x = self.as_nhwc(ins[0])
         w = self.const_value(ins[1])
@@ -329,8 +350,13 @@ class _OnnxImporter:
         pads = attrs.get("pads", [0, 0, 0, 0])  # [t, l, b, r]
         strides = attrs.get("strides", [1, 1])
         dil = attrs.get("dilations", [1, 1])
-        if attrs.get("auto_pad", "NOTSET") not in ("NOTSET", None, ""):
-            raise NotImplementedError("auto_pad not supported; use explicit pads")
+        ap = attrs.get("auto_pad", "NOTSET")
+        if ap not in ("NOTSET", None, ""):
+            n_, h_, w_, _c = self.shape_of(ins[0])[0], *self.shape_of(ins[0])[2:4], 0
+            # shape_of reports ONNX layout (N, C, H, W)
+            sh_ = self.shape_of(ins[0])
+            pads = self._auto_pads(ap, (sh_[2], sh_[3]), w.shape[2:4],
+                                   strides, dil, pads)
         out = self.b.call(
             "nn.conv2d", x, wn,
             strides=tuple(strides), padding=(pads[0], pads[1], pads[2], pads[3]),
@@ -395,7 +421,11 @@ class _OnnxImporter:
             # against NCHW-style (1, C, 1, 1) constants flatten to (C,)
             if layout == "nhwc":
                 for nm, vv in ((ins[0], av), (ins[1], bv)):
-                    if vv is not None and vv.ndim == 4 and vv.shape[0] == 1 and vv.shape[2:] == (1, 1):
+                    chan_vec = vv is not None and (
+                        (vv.ndim == 4 and vv.shape[0] == 1 and vv.shape[2:] == (1, 1))
+                        or (vv.ndim == 3 and vv.shape[1:] == (1, 1))  # opset<7 (C,1,1)
+                    )
+                    if chan_vec:
                         squeezed = vv.reshape(1, 1, 1, -1)
                         cn = self.b.const(squeezed)
                         if nm == ins[0]:
@@ -425,6 +455,11 @@ class _OnnxImporter:
         ks = attrs["kernel_shape"]
         strides = attrs.get("strides", [1] * len(ks))
         pads = attrs.get("pads", [0] * (2 * len(ks)))
+        ap = attrs.get("auto_pad", "NOTSET")
+        if ap not in ("NOTSET", None, ""):
+            sh_ = self.shape_of(ins[0])
+            pads = self._auto_pads(ap, (sh_[2], sh_[3]), ks, strides,
+                                   [1] * len(ks), pads)
         extra = {}
         if kind == "avg":
             extra["count_include_pad"] = bool(attrs.get("count_include_pad", 0))
@@ -479,9 +514,16 @@ class _OnnxImporter:
         self.set(outs[0], self.b.call("nn.batch_flatten", x), "onnx")
 
     def op_Reshape(self, ins, outs, attrs):
-        x = self.as_onnx(ins[0])
         shape = self.const_value(ins[1])
         assert shape is not None, "dynamic Reshape target must constant-fold"
+        xc = self.const_value(ins[0])
+        if xc is not None:  # constant fold (e.g. pre-reshaped weights)
+            target = [xc.shape[i] if s == 0 else int(s) for i, s in enumerate(shape.tolist())]
+            folded = xc.reshape(target)
+            self.env[outs[0]] = (folded, "onnx")
+            self.consts[outs[0]] = folded
+            return
+        x = self.as_onnx(ins[0])
         target = []
         in_shape = self.shape_of(ins[0])
         for i, s in enumerate(shape.tolist()):
@@ -489,9 +531,15 @@ class _OnnxImporter:
         self.set(outs[0], self.b.call("reshape", x, newshape=tuple(target)), "onnx")
 
     def op_Transpose(self, ins, outs, attrs):
+        xc = self.const_value(ins[0])
+        perm = tuple(attrs.get("perm", [])) or None
+        if xc is not None:
+            folded = np.ascontiguousarray(np.transpose(xc, perm))
+            self.env[outs[0]] = (folded, "onnx")
+            self.consts[outs[0]] = folded
+            return
         x = self.as_onnx(ins[0])
-        self.set(outs[0], self.b.call("transpose", x, axes=tuple(attrs.get("perm", []))
-                                      or None), "onnx")
+        self.set(outs[0], self.b.call("transpose", x, axes=perm), "onnx")
 
     def op_Concat(self, ins, outs, attrs):
         cvals = [self.const_value(i) for i in ins]
