@@ -29,31 +29,12 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _per_iter(fn, x0, feedback, iters_lo=4, iters_hi=16, repeats=4):
-    import jax
-    from jax import lax
+def _per_iter(fn, x0, feedback, repeats=3):
+    from tachikoma_tpu.utils.timing import per_iter_chain
 
-    from tachikoma_tpu.utils.timing import time_jitted
-
-    def make(iters):
-        @jax.jit
-        def run(x):
-            def body(a, _):
-                out = fn(a)
-                return feedback(a, out), None
-
-            a, _ = lax.scan(body, x, None, length=iters)
-            return a
-
-        c = run.lower(x0).compile()
-        return lambda: c(x0).block_until_ready()
-
-    t_lo = time_jitted(make(iters_lo), warmup=1, repeats=repeats)
-    t_hi = time_jitted(make(iters_hi), warmup=1, repeats=repeats)
-    per = (t_hi - t_lo) / (iters_hi - iters_lo)
-    if per <= 0:
-        per = t_hi / iters_hi
-    return per
+    # chain + value-fetch protocol (utils/timing.py): dispatches pipeline
+    # over the tunnel and only a d2h fetch is a true sync
+    return per_iter_chain(fn, x0, feedback, repeats=repeats)
 
 
 def bench_int8_conv_pallas():
@@ -67,7 +48,9 @@ def bench_int8_conv_pallas():
     n, h, w, cin, cout, k = 8, 56, 56, 128, 128, 3
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(-127, 127, (n, h, w, cin)).astype(np.int8))
-    wt = jnp.asarray(rng.integers(-127, 127, (k, k, cin, cout)).astype(np.int8))
+    # weights stay host-side: device arrays captured in a jitted closure
+    # deadlock .lower() over the tunnel (MLIR constant embedding does d2h)
+    wt = rng.integers(-127, 127, (k, k, cin, cout)).astype(np.int8)
     m, s = plan_requantize(0.0004, 0.05)
 
     def fn(a):
@@ -77,7 +60,7 @@ def bench_int8_conv_pallas():
     def feedback(a, out):
         return a ^ (out & 1)
 
-    per = _per_iter(fn, x, feedback, iters_lo=10, iters_hi=50)
+    per = _per_iter(fn, x, feedback)
     macs = n * h * w * cout * k * k * cin
     return 2 * macs / per / 1e9, per
 
@@ -90,7 +73,7 @@ def bench_int8_matmul_pallas():
     M = K = N = 4096
     rng = np.random.default_rng(0)
     A = jnp.asarray(rng.integers(-127, 127, (M, K)).astype(np.int8))
-    B = jnp.asarray(rng.integers(-127, 127, (K, N)).astype(np.int8))
+    B = rng.integers(-127, 127, (K, N)).astype(np.int8)  # host (see conv note)
     raw = _build_qmatmul(M, K, N, 512, 512, 1024, 0, "UPWARD", -128, 127,
                          "int32", False, _interpret_default())
 

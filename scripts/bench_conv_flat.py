@@ -4,32 +4,10 @@ import sys
 import numpy as np
 
 
-def per_iter(fn, x, feedback, iters_lo=8, iters_hi=40, repeats=4):
-    from jax import lax
+def per_iter(fn, x, feedback, repeats=3):
+    from tachikoma_tpu.utils.timing import per_iter_chain
 
-    from tachikoma_tpu.utils.timing import time_jitted
-
-    def make(iters):
-        import jax
-
-        @jax.jit
-        def run(a):
-            def body(a, _):
-                out = fn(a)
-                return feedback(a, out), None
-
-            a, _ = lax.scan(body, a, None, length=iters)
-            return a
-
-        c = run.lower(x).compile()
-        return lambda: c(x).block_until_ready()
-
-    t_lo = time_jitted(make(iters_lo), warmup=1, repeats=repeats)
-    t_hi = time_jitted(make(iters_hi), warmup=1, repeats=repeats)
-    per = (t_hi - t_lo) / (iters_hi - iters_lo)
-    if per <= 0:
-        per = t_hi / iters_hi
-    return per
+    return per_iter_chain(fn, x, feedback, repeats=repeats)
 
 
 def main():
@@ -56,7 +34,7 @@ def main():
     for (n, h, w, cin, cout, k, s) in shapes:
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.integers(-127, 127, (n, h, w, cin)).astype(np.int8))
-        wt = jnp.asarray(rng.integers(-127, 127, (k, k, cin, cout)).astype(np.int8))
+        wt = rng.integers(-127, 127, (k, k, cin, cout)).astype(np.int8)
         m, sh_ = plan_requantize(0.0004, 0.05)
         pad = (k // 2,) * 4
 

@@ -63,7 +63,10 @@ def main():
         if matmul_workload(m, k, n, True) in done:
             print(f"skip M{m}_K{k}_N{n} (done)", flush=True)
             continue
-        cands = sorted({(min(bm, m), min(bn, n), min(bk, k))
+        # clip to padded dims, never below the int8 tile minimums
+        # (a 64-lane K block wedges the Mosaic compile)
+        ru = lambda v, mlt: -(-v // mlt) * mlt
+        cands = sorted({(min(bm, ru(m, 32)), min(bn, ru(n, 128)), min(bk, ru(k, 128)))
                         for (bm, bn, bk) in MM_CANDS})
         tune_matmul(m, k, n, db, fused=True, candidates=cands)
 

@@ -45,7 +45,8 @@ def _measure_scan(fn, x0, repeats: int = 3,
     from ..utils.timing import per_iter_scan
 
     try:
-        t = per_iter_scan(fn, x0, _feedback_sum, iters_lo, None, repeats)
+        from ..utils.timing import per_iter_chain
+        t = per_iter_chain(fn, x0, _feedback_sum, repeats=repeats)
         return t, NO_ERROR, ""
     except Exception:
         tb = traceback.format_exc(limit=4)
@@ -109,7 +110,10 @@ def tune_matmul(
 
     rng = np.random.default_rng(0)
     A = jnp.asarray(rng.integers(-127, 127, (M, K)).astype(np.int8))
-    B = jnp.asarray(rng.integers(-127, 127, (K, N)).astype(np.int8))
+    # B stays a HOST array: a device array captured by the jitted closure is
+    # embedded as an MLIR constant, and the device->host fetch inside
+    # .lower() wedges over the tunnel (observed v5e hang)
+    B = rng.integers(-127, 127, (K, N)).astype(np.int8)
     if fused:
         mult, shift = plan_requantize(0.0004, 0.05)
 
@@ -185,7 +189,7 @@ def tune_conv_flat(
         return None
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(-127, 127, shape).astype(np.int8))
-    wt = jnp.asarray(rng.integers(-127, 127, wshape).astype(np.int8))
+    wt = rng.integers(-127, 127, wshape).astype(np.int8)  # host (see above)
     m, s = plan_requantize(0.0004, 0.05)
 
     if groups == 1 and (kh, kw) != (1, 1):
@@ -241,7 +245,7 @@ def tune_conv(
         return None
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(-127, 127, shape).astype(np.int8))
-    wt = jnp.asarray(rng.integers(-127, 127, wshape).astype(np.int8))
+    wt = rng.integers(-127, 127, wshape).astype(np.int8)  # host (see above)
     m, s = plan_requantize(0.0004, 0.05)
 
     def build():

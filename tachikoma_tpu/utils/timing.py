@@ -98,3 +98,44 @@ def per_iter_scan(fn, x0, feedback, iters_lo: int = 8,
             per = (t_hi - t_lo) / (iters - iters_lo)
             return per if per > 0 else t_hi / iters
     return t_lo / iters_lo  # unreachable
+
+
+def per_iter_chain(fn, x0, feedback, scan_len: int = 64, repeats: int = 3,
+                   target_s: float = 0.08) -> float:
+    """Per-iteration kernel time: chain n async dispatches of ONE compiled
+    scan and difference against the 1-dispatch time, syncing by FETCHING the
+    final value.
+
+    Two tunnel realities this accounts for (measured on the axon v5e):
+      * block_until_ready returns before remote execution completes — only a
+        device->host value fetch is a true sync, so T(n) ends with
+        np.asarray(x);
+      * per-dispatch RTT is ~24 ms but async dispatches pipeline, so the
+        chain exposes per-iteration time without per-length recompiles.
+    n escalates (no recompile) until the differential clears target_s."""
+    import numpy as np
+
+    c = scan_loop(fn, feedback, x0, scan_len)
+
+    def T(n):
+        best = float("inf")
+        for _ in range(repeats):
+            x = x0
+            t0 = time.perf_counter()
+            for _ in range(n):
+                x = c(x)
+            np.asarray(x)  # true sync: full value fetch
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    np.asarray(c(x0))  # warm (first real execution)
+    t1 = T(1)
+    n = 4
+    while True:
+        t2 = T(1 + n)
+        if t2 - t1 >= target_s or n >= 1024:
+            per = (t2 - t1) / (n * scan_len)
+            if per <= 0:
+                per = t2 / ((1 + n) * scan_len)
+            return per
+        n *= 4
