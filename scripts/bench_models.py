@@ -1,0 +1,98 @@
+"""End-to-end model latency on the v5e: ResNet-50, MobileNetV2 (b8 224^2),
+BERT-base (b4 s128) — quantized + fused, chain-fetch timing protocol.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_models.py [model...]
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def build(name):
+    from tachikoma_tpu.models.transformer import bert
+    from tachikoma_tpu.models.vision import mobilenet_v2, resnet
+    from tachikoma_tpu.quantize.config import TRANSFORMER_INT8, QConfig
+    from tachikoma_tpu.quantize.quantizer import quantize
+    from tachikoma_tpu.runtime.fuse import fuse_qnn
+
+    rng = np.random.default_rng(0)
+    if name == "resnet50":
+        g = resnet(50, batch_size=8, image_size=224)
+        x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
+        qg = quantize(g, [x])
+    elif name == "mobilenet":
+        g = mobilenet_v2(batch_size=8, image_size=224)
+        x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
+        qg = quantize(g, [x])
+    elif name == "bert":
+        g = bert(batch_size=4, seq_len=128)
+        x = rng.integers(0, 30522, (4, 128)).astype(np.int32)
+        qg = quantize(g, [x], config=TRANSFORMER_INT8)
+    else:
+        raise SystemExit(f"unknown model {name}")
+    return fuse_qnn(qg), x
+
+
+def bench(name):
+    import jax
+
+    from tachikoma_tpu.runtime.executor import JaxExecutor
+    from tachikoma_tpu.utils.timing import per_iter_chain
+
+    t0 = time.time()
+    fg, x = build(name)
+    print(f"{name}: built+quantized+fused in {time.time()-t0:.0f}s", flush=True)
+
+    ex = JaxExecutor(fg)
+    fn0, params = ex.make_jit_fn()
+    vname = fg.inputs[0].name
+
+    def fn(xin):
+        outs = fn0(params, {vname: xin})
+        return outs[0]
+
+    if x.dtype == np.int32:
+        def feedback(a, out):
+            import jax.numpy as jnp
+
+            bump = (out.astype(jnp.float32).sum() > 1e30).astype(jnp.int32)
+            return a + bump  # 0 in practice, but data-dependent
+    else:
+        def feedback(a, out):
+            import jax.numpy as jnp
+
+            return a + out.astype(jnp.float32).sum() * jnp.float32(1e-30)
+
+    xin = jax.device_put(x)
+    t0 = time.time()
+    per = per_iter_chain(fn, xin, feedback, scan_len=8, repeats=3)
+    batch = x.shape[0]
+    print(f"{name}: {per*1e3:.3f} ms/batch-{batch} = {batch/per:.1f} samples/s"
+          f"  (measured in {time.time()-t0:.0f}s)", flush=True)
+    return per
+
+
+def main():
+    import os
+
+    import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/tk_jaxcache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print("device:", jax.devices()[0], flush=True)
+    models = sys.argv[1:] or ["resnet50", "mobilenet", "bert"]
+    for m in models:
+        try:
+            bench(m)
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            print(f"{m}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
