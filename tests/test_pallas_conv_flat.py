@@ -86,3 +86,17 @@ def test_flat_conv_raw_acc(rng):
     want = get_op("qnn.conv2d").np_impl(x, w, node=node)
     got = np.asarray(qconv2d_flat(x, w, strides=(1, 1), padding=(1, 1, 1, 1)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_flat_conv_transposed_layout(rng):
+    """layout='t' (lane-shift kernel) is bit-identical to the default."""
+    x = rng.integers(-127, 127, (2, 10, 10, 32)).astype(np.int8)
+    w = rng.integers(-127, 127, (3, 3, 32, 48)).astype(np.int8)
+    bias = rng.integers(-2000, 2000, 48).astype(np.int32)
+    scales = 0.0002 + np.abs(rng.standard_normal(48)) * 0.0005
+    m_arr, s_arr = plan_requantize(scales, 0.07)
+    kw = dict(bias=bias, multiplier=m_arr, shift=s_arr,
+              strides=(1, 1), padding=(1, 1, 1, 1), out_zp=4)
+    a = np.asarray(qconv2d_flat(x, w, **kw))
+    b = np.asarray(qconv2d_flat(x, w, layout="t", **kw))
+    np.testing.assert_array_equal(a, b)

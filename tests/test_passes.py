@@ -70,3 +70,26 @@ def test_context_nesting():
             assert PassContext.current().config["k"] == 1
         assert PassContext.current().opt_level == 0
     assert PassContext.current().opt_level == 2
+
+
+def test_combine_parallel_dense(rng):
+    """CombineParallelDense analog: sibling dense ops merge into one matmul
+    + splits; numerics preserved."""
+    import numpy as np
+
+    from tachikoma_tpu import run_graph
+    from tachikoma_tpu.ir.graph import GraphBuilder
+    from tachikoma_tpu.ir.transforms import combine_parallel_dense
+
+    b = GraphBuilder("qkv")
+    x = b.var("x", (4, 16), "float32")
+    outs = []
+    for i in range(3):
+        w = b.const(rng.standard_normal((16, 8)).astype(np.float32), name=f"w{i}")
+        outs.append(b.call("nn.dense", x, w, name=f"d{i}"))
+    g = b.build([b.call("concatenate", *outs, axis=-1)])
+    g2 = combine_parallel_dense(g)
+    assert sum(1 for n in g2.nodes if n.op == "nn.dense") == 1
+    xi = rng.standard_normal((4, 16)).astype(np.float32)
+    np.testing.assert_allclose(run_graph(g, [xi])[0], run_graph(g2, [xi])[0],
+                               rtol=1e-5, atol=1e-5)
