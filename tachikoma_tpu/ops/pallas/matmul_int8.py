@@ -247,8 +247,9 @@ def _qmatmul_xla(x, w, bias, multiplier, shift, out_zp, rounding, out_dtype,
         acc = acc + jnp.asarray(bias, jnp.int32)[None, :]
     if not fuse:
         return acc
-    m_arr = jnp.broadcast_to(jnp.asarray(multiplier, jnp.int32), (acc.shape[-1],))
-    s_arr = jnp.broadcast_to(jnp.asarray(shift, jnp.int32), (acc.shape[-1],))
+    # concrete numpy m/s keep the trace-time fast requantize path available
+    m_arr = np.broadcast_to(np.asarray(multiplier, np.int32), (acc.shape[-1],))
+    s_arr = np.broadcast_to(np.asarray(shift, np.int32), (acc.shape[-1],))
     v = q_multiply_shift_u32(acc, m_arr, s_arr, rounding)
     if out_zp:
         v = v + jnp.int32(out_zp)

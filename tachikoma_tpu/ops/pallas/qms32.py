@@ -46,6 +46,19 @@ def q_multiply_shift_u32(v, m, shift, rounding: str = "UPWARD"):
     shift: int exponent (scalar or int32 array).  Returns int32.
     """
     jnp = _ju()
+    # Fast path (XLA allows data-dependent shift amounts, unlike Mosaic):
+    # for UPWARD rounding with every shift <= -2 the exact result is
+    # (hi + 2^(n-33)) asr (n-32) — the low product word never matters (see
+    # q_multiply_shift_select).  Shift attrs are concrete at trace time.
+    if rounding == "UPWARD" and not hasattr(shift, "aval"):
+        s_conc = np.asarray(shift)
+        if s_conc.size and (s_conc <= -2).all():
+            hi, _lo = _mulhi_s32(
+                jnp.asarray(v).astype(jnp.int32), jnp.asarray(m, jnp.int32))
+            hi = hi.astype(jnp.int32)
+            n_arr = jnp.int32(31) - jnp.asarray(s_conc, jnp.int32)  # [33, 62]
+            hi2 = hi + (jnp.int32(1) << (n_arr - jnp.int32(33)))
+            return hi2 >> (n_arr - jnp.int32(32))
     # NOTE: every scalar literal below is explicitly typed.  Under x64,
     # weakly-typed python ints become i64[] constants, and Mosaic (Pallas
     # TPU) lowers i64 convert_element_type with unbounded recursion.

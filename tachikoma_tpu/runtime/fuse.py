@@ -216,8 +216,10 @@ def _fused_epilogue_jax(acc, node: Node, bias):
     if np.ndim(mult) > 0:
         bshape = [1] * acc.ndim
         bshape[-1] = -1
-        m = jnp.asarray(np.asarray(mult, np.int32).reshape(bshape))
-        s = jnp.asarray(np.asarray(shift, np.int32).reshape(bshape))
+        # keep m/s CONCRETE (numpy): q_multiply_shift_u32's high-word fast
+        # path needs the shift values at trace time
+        m = np.asarray(mult, np.int32).reshape(bshape)
+        s = np.asarray(shift, np.int32).reshape(bshape)
     else:
         m, s = int(mult), int(shift)
     v = q_multiply_shift_u32(acc, m, s, rounding)
