@@ -33,21 +33,28 @@ def main():
     fg, x = build(name)
     print(f"{name}: {len(fg.nodes)} nodes", flush=True)
 
-    names = computational_nodes(fg)
-    ex = JaxExecutor(fg, capture=names)
-    outs = ex.run_device(x)
-    values = dict(zip(names, outs))
-    inputs_n = ex._normalize(x)
+    # synthesize op inputs from the inferred types — timing needs shapes,
+    # not real values (and the 232-output capture program compiles forever
+    # over the tunnel)
+    rng = np.random.default_rng(0)
     env = {}
     for n in fg.nodes:
-        if n.op == VAR:
-            env[n.name] = jax.device_put(np.asarray(inputs_n[n.name], dtype=n.dtype))
-        elif n.op == CONST:
-            env[n.name] = ex._params[n.name]
-        elif n.op in (TUPLE, TUPLE_GET_ITEM):
+        if n.op in (TUPLE, TUPLE_GET_ITEM):
             env[n.name] = None
+            continue
+        if n.shape is None or n.dtype in (None, "tuple"):
+            env[n.name] = None
+            continue
+        dt_ = np.dtype(n.dtype)
+        if dt_.kind in "iu":
+            lo = max(np.iinfo(dt_).min, -100)
+            hi = min(np.iinfo(dt_).max, 100)
+            arr = rng.integers(lo, hi + 1, n.shape).astype(dt_)
         else:
-            env[n.name] = values[n.name]
+            arr = rng.standard_normal(n.shape).astype(dt_)
+        if n.op == CONST:
+            arr = np.asarray(fg.params[n.name])
+        env[n.name] = jax.device_put(arr)
 
     sigs = {}
     for n in fg.nodes:
