@@ -20,6 +20,7 @@ def main():
 
     from tachikoma_tpu.ir.graph import CONST, TUPLE, TUPLE_GET_ITEM, VAR
     from tachikoma_tpu.ir.registry import get_op
+    import tachikoma_tpu.ops.jax_ops  # noqa: F401 (registers jax impls)
     from tachikoma_tpu.runtime.executor import JaxExecutor, computational_nodes
     from tachikoma_tpu.utils.timing import per_iter_chain
 
@@ -87,7 +88,8 @@ def main():
         try:
             t = per_iter_chain(fn, x0, fb, scan_len=32, repeats=2)
         except Exception as e:
-            print(f"  {op} {shapes[0][0]}: FAILED {type(e).__name__}", flush=True)
+            import traceback; traceback.print_exc()
+            print(f"  {op} {shapes[0][0]}: FAILED {type(e).__name__}: {e}", flush=True)
             continue
         rows.append((t * len(nodes), t, len(nodes), op, shapes[0][0], n.name))
         print(f"  {op:22s} {str(shapes[0][0]):24s} x{len(nodes):2d}  "
