@@ -377,6 +377,12 @@ def _flat_lengths(n, hph, wph, khp, kwp, bm):
     return fh, mp, fhx
 
 
+def _im2col_viable(cin_s, khp, kwp) -> bool:
+    # the im2col fallback materializes (M, khp*kwp*cin_s) patches in HBM:
+    # worth it only while K stays a modest MXU contraction
+    return khp * kwp * cin_s <= 1024
+
+
 def qconv2d_flat_supported(x_shape, w_shape, strides, padding,
                            groups: int) -> bool:
     n, h, w, cin = x_shape
@@ -390,7 +396,11 @@ def qconv2d_flat_supported(x_shape, w_shape, strides, padding,
         cin_p = _round_up(sh * sw * cin, 128)
         cout_p = _round_up(cout, 128)
         fh, mp, fhx = _flat_lengths(n, hph, _round_up(wph, 4), khp, kwp, 512)
-        return _pick_conv_blocks(mp, cin_p, cout_p, khp, kwp, fhx) is not None
+        if _pick_conv_blocks(mp, cin_p, cout_p, khp, kwp, fhx) is not None:
+            return True
+        # image too large for the VMEM-resident kernel (e.g. the 224^2 stem):
+        # XLA im2col + tuned Pallas matmul
+        return _im2col_viable(sh * sw * cin, khp, kwp)
     if groups == cin and wcin == 1:  # depthwise
         oh, ow, khp, kwp, hph, wph = _phase_geometry(
             h, w, kh, kw, sh, sw, padding)
@@ -439,8 +449,12 @@ def qconv2d_flat(
 
     fuse = multiplier is not None
     if fuse:
-        m_arr = jnp.broadcast_to(jnp.asarray(multiplier, jnp.int32), (cout,))
-        s_arr = jnp.broadcast_to(jnp.asarray(shift, jnp.int32), (cout,))
+        # HOST arrays: downstream qmatmul/tuner paths derive static shift
+        # sets with np.asarray, which must not see tracers
+        m_arr = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(multiplier, np.int32), (cout,)))
+        s_arr = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(shift, np.int32), (cout,)))
         shift_values = tuple(sorted({int(v) for v in np.atleast_1d(np.asarray(shift))}))
     else:
         m_arr = s_arr = None
@@ -541,6 +555,15 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
         bm, bn, bk = picked
         fh, mp, fhx = _flat_lengths(n, hph, wph, khp, kwp, bm)
 
+    if blocks is None and _pick_conv_blocks(
+            mp, cin_p, cout_p, khp, kwp, fhx) is None:
+        # resident-image kernel doesn't fit VMEM (224^2 stems): XLA im2col
+        # over the SAME flat geometry (tap slices of the flat image are
+        # plain row-shifted views) + the tuned Pallas matmul
+        return _conv_im2col(
+            xs, wps, bias_arr, m_arr, s_arr, n, oh, ow, khp, kwp, hph, wph,
+            cin_s, cout, out_zp, rounding, out_dtype, qmin, qmax, fuse)
+
     transposed = layout == "t"
     xflat = xs.reshape(n * hph * wph, cin_s)
     pad_rows = fhx - xflat.shape[0]
@@ -569,6 +592,42 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
     # (mp, cout_p) over-wide -> (n, oh, ow, cout)
     out = out[: n * fh].reshape(n, hph, wph, cout_p)
     return out[:, :oh, :ow, :cout]
+
+
+def _conv_im2col(xs, wps, bias_arr, m_arr, s_arr, n, oh, ow, khp, kwp,
+                 hph, wph, cin_s, cout, out_zp, rounding, out_dtype,
+                 qmin, qmax, fuse):
+    """XLA im2col on the flat phase-stacked image + tuned Pallas matmul.
+
+    The big-image fallback (stem convs): tap patches are row-shifted slices
+    of the flat image, concatenated on the channel axis into a
+    (M, khp*kwp*cin_s) matrix — K stays a proper MXU contraction depth
+    instead of the abysmal XLA int32 (or 40x-slow f32) conv."""
+    import jax.numpy as jnp
+
+    from .matmul_int8 import qmatmul_int8
+
+    fh = hph * wph
+    maxoff = (khp - 1) * wph + (kwp - 1)
+    xflat = xs.reshape(n, fh, cin_s)
+    xflat = jnp.pad(xflat, ((0, 0), (0, maxoff), (0, 0)))
+    pieces = []
+    for a in range(khp):
+        for b in range(kwp):
+            off = a * wph + b
+            pieces.append(xflat[:, off: off + fh, :])
+    patches = jnp.concatenate(pieces, axis=-1)      # (n, fh, K)
+    k_full = khp * kwp * cin_s
+    pm = patches.reshape(n * fh, k_full)
+    wm = jnp.asarray(wps).reshape(k_full, wps.shape[-1])[:, :cout]
+    if fuse:
+        out = qmatmul_int8(pm, wm, bias=bias_arr, multiplier=m_arr,
+                           shift=s_arr, out_zp=out_zp, rounding=rounding,
+                           out_dtype=out_dtype, qmin=qmin, qmax=qmax)
+    else:
+        out = qmatmul_int8(pm, wm, bias=bias_arr)
+    out = out.reshape(n, hph, wph, cout)
+    return out[:, :oh, :ow]
 
 
 def _conv_dw_vpu(x, w, bias_arr, m_arr, s_arr, shift_values, strides,

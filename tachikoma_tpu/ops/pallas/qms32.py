@@ -52,13 +52,28 @@ def q_multiply_shift_u32(v, m, shift, rounding: str = "UPWARD"):
     # q_multiply_shift_select).  Shift attrs are concrete at trace time.
     if rounding == "UPWARD" and not hasattr(shift, "aval"):
         s_conc = np.asarray(shift)
-        if s_conc.size and (s_conc <= -2).all():
-            hi, _lo = _mulhi_s32(
+        if s_conc.size and (s_conc <= 0).all():
+            hi, lo = _mulhi_s32(
                 jnp.asarray(v).astype(jnp.int32), jnp.asarray(m, jnp.int32))
             hi = hi.astype(jnp.int32)
-            n_arr = jnp.int32(31) - jnp.asarray(s_conc, jnp.int32)  # [33, 62]
-            hi2 = hi + (jnp.int32(1) << (n_arr - jnp.int32(33)))
-            return hi2 >> (n_arr - jnp.int32(32))
+            n_np = (31 - s_conc.astype(np.int64)).astype(np.int32)  # [31, 62]
+            if (s_conc <= -2).all():
+                # addend + result wholly in the high word
+                add = (np.int64(1) << np.maximum(n_np - 33, 0)).astype(np.int32)
+                return (hi + jnp.asarray(add)) >> jnp.asarray(n_np - 32)
+            # mixed shifts down to 0: n==32 needs lo's carry, n==31 its top bits
+            n_j = jnp.asarray(n_np)
+            add_big = jnp.asarray(
+                np.where(n_np >= 33,
+                         (np.int64(1) << np.maximum(n_np - 33, 0)), 0
+                         ).astype(np.int32))
+            r_big = (hi + add_big) >> jnp.maximum(n_j - jnp.int32(32), jnp.int32(0))
+            r_32 = hi + (lo >> jnp.uint32(31)).astype(jnp.int32)
+            lo2 = lo + jnp.uint32(1 << 30)
+            c31 = (lo2 < lo).astype(jnp.int32)
+            r_31 = ((hi + c31) << jnp.int32(1)) | (lo2 >> jnp.uint32(31)).astype(jnp.int32)
+            return jnp.where(n_j >= jnp.int32(33), r_big,
+                             jnp.where(n_j == jnp.int32(32), r_32, r_31))
     # NOTE: every scalar literal below is explicitly typed.  Under x64,
     # weakly-typed python ints become i64[] constants, and Mosaic (Pallas
     # TPU) lowers i64 convert_element_type with unbounded recursion.
@@ -149,7 +164,7 @@ def q_multiply_shift_select(v, m, shift_vec, shift_values: tuple, rounding: str 
     distinct shift.  Bit-exact vs the int64 reference (tests/test_qms32.py)."""
     jnp = _ju()
     svals = [int(s) for s in shift_values]
-    fast = rounding == "UPWARD" and all(s <= -2 for s in svals)
+    fast = rounding == "UPWARD" and all(s <= 0 for s in svals)
     if not fast:
         if len(svals) == 1:
             return q_multiply_shift_u32(v, m, svals[0], rounding)
@@ -159,13 +174,22 @@ def q_multiply_shift_select(v, m, shift_vec, shift_values: tuple, rounding: str 
             out = jnp.where(shift_vec == jnp.int32(s_val), r, out)
         return out
 
-    hi, _lo = _mulhi_s32(v, m)
+    hi, lo = _mulhi_s32(v, m)
     hi = hi.astype(jnp.int32)
 
     def one(s_val):
-        n = 31 - s_val                    # in [33, 62]
-        hi2 = hi + jnp.int32(1 << (n - 33))
-        return hi2 >> jnp.int32(n - 32)
+        n = 31 - s_val                    # in [31, 62]
+        if n >= 33:                       # addend + result wholly in hi
+            hi2 = hi + jnp.int32(1 << (n - 33))
+            return hi2 >> jnp.int32(n - 32)
+        if n == 32:                       # s = -1: addend 2^31 carries via lo
+            carry = (lo >> jnp.uint32(31)).astype(jnp.int32)
+            return hi + carry
+        # n == 31 (s = 0): P' >> 31 = 2*hi2 + (lo2 >> 31)
+        lo2 = lo + jnp.uint32(1 << 30)
+        carry = (lo2 < lo).astype(jnp.int32)
+        hi2 = hi + carry
+        return (hi2 << jnp.int32(1)) | (lo2 >> jnp.uint32(31)).astype(jnp.int32)
 
     if len(svals) == 1:
         return one(svals[0])

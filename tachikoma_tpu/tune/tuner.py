@@ -205,16 +205,20 @@ def tune_conv_flat(
     macs = n * ((h + padding[0] + padding[2] - kh) // sh + 1) * (
         (w + padding[1] + padding[3] - kw) // sw + 1
     ) * cout * kh * kw * (cin // groups)
+    layouts = [None, "t"] if (groups == 1 and (kh, kw) != (1, 1)) else [None]
     for blocks in cands:
-        def fn(a, _blocks=blocks):
+      for layout in layouts:
+        def fn(a, _blocks=blocks, _layout=layout):
             return qconv2d_flat(a, wt, multiplier=m, shift=s,
                                 strides=tuple(strides), padding=tuple(padding),
-                                groups=groups, blocks=_blocks)
+                                groups=groups, blocks=_blocks, layout=_layout)
 
         t, err, msg = _measure_scan(fn, x)
+        cfg = {"blocks": list(blocks)} if blocks else {"kernel": "routed"}
+        if layout:
+            cfg["layout"] = layout
         rec = TuneRecord(
-            workload,
-            {"blocks": list(blocks)} if blocks else {"kernel": "routed"},
+            workload, cfg,
             t * 1e3 if t != float("inf") else float("inf"), err, msg,
             meta={"tops": round(2 * macs / t / 1e12, 2)} if err == NO_ERROR else {},
         )
@@ -222,7 +226,7 @@ def tune_conv_flat(
         if verbose:
             status = (f"{t*1e6:.1f} us ({rec.meta.get('tops', 0)} TOPS)"
                       if err == NO_ERROR else f"err{err}: {msg[:60]}")
-            print(f"  {workload} {blocks}: {status}", flush=True)
+            print(f"  {workload} {cfg}: {status}", flush=True)
     return db.best(workload)
 
 

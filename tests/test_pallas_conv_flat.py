@@ -100,3 +100,19 @@ def test_flat_conv_transposed_layout(rng):
     a = np.asarray(qconv2d_flat(x, w, **kw))
     b = np.asarray(qconv2d_flat(x, w, layout="t", **kw))
     np.testing.assert_array_equal(a, b)
+
+
+def test_flat_conv_im2col_fallback(rng):
+    """Big-image im2col route (stem convs) is bit-exact vs the oracle."""
+    from tachikoma_tpu.ops.pallas.conv_flat import _pick_conv_blocks
+
+    x = rng.integers(-127, 127, (1, 40, 40, 3)).astype(np.int8)
+    w = rng.integers(-127, 127, (7, 7, 3, 16)).astype(np.int8)
+    m_arr, s_arr = plan_requantize(0.0004 + np.zeros(16), 0.05)
+    got = np.asarray(qconv2d_flat(
+        x, w, multiplier=m_arr, shift=s_arr, strides=(2, 2),
+        padding=(3, 3, 3, 3), input_zero_point=5,
+        blocks=None))
+    want = oracle(x, w, None, 0.0004 + np.zeros(16), 0.05, 0,
+                  (2, 2), (3, 3, 3, 3), 1, 5)
+    np.testing.assert_array_equal(got, want)

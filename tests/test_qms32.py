@@ -64,3 +64,27 @@ def test_qms32_in_pallas_kernel(rng):
     )(x)
     want = q_multiply_shift_np(x, m, s, UPWARD)
     np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_qms_mixed_small_shifts(rng):
+    """Randomized cross-check of the high-word fast paths for every shift in
+    [-12, 0] — including n=32 (carry from lo) and n=31 (lo top bits)."""
+    from tachikoma_tpu.ops.fixed_point import q_multiply_shift_np
+    from tachikoma_tpu.ops.pallas.qms32 import (
+        q_multiply_shift_select,
+        q_multiply_shift_u32,
+    )
+
+    for trial in range(8):
+        v = rng.integers(-2**31 + 1, 2**31 - 1, (64,), dtype=np.int64).astype(np.int32)
+        m = rng.integers(2**30, 2**31 - 1, (64,), dtype=np.int64).astype(np.int32)
+        s = rng.integers(-12, 1, (64,)).astype(np.int32)
+        want = np.stack([
+            q_multiply_shift_np(np.array([vv]), int(mm), int(ss))[0]
+            for vv, mm, ss in zip(v, m, s)
+        ])
+        got = np.asarray(q_multiply_shift_u32(v, m, s))
+        np.testing.assert_array_equal(want, got)
+        svals = tuple(sorted({int(x) for x in s}))
+        got2 = np.asarray(q_multiply_shift_select(v, m, np.asarray(s), svals))
+        np.testing.assert_array_equal(want, got2)
