@@ -544,33 +544,51 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
             blocks = tuple(cfg["blocks"])
             if layout is None:
                 layout = cfg.get("layout")
+    vmap_batch = False
     if blocks is not None:
         bm, bn, bk = blocks
         fh, mp, fhx = _flat_lengths(n, hph, wph, khp, kwp, bm)
     else:
         fh, mp, fhx = _flat_lengths(n, hph, wph, khp, kwp, 512)
         picked = _pick_conv_blocks(mp, cin_p, cout_p, khp, kwp, fhx)
+        if picked is None and n > 1:
+            # the batch-folded flat image exceeds VMEM (big images): run the
+            # SINGLE-IMAGE kernel under jax.vmap — the batch becomes the
+            # outermost Pallas grid dimension, per-cell VMEM is per-image
+            fh1, mp1, fhx1 = _flat_lengths(1, hph, wph, khp, kwp, 512)
+            picked = _pick_conv_blocks(mp1, cin_p, cout_p, khp, kwp, fhx1)
+            if picked is not None:
+                vmap_batch = True
+                fh, mp, fhx = fh1, mp1, fhx1
         if picked is None:
+            # still too big: XLA im2col over the same flat geometry + the
+            # tuned Pallas matmul
+            if _im2col_viable(cin_s, khp, kwp):
+                return _conv_im2col(
+                    xs, wps, bias_arr, m_arr, s_arr, n, oh, ow, khp, kwp,
+                    hph, wph, cin_s, cout, out_zp, rounding, out_dtype,
+                    qmin, qmax, fuse)
             raise ValueError("flat conv exceeds VMEM budget; use the XLA path")
         bm, bn, bk = picked
-        fh, mp, fhx = _flat_lengths(n, hph, wph, khp, kwp, bm)
-
-    if blocks is None and _pick_conv_blocks(
-            mp, cin_p, cout_p, khp, kwp, fhx) is None:
-        # resident-image kernel doesn't fit VMEM (224^2 stems): XLA im2col
-        # over the SAME flat geometry (tap slices of the flat image are
-        # plain row-shifted views) + the tuned Pallas matmul
-        return _conv_im2col(
-            xs, wps, bias_arr, m_arr, s_arr, n, oh, ow, khp, kwp, hph, wph,
-            cin_s, cout, out_zp, rounding, out_dtype, qmin, qmax, fuse)
+        if not vmap_batch:
+            fh, mp, fhx = _flat_lengths(n, hph, wph, khp, kwp, bm)
+        else:
+            fh, mp, fhx = _flat_lengths(1, hph, wph, khp, kwp, bm)
 
     transposed = layout == "t"
-    xflat = xs.reshape(n * hph * wph, cin_s)
-    pad_rows = fhx - xflat.shape[0]
-    xflat = jnp.pad(xflat, ((0, pad_rows), (0, cin_p - cin_s)))
-    if transposed:
-        # (M, C) -> (C, M): tap shifts become native lane shifts in-kernel
-        xflat = jnp.transpose(xflat)
+    if vmap_batch:
+        xflat = xs.reshape(n, hph * wph, cin_s)
+        xflat = jnp.pad(
+            xflat, ((0, 0), (0, fhx - hph * wph), (0, cin_p - cin_s)))
+        if transposed:
+            xflat = jnp.transpose(xflat, (0, 2, 1))
+    else:
+        xflat = xs.reshape(n * hph * wph, cin_s)
+        pad_rows = fhx - xflat.shape[0]
+        xflat = jnp.pad(xflat, ((0, pad_rows), (0, cin_p - cin_s)))
+        if transposed:
+            # (M, C) -> (C, M): tap shifts become native lane shifts in-kernel
+            xflat = jnp.transpose(xflat)
     wfull = jnp.pad(wps, ((0, 0), (0, 0), (0, cin_p - cin_s),
                           (0, cout_p - cout)))
 
@@ -588,6 +606,13 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
         int(out_zp), rounding, qmin, qmax, out_dtype, shift_values, interp,
         transposed)
     with _x32_tracing():
+        if vmap_batch:
+            import jax
+
+            out = jax.vmap(
+                lambda xi: fn(xi, wfull, b1, m1, s1))(xflat)  # (n, mp, cout_p)
+            out = out[:, :fh].reshape(n, hph, wph, cout_p)
+            return out[:, :oh, :ow, :cout]
         out = fn(xflat, wfull, b1, m1, s1)
     # (mp, cout_p) over-wide -> (n, oh, ow, cout)
     out = out[: n * fh].reshape(n, hph, wph, cout_p)

@@ -112,8 +112,14 @@ class TraceEmitter:
         names = [n.name for n in _computational(self.graph)]
         if self._executor is None:
             self._executor = JaxExecutor(self.graph, capture=names)
-        outs = self._executor.run(inputs)
-        values = dict(zip(names, outs))
+        outs = self._executor.run_device(inputs)
+        # pipelined device->host transfers: fetch ahead in a worker thread
+        # so serialization overlaps the (bandwidth-bound) transfers
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fetched = list(pool.map(np.asarray, outs, chunksize=4))
+        values = dict(zip(names, fetched))
         self._fill_structural(values, inputs)
         return values
 
