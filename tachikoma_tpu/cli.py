@@ -180,6 +180,49 @@ def cmd_bench(args):
     bench_mod.main()
 
 
+def cmd_tune(args):
+    """Tune kernel blockings for every matmul/conv workload in a graph
+    (the `tvmc tune` analog); records append to the database."""
+    from .ir.graph import CONST, TUPLE, TUPLE_GET_ITEM, VAR
+    from .runtime.fuse import fuse_qnn
+    from .tune.database import TOPHUB_PATH, TuneDatabase
+    from .tune.tuner import matmul_workload, tune_conv_flat, tune_matmul
+
+    g = _load_graph(args.graph)
+    g = fuse_qnn(g)
+    db = TuneDatabase(args.db or TOPHUB_PATH)
+    done = set(db.workloads())
+    seen = set()
+    for n in g.nodes:
+        if n.op in ("tk.dense_rq", "qnn.dense"):
+            src = g[n.inputs[0]]
+            wsh = g[n.inputs[1]].shape
+            M = int(np.prod(src.shape[:-1]))
+            K, N = int(wsh[0]), int(wsh[1])
+            key = ("mm", M, K, N)
+            if key in seen or matmul_workload(M, K, N, True) in done:
+                continue
+            seen.add(key)
+            tune_matmul(M, K, N, db, fused=True)
+        elif n.op in ("tk.conv2d_rq", "qnn.conv2d"):
+            src = g[n.inputs[0]]
+            wsh = g[n.inputs[1]].shape
+            a = dict(n.attrs)
+            strides = tuple(a.get("strides", (1, 1)))
+            from .ops.nn import _pad4, _pair
+
+            strides = _pair(strides)
+            padding = _pad4(a.get("padding", (0, 0, 0, 0)))
+            groups = int(a.get("groups", 1))
+            key = ("cv", tuple(src.shape), tuple(wsh), strides, padding, groups)
+            if key in seen:
+                continue
+            seen.add(key)
+            tune_conv_flat(tuple(src.shape), tuple(wsh), strides, padding,
+                           groups, db)
+    print(f"{len(db)} records in {db.path}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tachikoma_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -233,6 +276,11 @@ def main(argv=None):
 
     bn = sub.add_parser("bench", help="run the standard benchmark")
     bn.set_defaults(fn=cmd_bench)
+
+    tu = sub.add_parser("tune", help="tune kernel blockings for a graph's workloads")
+    tu.add_argument("graph")
+    tu.add_argument("--db", help="database path (default: the packaged tophub)")
+    tu.set_defaults(fn=cmd_tune)
 
     args = p.parse_args(argv)
     args.fn(args)

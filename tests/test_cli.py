@@ -61,3 +61,24 @@ def test_cli_unknown_model():
     r = run_cli("quantize", "nonexistent_model", "-o", "/dev/null", check=False)
     assert r.returncode != 0
     assert "unknown zoo model" in (r.stderr + r.stdout)
+
+
+def test_cli_tune_smoke(tmp_path, rng):
+    """cli tune enumerates a graph's workloads and writes DB records
+    (interpret-mode measurement on CPU)."""
+    import numpy as np
+
+    from tachikoma_tpu.cli import main
+    from tachikoma_tpu.ir.graph import GraphBuilder
+    from tachikoma_tpu.quantize.quantizer import quantize
+
+    b = GraphBuilder("m")
+    x = b.var("x", (2, 16), "float32")
+    w = b.const(rng.standard_normal((16, 8)).astype(np.float32))
+    g = b.build([b.call("nn.dense", x, w)])
+    qg = quantize(g, [rng.standard_normal((2, 16)).astype(np.float32)])
+    gpath = tmp_path / "g.json"
+    gpath.write_text(qg.to_json())
+    dbpath = tmp_path / "db.jsonl"
+    main(["tune", str(gpath), "--db", str(dbpath)])
+    assert dbpath.exists() and dbpath.read_text().strip()
