@@ -13,5 +13,6 @@ from .vision import (
     mobilenet_v2,
     resnet,
     squeezenet,
+    ssd_lite,
     vgg,
 )

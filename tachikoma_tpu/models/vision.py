@@ -378,6 +378,152 @@ def dqn(batch_size=1, image_size=84, num_actions=18, seed=0) -> Graph:
     return infer_types(b.build(out))
 
 
+def _ssd_priors(feat_sizes, image_size, min_scale=0.2, max_scale=0.9):
+    """SSD prior boxes in center-size form (cy, cx, h, w), normalized [0,1].
+
+    Matches the SSD multibox discipline (reference exercises this graph shape
+    via `vision.multibox_prior` + `vision.non_max_suppression`,
+    `src/relay/op/vision/multibox_op.cc`): per feature map, one scale plus
+    aspect ratios {1, 2, 1/2, 3, 1/3} and the geometric-mean extra box.
+    """
+    ratios = (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0)
+    scales = [min_scale + (max_scale - min_scale) * i / max(len(feat_sizes) - 1, 1)
+              for i in range(len(feat_sizes) + 1)]
+    priors = []
+    for fi, fs in enumerate(feat_sizes):
+        s = scales[fi]
+        s_extra = float(np.sqrt(s * scales[fi + 1]))
+        cells = (np.arange(fs) + 0.5) / fs
+        cy, cx = np.meshgrid(cells, cells, indexing="ij")
+        for box_h, box_w in [(s, s), (s_extra, s_extra)] + [
+            (s / np.sqrt(r), s * np.sqrt(r)) for r in ratios[1:]
+        ]:
+            priors.append(np.stack(
+                [cy.ravel(), cx.ravel(),
+                 np.full(fs * fs, box_h), np.full(fs * fs, box_w)], axis=1))
+    # interleave anchors per cell the same way the heads emit them:
+    # heads produce (H, W, A*4) -> reshape (H*W*A, 4), i.e. anchor-major per
+    # cell.  Rebuild priors in that order.
+    out = []
+    off = 0
+    num_anchors = len(ratios) + 1
+    for fs in feat_sizes:
+        per_scale = [priors[off + a] for a in range(num_anchors)]
+        off += num_anchors
+        stacked = np.stack(per_scale, axis=1)  # (H*W, A, 4)
+        out.append(stacked.reshape(-1, 4))
+    return np.concatenate(out, axis=0).astype(np.float32), num_anchors
+
+
+def ssd_lite(batch_size=1, image_size=320, num_classes=21, max_boxes=100,
+             seed=0) -> Graph:
+    """SSD-lite detector: MobileNetV2-style backbone, depthwise-separable
+    multibox heads, prior-box decode, per-image greedy NMS.
+
+    The detection-graph analog of the reference's SSD flow
+    (`python/tvm/relay/testing` has no SSD, but its frontends import SSD via
+    `vision.multibox_transform_loc` + `vision.non_max_suppression`,
+    `src/relay/op/vision/{multibox_op.cc,nms.cc}`).  Outputs: decoded corner
+    boxes (N, P, 4), per-box best-class scores (N, P), NMS-selected indices
+    (N, max_boxes) padded with -1.
+    """
+    rng = _rng(seed)
+    b = GraphBuilder("ssd_lite")
+    x = b.var("data", (batch_size, image_size, image_size, 3), "float32")
+
+    # --- backbone: trimmed MobileNetV2 down to stride 32 + 2 extra stages
+    def conv_out(size, k, stride, pad):
+        return (size + 2 * pad - k) // stride + 1
+
+    h = _conv(b, x, 3, 32, 3, 2, 1, rng, "conv0")
+    h = _bn(b, h, 32, rng, "bn0")
+    h = b.call("clip", h, a_min=0.0, a_max=6.0, name="relu6_0")
+    cur = conv_out(image_size, 3, 2, 1)
+    cin = 32
+    feats, feat_sizes = [], []
+    cfg = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 2, 2),
+           (6, 96, 2, 1), (6, 160, 2, 2)]
+    idx = 0
+    for t, c, nrep, s in cfg:
+        for i in range(nrep):
+            stride = s if i == 0 else 1
+            h = _inverted_residual(b, h, cin, c, stride, t, rng, f"ir{idx}")
+            cur = conv_out(cur, 3, stride, 1)
+            cin = c
+            idx += 1
+        if c in (96, 160):
+            feats.append((h, cin))
+            feat_sizes.append(cur)
+    # extra feature stages (stride 64, 128)
+    for j, cout in enumerate((256, 256)):
+        h = _conv(b, h, cin, cout // 2, 1, 1, 0, rng, f"extra{j}_pw")
+        h = b.call("nn.relu", h, name=f"extra{j}_relu0")
+        h = _conv(b, h, cout // 2, cout, 3, 2, 1, rng, f"extra{j}_conv")
+        h = b.call("nn.relu", h, name=f"extra{j}_relu1")
+        cur = conv_out(cur, 3, 2, 1)
+        cin = cout
+        feats.append((h, cin))
+        feat_sizes.append(cur)
+
+    # --- SSD-lite heads: depthwise 3x3 + pointwise 1x1 per scale
+    priors_np, num_anchors = _ssd_priors(feat_sizes, image_size)
+
+    def head(xh, c, fs, n_out, name):
+        hh = _conv(b, xh, c, c, 3, 1, 1, rng, f"{name}_dw", groups=c)
+        hh = b.call("clip", hh, a_min=0.0, a_max=6.0, name=f"{name}_relu6")
+        hh = _conv(b, hh, c, num_anchors * n_out, 1, 1, 0, rng, f"{name}_pw")
+        return b.call("reshape", hh,
+                      newshape=(batch_size, fs * fs * num_anchors, n_out),
+                      name=f"{name}_flat")
+
+    locs, confs = [], []
+    for si, ((f, c), fs) in enumerate(zip(feats, feat_sizes)):
+        locs.append(head(f, c, fs, 4, f"loc{si}"))
+        confs.append(head(f, c, fs, num_classes, f"conf{si}"))
+    loc = b.call("concatenate", *locs, axis=1, name="loc_cat")
+    conf = b.call("concatenate", *confs, axis=1, name="conf_cat")
+
+    # --- decode: center-size deltas with SSD variances (0.1, 0.2)
+    npri = priors_np.shape[0]
+    pr = priors_np[None]  # (1, P, 4)
+    p_cy = b.const(pr[:, :, 0:1], "prior_cy")
+    p_cx = b.const(pr[:, :, 1:2], "prior_cx")
+    p_h = b.const(pr[:, :, 2:3], "prior_h")
+    p_w = b.const(pr[:, :, 3:4], "prior_w")
+
+    def comp(src, k, name):
+        return b.call("strided_slice", src, begin=(k,), end=(k + 1,),
+                      strides=(1,), axes=(2,), name=name)
+
+    d_cy, d_cx = comp(loc, 0, "d_cy"), comp(loc, 1, "d_cx")
+    d_h, d_w = comp(loc, 2, "d_h"), comp(loc, 3, "d_w")
+    var_c = b.const(np.float32(0.1), "var_center")
+    var_s = b.const(np.float32(0.2), "var_size")
+    cy = b.call("add", b.call("multiply", b.call("multiply", d_cy, var_c), p_h), p_cy)
+    cx = b.call("add", b.call("multiply", b.call("multiply", d_cx, var_c), p_w), p_cx)
+    bh = b.call("multiply", b.call("exp", b.call("multiply", d_h, var_s)), p_h)
+    bw = b.call("multiply", b.call("exp", b.call("multiply", d_w, var_s)), p_w)
+    half = b.const(np.float32(0.5), "half")
+    hy, hx = b.call("multiply", bh, half), b.call("multiply", bw, half)
+    boxes = b.call("concatenate",
+                   b.call("subtract", cy, hy), b.call("subtract", cx, hx),
+                   b.call("add", cy, hy), b.call("add", cx, hx),
+                   axis=2, name="boxes")
+
+    # --- scores: softmax over classes, best non-background class per box
+    probs = b.call("nn.softmax", conf, axis=-1, name="probs")
+    fg = b.call("strided_slice", probs, begin=(1,), end=(num_classes,),
+                strides=(1,), axes=(2,), name="fg_probs")
+    scores = b.call("max", fg, axis=2, name="scores")
+
+    keep = b.call("vision.non_max_suppression", boxes, scores,
+                  max_output_size=max_boxes, iou_threshold=0.5,
+                  score_threshold=0.05, name="nms")
+    g = infer_types(b.build([boxes, scores, keep]))
+    assert g[boxes].shape == (batch_size, npri, 4)
+    return g
+
+
 def lstm(batch_size=1, seq_len=16, input_dim=64, hidden_dim=128, num_classes=10,
          seed=0) -> Graph:
     """Unrolled LSTM classifier (`python/tvm/relay/testing/lstm.py`
