@@ -249,7 +249,224 @@ def combine_parallel_dense(graph: Graph) -> Graph:
     return infer_types(b.build([mapping[o] for o in g.outputs]))
 
 
-DEFAULT_SIMPLIFY = (fold_constant, fold_batch_norm, fuse_pad_into_conv,
+def _channel_scale(g: Graph, name: str, channels: int) -> np.ndarray | None:
+    """A const usable as a per-output-channel scale: scalar or (C,) (possibly
+    wrapped in leading 1s, e.g. (1,1,1,C))."""
+    n = g[name]
+    if not n.is_const:
+        return None
+    v = g.params[name]
+    if v.size == 1:
+        return np.full((channels,), v.reshape(()), v.dtype)
+    squeezed = v.reshape(-1) if v.ndim and v.size == v.shape[-1] else None
+    if squeezed is not None and squeezed.shape == (channels,):
+        return squeezed
+    return None
+
+
+def fold_scale_axis(graph: Graph) -> Graph:
+    """Fold per-channel multiplies into adjacent conv2d/dense weights
+    (reference: `src/relay/transforms/fold_scale_axis.cc` Forward+Backward).
+
+    Backward: ``multiply(conv(x, w), s)`` -> ``conv(x, w * s[cout])``
+    Forward:  ``conv(multiply(x, s), w)`` -> ``conv(x, w * s[cin])``
+    (dense analogously on its K/N axes).  Applies when the scale is a const
+    scalar or per-channel vector and the producer has a single consumer.
+    """
+    g = infer_types(graph)
+    users = g.users()
+
+    # ---- backward: multiply-after --------------------------------------
+    fold_after: dict[str, str] = {}  # mul node -> producer conv/dense
+    for n in g.nodes:
+        if n.op != "multiply" or len(n.inputs) != 2:
+            continue
+        for xi, si in ((0, 1), (1, 0)):
+            src = g[n.inputs[xi]]
+            if (src.op in ("nn.conv2d", "nn.dense")
+                    and len(users[src.name]) == 1
+                    and g[src.inputs[1]].is_const
+                    and src.name not in fold_after.values()):
+                cout = src.shape[-1]
+                s = _channel_scale(g, n.inputs[si], cout)
+                if s is not None:
+                    fold_after[n.name] = src.name
+                    break
+
+    # ---- forward: multiply-before --------------------------------------
+    fold_before: dict[str, str] = {}  # conv/dense node -> mul producer
+    for n in g.nodes:
+        if n.op not in ("nn.conv2d", "nn.dense"):
+            continue
+        if n.op == "nn.conv2d" and int(n.attrs.get("groups", 1)) != 1:
+            continue
+        src = g[n.inputs[0]]
+        if (src.op == "multiply" and len(src.inputs) == 2
+                and len(users[src.name]) == 1
+                and g[n.inputs[1]].is_const
+                and src.name not in fold_after):
+            cin = g[src.name].shape[-1]
+            for xi, si in ((0, 1), (1, 0)):
+                s = _channel_scale(g, src.inputs[si], cin)
+                if s is not None and not g[src.inputs[xi]].is_const:
+                    fold_before[n.name] = (src.name, src.inputs[xi], s)
+                    break
+
+    if not fold_after and not fold_before:
+        return graph
+
+    after_by_src = {v: k for k, v in fold_after.items()}
+    skip_muls = set(fold_after) | {v[0] for v in fold_before.values()}
+    b = GraphBuilder(g.name)
+    mapping: dict[str, str] = {}
+    for n in g.nodes:
+        if n.op == VAR:
+            mapping[n.name] = b.var(n.name, n.shape, n.dtype)
+            continue
+        if n.op == CONST:
+            mapping[n.name] = b.const(g.params[n.name], name=n.name)
+            continue
+        if n.name in skip_muls and n.name not in fold_after:
+            # forward-folded multiply: forward its data input
+            xin = next(v[1] for v in fold_before.values() if v[0] == n.name)
+            mapping[n.name] = mapping[xin]
+            continue
+        if n.name in fold_after:
+            mapping[n.name] = mapping[fold_after[n.name]]
+            continue
+        if n.op in ("nn.conv2d", "nn.dense"):
+            w = g.params[n.inputs[1]]
+            wname = n.inputs[1]
+            suffix = ""
+            if n.name in fold_before:
+                _, _, s = fold_before[n.name]
+                # scale the INPUT-channel axis: conv HWIO axis -2, dense K axis 0
+                axis = -2 if n.op == "nn.conv2d" else 0
+                shape = [1] * w.ndim
+                shape[axis] = w.shape[axis]
+                w = (w.astype(np.float64)
+                     * s.astype(np.float64).reshape(shape)).astype(w.dtype)
+                suffix += "_fsf"
+            if n.name in after_by_src:
+                mul = g[after_by_src[n.name]]
+                si = mul.inputs[1] if mul.inputs[0] == n.name else mul.inputs[0]
+                s = _channel_scale(g, si, n.shape[-1])
+                w = (w.astype(np.float64)
+                     * s.astype(np.float64).reshape((1,) * (w.ndim - 1) + (-1,))
+                     ).astype(w.dtype)
+                suffix += "_fsb"
+            new_inputs = [mapping[n.inputs[0]]]
+            if suffix:
+                new_inputs.append(b.const(w, name=wname + suffix))
+            else:
+                new_inputs.append(mapping[n.inputs[1]])
+            new_inputs += [mapping[i] for i in n.inputs[2:]]
+            mapping[n.name] = b.call(n.op, *new_inputs, name=n.name,
+                                     **dict(n.attrs))
+            continue
+        mapping[n.name] = b.call(n.op, *[mapping[i] for i in n.inputs],
+                                 name=n.name, **dict(n.attrs))
+    return b.build([mapping[o] for o in g.outputs]).dead_code_eliminate()
+
+
+def simplify_inference(graph: Graph) -> Graph:
+    """Inference-mode cleanups (reference:
+    `src/relay/transforms/simplify_inference.cc`): drop nn.dropout, and
+    decompose standalone nn.batch_norm (const statistics, not already folded
+    into a conv by fold_batch_norm) into a per-channel multiply + add."""
+    g = infer_types(graph)
+
+    def rewrite(b: GraphBuilder, n: Node, new_inputs):
+        if n.op == "nn.dropout":
+            return new_inputs[0]
+        if n.op == "nn.batch_norm" and all(g[i].is_const for i in n.inputs[1:]):
+            gamma, beta, mean, var = (g.params[i] for i in n.inputs[1:])
+            eps = np.float32(n.attrs.get("epsilon", 1e-5))
+            scale = (gamma / np.sqrt(var + eps)).astype(np.float32)
+            shift = (beta - mean * scale).astype(np.float32)
+            sc = b.const(scale, name=n.name + "_scale")
+            sh = b.const(shift, name=n.name + "_shift")
+            mul = b.call("multiply", new_inputs[0], sc, name=n.name + "_mul")
+            return b.call("add", mul, sh, name=n.name)
+        return None
+
+    return g.transform(rewrite).dead_code_eliminate()
+
+
+def _compose_perm(p1, p2):
+    """transpose(transpose(x, p1), p2) == transpose(x, [p1[i] for i in p2])."""
+    return tuple(p1[i] for i in p2)
+
+
+def simplify_transposes(graph: Graph) -> Graph:
+    """Collapse transpose chains and cancel identity transposes (the useful
+    core of the reference's ConvertLayout/`simplify_expr.cc` transpose rules:
+    frontends inserting NCHW<->NHWC bridges produce back-to-back transposes
+    that must not survive to the executor)."""
+    g = infer_types(graph)
+    changed = True
+    while changed:
+        changed = False
+        b = GraphBuilder(g.name)
+        mapping: dict[str, str] = {}
+        for n in g.nodes:
+            if n.op == VAR:
+                mapping[n.name] = b.var(n.name, n.shape, n.dtype)
+                continue
+            if n.op == CONST:
+                mapping[n.name] = b.const(g.params[n.name], name=n.name)
+                continue
+            if n.op == "transpose":
+                ndim = len(g[n.inputs[0]].shape)
+                axes = n.attrs.get("axes")
+                perm = (tuple(range(ndim))[::-1] if axes is None
+                        else tuple(a % ndim for a in axes))
+                src = g[n.inputs[0]]
+                if src.op == "transpose":
+                    sndim = len(g[src.inputs[0]].shape)
+                    saxes = src.attrs.get("axes")
+                    sperm = (tuple(range(sndim))[::-1] if saxes is None
+                             else tuple(a % sndim for a in saxes))
+                    perm = _compose_perm(sperm, perm)
+                    changed = True
+                    if perm == tuple(range(len(perm))):
+                        mapping[n.name] = mapping[src.inputs[0]]
+                    else:
+                        mapping[n.name] = b.call(
+                            "transpose", mapping[src.inputs[0]], name=n.name,
+                            axes=list(perm))
+                    continue
+                if perm == tuple(range(ndim)):
+                    mapping[n.name] = mapping[n.inputs[0]]
+                    changed = True
+                    continue
+            mapping[n.name] = b.call(n.op, *[mapping[i] for i in n.inputs],
+                                     name=n.name, **dict(n.attrs))
+        g = b.build([mapping[o] for o in g.outputs]).dead_code_eliminate()
+    return g
+
+
+def remove_identity(graph: Graph) -> Graph:
+    """Strip no-op nodes: copy, same-dtype cast, same-shape reshape /
+    broadcast_to (reference: `simplify_expr.cc` identity rules)."""
+    g = infer_types(graph)
+
+    def rewrite(b: GraphBuilder, n: Node, new_inputs):
+        src = g[n.inputs[0]] if n.inputs else None
+        if n.op == "copy":
+            return new_inputs[0]
+        if n.op == "cast" and src is not None and src.dtype == n.dtype:
+            return new_inputs[0]
+        if (n.op in ("reshape", "broadcast_to") and src is not None
+                and tuple(src.shape) == tuple(n.shape)):
+            return new_inputs[0]
+        return None
+
+    return g.transform(rewrite).dead_code_eliminate()
+
+
+DEFAULT_SIMPLIFY = (fold_constant, simplify_transposes, remove_identity,
+                    fold_batch_norm, fold_scale_axis, fuse_pad_into_conv,
                     combine_parallel_dense, eliminate_common_subexpr)
 
 

@@ -106,6 +106,101 @@ def _flat_conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
 
 
 
+def _flat_conv_kernel_s(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref,
+                        patch_ref, *,
+                        taps: tuple, wph: int, bm: int, pad: int, n_k: int,
+                        fuse: bool, out_zp: int, rounding: str, qmin: int,
+                        qmax: int, shift_values: tuple):
+    """Scratch-im2col variant: copy every tap window into a (bm, T*bk) int8
+    VMEM patch (lane-block writes at 128-aligned offsets), then ONE deep-K
+    MXU dot per k-block.  The MXU accumulates across taps internally, so the
+    per-tap int32 accumulator read-modify-writes of the baseline kernel
+    (9x (bm, bn) VPU adds) collapse to a single add — the baseline is
+    VPU-bound at narrow COUT, not MXU-bound."""
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    from .qms32 import q_multiply_shift_select
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    m0 = pl.multiple_of(pl.program_id(0) * bm, bm)
+    win = x_ref[pl.ds(m0, bm + pad), :]
+    bkc = win.shape[-1]
+    wlen = bm + pad - 4
+    wins = {}
+    for r in sorted({(a * wph + b) % 4 for (a, b) in taps}):
+        wins[r] = lax.slice(win, (r, 0), (r + wlen, bkc))
+    for t, (a, b) in enumerate(taps):
+        off = a * wph + b
+        r = off % 4
+        patch_ref[:, t * bkc:(t + 1) * bkc] = lax.slice(
+            wins[r], (off - r, 0), (off - r + bm, bkc))
+    wm = w_ref[...].reshape(len(taps) * bkc, w_ref.shape[-1])
+    acc_ref[...] += jnp.dot(
+        patch_ref[...], wm, preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _epilogue():
+        acc = acc_ref[...] + bias_ref[...]
+        if fuse:
+            v = q_multiply_shift_select(
+                acc, m_ref[...], s_ref[...], shift_values, rounding)
+            if out_zp:
+                v = v + jnp.int32(out_zp)
+            o_ref[...] = jnp.clip(
+                v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+        else:
+            o_ref[...] = acc
+
+
+def _flat_conv_kernel_w(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
+                        taps: tuple, wph: int, bm: int, pad: int, n_k: int,
+                        fuse: bool, out_zp: int, rounding: str, qmin: int,
+                        qmax: int, shift_values: tuple):
+    """Wide-N variant: ONE (bm+pad, bk) x (bk, T*bn) dot computes every tap's
+    contribution for every row, then taps are combined by SHIFTED int32
+    slices (static sublane shifts — native for 32-bit data, unlike the int8
+    byte shuffles the baseline pays for row taps).  Trades (pad/bm) extra
+    MXU rows + an int32 intermediate for zero input relayout."""
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    from .qms32 import q_multiply_shift_select
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    m0 = pl.multiple_of(pl.program_id(0) * bm, bm)
+    win = x_ref[pl.ds(m0, bm + pad), :]
+    bk = win.shape[-1]
+    t_n = len(taps)
+    bn = w_ref.shape[-1]
+    wide = jnp.dot(win, w_ref[...].reshape(bk, t_n * bn),
+                   preferred_element_type=jnp.int32)
+    for t, (a, b) in enumerate(taps):
+        off = a * wph + b
+        acc_ref[...] += lax.slice(wide, (off, t * bn), (off + bm, (t + 1) * bn))
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _epilogue():
+        acc = acc_ref[...] + bias_ref[...]
+        if fuse:
+            v = q_multiply_shift_select(
+                acc, m_ref[...], s_ref[...], shift_values, rounding)
+            if out_zp:
+                v = v + jnp.int32(out_zp)
+            o_ref[...] = jnp.clip(
+                v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+        else:
+            o_ref[...] = acc
+
+
 def _flat_conv_kernel_t(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
                         taps: tuple, wph: int, bm: int, pad: int, n_k: int,
                         fuse: bool, out_zp: int, rounding: str, qmin: int,
@@ -153,7 +248,7 @@ def _flat_conv_kernel_t(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
 @functools.lru_cache(maxsize=None)
 def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
                      fuse, out_zp, rounding, qmin, qmax, out_dtype,
-                     shift_values, interpret, transposed=False):
+                     shift_values, interpret, layout=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -162,8 +257,10 @@ def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
     n_k = cin_p // bk
     grid = (mp // bm, cout_p // bn, n_k)
     taps = tuple((a, b) for a in range(khp) for b in range(kwp))
+    kernels = {None: _flat_conv_kernel, "t": _flat_conv_kernel_t,
+               "s": _flat_conv_kernel_s, "w": _flat_conv_kernel_w}
     kernel = functools.partial(
-        _flat_conv_kernel_t if transposed else _flat_conv_kernel,
+        kernels[layout],
         taps=taps, wph=wph, bm=bm, pad=fhx - mp, n_k=n_k,
         fuse=fuse, out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
         shift_values=shift_values,
@@ -179,6 +276,18 @@ def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
             + mp * cout_p * (1 if fuse else 4),
             transcendentals=0,
         )
+    if layout == "t":
+        x_spec = pl.BlockSpec((bk, fhx), lambda i, j, k: (k, 0))
+    else:
+        x_spec = pl.BlockSpec((fhx, bk), lambda i, j, k: (0, k))
+    if layout == "w":
+        # weights pre-arranged (cin_p, khp*kwp, cout_p): one (bk, T*bn) dot
+        w_spec = pl.BlockSpec((bk, khp * kwp, bn), lambda i, j, k: (k, 0, j))
+    else:
+        w_spec = pl.BlockSpec((khp, kwp, bk, bn), lambda i, j, k: (0, 0, k, j))
+    scratch = [pltpu.VMEM((bm, bn), jnp.int32)]
+    if layout == "s":
+        scratch.append(pltpu.VMEM((bm, khp * kwp * bk), jnp.int8))
     fn = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -189,15 +298,14 @@ def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
             in_specs=[
                 # whole flat image: constant across (i, j) so Pallas fetches
                 # it once per k-block, not per M/N tile
-                (pl.BlockSpec((bk, fhx), lambda i, j, k: (k, 0)) if transposed
-                 else pl.BlockSpec((fhx, bk), lambda i, j, k: (0, k))),
-                pl.BlockSpec((khp, kwp, bk, bn), lambda i, j, k: (0, 0, k, j)),
+                x_spec,
+                w_spec,
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            scratch_shapes=scratch,
         ),
         interpret=interpret,
         **kw_extra,
@@ -591,6 +699,11 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
             xflat = jnp.transpose(xflat)
     wfull = jnp.pad(wps, ((0, 0), (0, 0), (0, cin_p - cin_s),
                           (0, cout_p - cout)))
+    if layout == "w":
+        # (khp, kwp, cin_p, cout_p) -> (cin_p, khp*kwp, cout_p): K on
+        # sublanes feeding the single wide-N dot
+        wfull = jnp.transpose(wfull, (2, 0, 1, 3)).reshape(
+            cin_p, khp * kwp, cout_p)
 
     pad1 = lambda a, cv=0: jnp.pad(
         a, (0, cout_p - cout), constant_values=cv).reshape(1, cout_p)
@@ -604,7 +717,7 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
     fn = _build_flat_conv(
         mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk, fuse,
         int(out_zp), rounding, qmin, qmax, out_dtype, shift_values, interp,
-        transposed)
+        layout)
     with _x32_tracing():
         if vmap_batch:
             import jax

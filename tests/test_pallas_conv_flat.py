@@ -102,6 +102,22 @@ def test_flat_conv_transposed_layout(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_flat_conv_s_w_layouts(rng):
+    """layout='s' (scratch im2col, one deep-K dot) and layout='w' (wide-N dot
+    + int32 shifted combines) are bit-identical to the default kernel."""
+    x = rng.integers(-127, 127, (2, 10, 10, 32)).astype(np.int8)
+    w = rng.integers(-127, 127, (3, 3, 32, 48)).astype(np.int8)
+    bias = rng.integers(-2000, 2000, 48).astype(np.int32)
+    scales = 0.0002 + np.abs(rng.standard_normal(48)) * 0.0005
+    m_arr, s_arr = plan_requantize(scales, 0.07)
+    kw = dict(bias=bias, multiplier=m_arr, shift=s_arr,
+              strides=(1, 1), padding=(1, 1, 1, 1), out_zp=4)
+    a = np.asarray(qconv2d_flat(x, w, **kw))
+    for lay in ("s", "w"):
+        b = np.asarray(qconv2d_flat(x, w, layout=lay, **kw))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_flat_conv_im2col_fallback(rng):
     """Big-image im2col route (stem convs) is bit-exact vs the oracle."""
     from tachikoma_tpu.ops.pallas.conv_flat import _pick_conv_blocks
