@@ -24,7 +24,6 @@ def main():
         (8, 56, 56, 128, 128, 3, 1),   # headline
         (8, 28, 28, 256, 256, 3, 1),
         (8, 14, 14, 256, 256, 3, 1),
-        (8, 56, 56, 64, 64, 3, 1),     # small-channel (currently 21 TOPS)
     ]
     m, sh_ = plan_requantize(0.0004, 0.05)
     for (n, h, w, cin, cout, k, s) in shapes:
@@ -34,13 +33,17 @@ def main():
         pad = (k // 2,) * 4
         oh = ow = (h + 2 * (k // 2) - k) // s + 1
         macs = n * oh * ow * cout * k * k * cin
-        for lay in (None, "s", "w"):
+        for lay in (None, "r", "c"):
             for bm in (512, 1024, 2048):
                 blocks = (bm, min(128, cout), min(128, cin))
 
                 def fn(a, _b=blocks, _l=lay):
                     return qconv2d_flat(a, wt, multiplier=m, shift=sh_,
                                         strides=(s, s), padding=pad,
+                                        blocks=_b, layout=_l)
+
+                def fn_raw(a, _b=blocks, _l=lay):
+                    return qconv2d_flat(a, wt, strides=(s, s), padding=pad,
                                         blocks=_b, layout=_l)
 
                 def feedback(a, out):
@@ -55,9 +58,17 @@ def main():
                           flush=True)
                     continue
                 tops = 2 * macs / per / 1e12
+                try:
+                    def fb32(a, out):
+                        bit = (out.sum(dtype=jnp.int32) & 1).astype(jnp.int8)
+                        return a ^ bit
+                    per_r = per_iter_chain(fn_raw, x, fb32)
+                except Exception:
+                    per_r = float('nan')
                 print(f"{(n,h,w,cin,cout,k,s)} lay={str(lay):4s} bm={bm:5d}: "
                       f"{per*1e6:8.1f} us  {tops:7.1f} TOPS  "
-                      f"roofline {tops/PEAK_TOPS:5.1%}", flush=True)
+                      f"roofline {tops/PEAK_TOPS:5.1%}  raw {per_r*1e6:8.1f} us",
+                      flush=True)
 
 
 if __name__ == "__main__":

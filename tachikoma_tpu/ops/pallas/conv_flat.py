@@ -201,6 +201,62 @@ def _flat_conv_kernel_w(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
             o_ref[...] = acc
 
 
+def _flat_conv_kernel_r(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
+                        taps: tuple, wph: int, bm: int, pad: int, n_k: int,
+                        fuse: bool, out_zp: int, rounding: str, qmin: int,
+                        qmax: int, shift_values: tuple):
+    """Row-stacked-K variant: for each COLUMN tap b, lane-concatenate the khp
+    row-tap windows into one (bm, khp*bk) operand and do ONE deep-K dot —
+    kwp dots total instead of khp*kwp, so the int32 accumulator
+    read-modify-writes drop by khp x.  The concatenate is a vreg lane
+    placement (no scratch stores); weights arrive as (kwp, khp, bk, bn).
+
+    Measured on v5e: ~5% ahead of the base kernel at 28x28x256 (95.6 vs
+    90.4 TOPS) and even at 14x14x256; Mosaic FAILS to compile it at
+    cin=128 (bk=128, 3*128-lane concat) — select it per-shape via the tune
+    DB only."""
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    from .qms32 import q_multiply_shift_select
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    m0 = pl.multiple_of(pl.program_id(0) * bm, bm)
+    win = x_ref[pl.ds(m0, bm + pad), :]
+    bkc = win.shape[-1]
+    wlen = bm + pad - 4
+    wins = {}
+    for r in sorted({(a * wph + b) % 4 for (a, b) in taps}):
+        wins[r] = lax.slice(win, (r, 0), (r + wlen, bkc))
+    khp = max(a for (a, _) in taps) + 1
+    for b in sorted({b for (_, b) in taps}):
+        parts = []
+        for a in range(khp):
+            off = a * wph + b
+            r = off % 4
+            parts.append(lax.slice(wins[r], (off - r, 0), (off - r + bm, bkc)))
+        patch = jnp.concatenate(parts, axis=1)       # (bm, khp*bk)
+        wm = w_ref[b].reshape(khp * bkc, w_ref.shape[-1])
+        acc_ref[...] += jnp.dot(patch, wm, preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _epilogue():
+        acc = acc_ref[...] + bias_ref[...]
+        if fuse:
+            v = q_multiply_shift_select(
+                acc, m_ref[...], s_ref[...], shift_values, rounding)
+            if out_zp:
+                v = v + jnp.int32(out_zp)
+            o_ref[...] = jnp.clip(
+                v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+        else:
+            o_ref[...] = acc
+
+
 def _flat_conv_kernel_t(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
                         taps: tuple, wph: int, bm: int, pad: int, n_k: int,
                         fuse: bool, out_zp: int, rounding: str, qmin: int,
@@ -258,7 +314,8 @@ def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
     grid = (mp // bm, cout_p // bn, n_k)
     taps = tuple((a, b) for a in range(khp) for b in range(kwp))
     kernels = {None: _flat_conv_kernel, "t": _flat_conv_kernel_t,
-               "s": _flat_conv_kernel_s, "w": _flat_conv_kernel_w}
+               "s": _flat_conv_kernel_s, "w": _flat_conv_kernel_w,
+               "r": _flat_conv_kernel_r}
     kernel = functools.partial(
         kernels[layout],
         taps=taps, wph=wph, bm=bm, pad=fhx - mp, n_k=n_k,
@@ -283,6 +340,10 @@ def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
     if layout == "w":
         # weights pre-arranged (cin_p, khp*kwp, cout_p): one (bk, T*bn) dot
         w_spec = pl.BlockSpec((bk, khp * kwp, bn), lambda i, j, k: (k, 0, j))
+    elif layout == "r":
+        # weights pre-arranged (kwp, khp, cin_p, cout_p): per-column-tap
+        # (khp*bk, bn) operands matching the lane-concat patch order
+        w_spec = pl.BlockSpec((kwp, khp, bk, bn), lambda i, j, k: (0, 0, k, j))
     else:
         w_spec = pl.BlockSpec((khp, kwp, bk, bn), lambda i, j, k: (0, 0, k, j))
     scratch = [pltpu.VMEM((bm, bn), jnp.int32)]
@@ -704,6 +765,9 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
         # sublanes feeding the single wide-N dot
         wfull = jnp.transpose(wfull, (2, 0, 1, 3)).reshape(
             cin_p, khp * kwp, cout_p)
+    elif layout == "r":
+        # (khp, kwp, cin_p, cout_p) -> (kwp, khp, cin_p, cout_p)
+        wfull = jnp.transpose(wfull, (1, 0, 2, 3))
 
     pad1 = lambda a, cv=0: jnp.pad(
         a, (0, cout_p - cout), constant_values=cv).reshape(1, cout_p)

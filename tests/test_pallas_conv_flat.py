@@ -113,7 +113,7 @@ def test_flat_conv_s_w_layouts(rng):
     kw = dict(bias=bias, multiplier=m_arr, shift=s_arr,
               strides=(1, 1), padding=(1, 1, 1, 1), out_zp=4)
     a = np.asarray(qconv2d_flat(x, w, **kw))
-    for lay in ("s", "w"):
+    for lay in ("s", "w", "r"):
         b = np.asarray(qconv2d_flat(x, w, layout=lay, **kw))
         np.testing.assert_array_equal(a, b)
 
