@@ -33,7 +33,7 @@ def main():
         pad = (k // 2,) * 4
         oh = ow = (h + 2 * (k // 2) - k) // s + 1
         macs = n * oh * ow * cout * k * k * cin
-        for lay in (None, "r", "c"):
+        for lay in (None, "r"):
             for bm in (512, 1024, 2048):
                 blocks = (bm, min(128, cout), min(128, cin))
 

@@ -65,10 +65,6 @@ def _flat_conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
 
     from .qms32 import q_multiply_shift_select
 
-    @pl.when(pl.program_id(2) == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
     # one ALIGNED dynamic load covering every tap's window (Mosaic requires
     # sublane-aligned dynamic offsets).  int8 is (4,1)-packed in VMEM, so a
     # row shift by r in {1,2,3} is an expensive byte shuffle: extract at most
@@ -82,17 +78,20 @@ def _flat_conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
     wins = {}
     for r in sorted({(a * wph + b) % 4 for (a, b) in taps}):
         wins[r] = lax.slice(win, (r, 0), (r + wlen, bkc))
+    # accumulate the tap dots as SSA values (vregs), not via per-tap
+    # read-modify-writes of the 256 KB int32 VMEM scratch — the scratch
+    # round-trips (2 x bm x bn x 4 bytes x taps per cell) dominate at
+    # narrow COUT, where the kernel is VMEM-bandwidth-bound, not MXU-bound
+    part = None
     for (a, b) in taps:
         off = a * wph + b
         r = off % 4
         patch = lax.slice(wins[r], (off - r, 0), (off - r + bm, bkc))
-        acc_ref[...] += jnp.dot(
-            patch, w_ref[a, b], preferred_element_type=jnp.int32
-        )
+        d = jnp.dot(patch, w_ref[a, b], preferred_element_type=jnp.int32)
+        part = d if part is None else part + d
 
-    @pl.when(pl.program_id(2) == n_k - 1)
-    def _epilogue():
-        acc = acc_ref[...] + bias_ref[...]
+    def _finish(acc):
+        acc = acc + bias_ref[...]
         if fuse:
             v = q_multiply_shift_select(
                 acc, m_ref[...], s_ref[...], shift_values, rounding)
@@ -102,6 +101,23 @@ def _flat_conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
                 v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
         else:
             o_ref[...] = acc
+
+    if n_k == 1:
+        # single k-block (cin <= bk, e.g. every ResNet stage-2 conv): the
+        # accumulator never touches VMEM at all
+        _finish(part)
+    else:
+        @pl.when(pl.program_id(2) == 0)
+        def _first():
+            acc_ref[...] = part
+
+        @pl.when((pl.program_id(2) > 0) & (pl.program_id(2) < n_k - 1))
+        def _mid():
+            acc_ref[...] += part
+
+        @pl.when(pl.program_id(2) == n_k - 1)
+        def _epilogue():
+            _finish(acc_ref[...] + part)
 
 
 
