@@ -686,6 +686,486 @@ class _OnnxImporter:
             "nn.pad", x, pad_width=tuple(pw),
             pad_mode=attrs.get("mode", "constant"), pad_value=val), "onnx")
 
+    # -- converter long tail (breadth batch; `relay/frontend/onnx.py` roles) --
+
+    def op_Neg(self, ins, outs, attrs):
+        self._unary(ins, outs, "negative")
+
+    def op_Abs(self, ins, outs, attrs):
+        self._unary(ins, outs, "abs")
+
+    def op_Floor(self, ins, outs, attrs):
+        self._unary(ins, outs, "floor")
+
+    def op_Ceil(self, ins, outs, attrs):
+        self._unary(ins, outs, "ceil")
+
+    def op_Round(self, ins, outs, attrs):
+        self._unary(ins, outs, "round")
+
+    def op_Log(self, ins, outs, attrs):
+        self._unary(ins, outs, "log")
+
+    def op_Sin(self, ins, outs, attrs):
+        self._unary(ins, outs, "sin")
+
+    def op_Cos(self, ins, outs, attrs):
+        self._unary(ins, outs, "cos")
+
+    def op_Tan(self, ins, outs, attrs):
+        self._unary(ins, outs, "tan")
+
+    def op_Asin(self, ins, outs, attrs):
+        self._unary(ins, outs, "asin")
+
+    def op_Acos(self, ins, outs, attrs):
+        self._unary(ins, outs, "acos")
+
+    def op_Atan(self, ins, outs, attrs):
+        self._unary(ins, outs, "atan")
+
+    def op_Sinh(self, ins, outs, attrs):
+        self._unary(ins, outs, "sinh")
+
+    def op_Cosh(self, ins, outs, attrs):
+        self._unary(ins, outs, "cosh")
+
+    def op_Sign(self, ins, outs, attrs):
+        self._unary(ins, outs, "sign")
+
+    def op_Not(self, ins, outs, attrs):
+        self._unary(ins, outs, "logical_not")
+
+    def op_IsNaN(self, ins, outs, attrs):
+        self._unary(ins, outs, "isnan")
+
+    def op_IsInf(self, ins, outs, attrs):
+        self._unary(ins, outs, "isinf")
+
+    def op_Reciprocal(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        one = self.b.const(np.float32(1.0))
+        self.set(outs[0], self.b.call("divide", one, v), layout)
+
+    def op_Softplus(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        e = self.b.call("exp", v)
+        e1 = self.b.call("add", e, self.b.const(np.float32(1.0)))
+        self.set(outs[0], self.b.call("log", e1), layout)
+
+    def op_Softsign(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        den = self.b.call("add", self.b.call("abs", v),
+                          self.b.const(np.float32(1.0)))
+        self.set(outs[0], self.b.call("divide", v, den), layout)
+
+    def op_HardSigmoid(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        a = np.float32(attrs.get("alpha", 0.2))
+        be = np.float32(attrs.get("beta", 0.5))
+        s = self.b.call("add", self.b.call("multiply", v, self.b.const(a)),
+                        self.b.const(be))
+        self.set(outs[0], self.b.call("clip", s, a_min=0.0, a_max=1.0), layout)
+
+    def op_HardSwish(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        s = self.b.call("add", self.b.call(
+            "multiply", v, self.b.const(np.float32(1 / 6))),
+            self.b.const(np.float32(0.5)))
+        hs = self.b.call("clip", s, a_min=0.0, a_max=1.0)
+        self.set(outs[0], self.b.call("multiply", v, hs), layout)
+
+    def op_Elu(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        a = np.float32(attrs.get("alpha", 1.0))
+        em1 = self.b.call("subtract", self.b.call("exp", v),
+                          self.b.const(np.float32(1.0)))
+        neg = self.b.call("multiply", em1, self.b.const(a))
+        zero = self.b.const(np.float32(0.0))
+        cond = self.b.call("greater", v, zero)
+        self.set(outs[0], self.b.call("where", cond, v, neg), layout)
+
+    def op_Selu(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        a = np.float32(attrs.get("alpha", 1.6732632423543772))
+        g = np.float32(attrs.get("gamma", 1.0507009873554805))
+        em1 = self.b.call("subtract", self.b.call("exp", v),
+                          self.b.const(np.float32(1.0)))
+        neg = self.b.call("multiply", em1, self.b.const(a))
+        cond = self.b.call("greater", v, self.b.const(np.float32(0.0)))
+        sel = self.b.call("where", cond, v, neg)
+        self.set(outs[0], self.b.call("multiply", sel, self.b.const(g)), layout)
+
+    def op_ThresholdedRelu(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        a = np.float32(attrs.get("alpha", 1.0))
+        cond = self.b.call("greater", v, self.b.const(a))
+        self.set(outs[0], self.b.call(
+            "where", cond, v, self.b.const(np.float32(0.0))), layout)
+
+    def op_Mish(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        e1 = self.b.call("add", self.b.call("exp", v),
+                         self.b.const(np.float32(1.0)))
+        sp = self.b.call("log", e1)
+        self.set(outs[0], self.b.call(
+            "multiply", v, self.b.call("tanh", sp)), layout)
+
+    def op_PRelu(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        slope = self.const_value(ins[1])
+        assert slope is not None, "dynamic PRelu slope unsupported"
+        sl = slope.reshape(-1).astype(np.float32)
+        if sl.size == 1:
+            self.set(outs[0], self.b.call(
+                "nn.leaky_relu", v, alpha=float(sl[0])), layout)
+            return
+        # per-channel slope: channel axis is 1 in ONNX layout, last in nhwc
+        axis = -1 if layout == "nhwc" else 1
+        self.set(outs[0], self.b.call(
+            "nn.prelu", v, self.b.const(sl), axis=axis), layout)
+
+    def op_LogSoftmax(self, ins, outs, attrs):
+        self._unary(ins, outs, "nn.log_softmax",
+                    axis=int(attrs.get("axis", -1)))
+
+    # comparisons / logical -----------------------------------------------
+
+    def op_Equal(self, ins, outs, attrs):
+        self._binary(ins, outs, "equal")
+
+    def op_Greater(self, ins, outs, attrs):
+        self._binary(ins, outs, "greater")
+
+    def op_Less(self, ins, outs, attrs):
+        self._binary(ins, outs, "less")
+
+    def op_GreaterOrEqual(self, ins, outs, attrs):
+        self._binary(ins, outs, "greater_equal")
+
+    def op_LessOrEqual(self, ins, outs, attrs):
+        self._binary(ins, outs, "less_equal")
+
+    def op_And(self, ins, outs, attrs):
+        self._binary(ins, outs, "logical_and")
+
+    def op_Or(self, ins, outs, attrs):
+        self._binary(ins, outs, "logical_or")
+
+    def op_Xor(self, ins, outs, attrs):
+        self._binary(ins, outs, "logical_xor")
+
+    def op_Mod(self, ins, outs, attrs):
+        self._binary(ins, outs,
+                     "trunc_mod" if attrs.get("fmod") else "mod")
+
+    def _variadic(self, ins, outs, op):
+        v, layout = self.val(ins[0])
+        for nxt in ins[1:]:
+            w, _ = self.val(nxt)
+            v = self.b.call(op, v, w)
+        return v, layout
+
+    def op_Max(self, ins, outs, attrs):
+        v, layout = self._variadic(ins, outs, "maximum")
+        self.set(outs[0], v, layout)
+
+    def op_Min(self, ins, outs, attrs):
+        v, layout = self._variadic(ins, outs, "minimum")
+        self.set(outs[0], v, layout)
+
+    def op_Sum(self, ins, outs, attrs):
+        v, layout = self._variadic(ins, outs, "add")
+        self.set(outs[0], v, layout)
+
+    def op_Mean(self, ins, outs, attrs):
+        v, layout = self._variadic(ins, outs, "add")
+        self.set(outs[0], self.b.call(
+            "divide", v, self.b.const(np.float32(len(ins)))), layout)
+
+    # reductions ------------------------------------------------------------
+
+    def _reduce(self, ins, outs, attrs, op):
+        x = self.as_onnx(ins[0])
+        axes = attrs.get("axes")
+        if axes is None and len(ins) > 1 and ins[1]:
+            axes = self.const_value(ins[1]).tolist()
+        kd = bool(attrs.get("keepdims", 1))
+        if axes is None and attrs.get("noop_with_empty_axes"):
+            self.env[outs[0]] = self.env[ins[0]]
+            return None
+        return self.b.call(op, x, axis=tuple(axes) if axes else None,
+                           keepdims=kd)
+
+    def op_ReduceSum(self, ins, outs, attrs):
+        v = self._reduce(ins, outs, attrs, "sum")
+        if v is not None:
+            self.set(outs[0], v, "onnx")
+
+    def op_ReduceMax(self, ins, outs, attrs):
+        v = self._reduce(ins, outs, attrs, "max")
+        if v is not None:
+            self.set(outs[0], v, "onnx")
+
+    def op_ReduceMin(self, ins, outs, attrs):
+        v = self._reduce(ins, outs, attrs, "min")
+        if v is not None:
+            self.set(outs[0], v, "onnx")
+
+    def op_ReduceProd(self, ins, outs, attrs):
+        v = self._reduce(ins, outs, attrs, "prod")
+        if v is not None:
+            self.set(outs[0], v, "onnx")
+
+    def op_ReduceL1(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        ab = self.b.call("abs", x)
+        axes = attrs.get("axes")
+        if axes is None and len(ins) > 1 and ins[1]:
+            axes = self.const_value(ins[1]).tolist()
+        self.set(outs[0], self.b.call(
+            "sum", ab, axis=tuple(axes) if axes else None,
+            keepdims=bool(attrs.get("keepdims", 1))), "onnx")
+
+    def op_ReduceL2(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        sq = self.b.call("multiply", x, x)
+        axes = attrs.get("axes")
+        if axes is None and len(ins) > 1 and ins[1]:
+            axes = self.const_value(ins[1]).tolist()
+        ssum = self.b.call("sum", sq, axis=tuple(axes) if axes else None,
+                           keepdims=bool(attrs.get("keepdims", 1)))
+        self.set(outs[0], self.b.call("sqrt", ssum), "onnx")
+
+    def op_ReduceSumSquare(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        sq = self.b.call("multiply", x, x)
+        axes = attrs.get("axes")
+        if axes is None and len(ins) > 1 and ins[1]:
+            axes = self.const_value(ins[1]).tolist()
+        self.set(outs[0], self.b.call(
+            "sum", sq, axis=tuple(axes) if axes else None,
+            keepdims=bool(attrs.get("keepdims", 1))), "onnx")
+
+    def op_ArgMax(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        self.set(outs[0], self.b.call(
+            "argmax", x, axis=(int(attrs.get("axis", 0)),),
+            keepdims=bool(attrs.get("keepdims", 1))), "onnx")
+
+    def op_ArgMin(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        self.set(outs[0], self.b.call(
+            "argmin", x, axis=(int(attrs.get("axis", 0)),),
+            keepdims=bool(attrs.get("keepdims", 1))), "onnx")
+
+    # data movement ----------------------------------------------------------
+
+    def op_Expand(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        target = tuple(int(v) for v in self.const_value(ins[1]))
+        in_shape = self.shape_of(ins[0])
+        out_shape = tuple(np.broadcast_shapes(tuple(in_shape), target))
+        self.set(outs[0], self.b.call(
+            "broadcast_to", x, shape=out_shape), "onnx")
+
+    def op_Tile(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        reps = tuple(int(v) for v in self.const_value(ins[1]))
+        self.set(outs[0], self.b.call("tile", x, reps=reps), "onnx")
+
+    def op_Range(self, ins, outs, attrs):
+        s = self.const_value(ins[0])
+        li = self.const_value(ins[1])
+        d = self.const_value(ins[2])
+        assert s is not None and li is not None and d is not None, \
+            "dynamic Range unsupported"
+        fold = np.arange(s.item(), li.item(), d.item(), dtype=s.dtype)
+        self.env[outs[0]] = (fold, "onnx")
+        self.consts[outs[0]] = fold
+
+    def op_Where(self, ins, outs, attrs):
+        c = self.as_onnx(ins[0])
+        a = self.as_onnx(ins[1])
+        b2 = self.as_onnx(ins[2])
+        self.set(outs[0], self.b.call("where", c, a, b2), "onnx")
+
+    def op_OneHot(self, ins, outs, attrs):
+        idx = self.as_onnx(ins[0])
+        depth = int(self.const_value(ins[1]).item())
+        vals = self.const_value(ins[2])  # [off, on]
+        self.set(outs[0], self.b.call(
+            "one_hot", idx, depth=depth, axis=int(attrs.get("axis", -1)),
+            on_value=vals[1].item(), off_value=vals[0].item(),
+            dtype=str(vals.dtype)), "onnx")
+
+    def op_CumSum(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        axis = int(self.const_value(ins[1]).item())
+        if attrs.get("exclusive") or attrs.get("reverse"):
+            raise NotImplementedError("CumSum exclusive/reverse")
+        self.set(outs[0], self.b.call("cumsum", x, axis=axis), "onnx")
+
+    def op_Trilu(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        k = 0
+        if len(ins) > 1 and ins[1]:
+            k = int(self.const_value(ins[1]).item())
+        self.set(outs[0], self.b.call(
+            "trilu", x, k=k, upper=bool(attrs.get("upper", 1))), "onnx")
+
+    def op_TopK(self, ins, outs, attrs):
+        x = self.as_onnx(ins[0])
+        k = int(self.const_value(ins[1]).item())
+        if not attrs.get("largest", 1):
+            raise NotImplementedError("TopK largest=0")
+        tup = self.b.call("topk", x, k=k, axis=int(attrs.get("axis", -1)),
+                          ret_type="both", is_ascend=False, dtype="int64")
+        self.set(outs[0], self.b.get_item(tup, 0), "onnx")
+        if len(outs) > 1:
+            self.set(outs[1], self.b.get_item(tup, 1), "onnx")
+
+    def op_GatherND(self, ins, outs, attrs):
+        if attrs.get("batch_dims"):
+            raise NotImplementedError("GatherND batch_dims")
+        d = self.as_onnx(ins[0])
+        i = self.as_onnx(ins[1])
+        self.set(outs[0], self.b.call("gather_nd", d, i), "onnx")
+
+    def op_ScatterND(self, ins, outs, attrs):
+        d = self.as_onnx(ins[0])
+        i = self.as_onnx(ins[1])
+        u = self.as_onnx(ins[2])
+        self.set(outs[0], self.b.call(
+            "scatter_nd", d, i, u,
+            reduction=attrs.get("reduction", "update")), "onnx")
+
+    def op_GatherElements(self, ins, outs, attrs):
+        d = self.as_onnx(ins[0])
+        i = self.as_onnx(ins[1])
+        self.set(outs[0], self.b.call(
+            "gather", d, i, axis=int(attrs.get("axis", 0))), "onnx")
+
+    def op_ScatterElements(self, ins, outs, attrs):
+        d = self.as_onnx(ins[0])
+        i = self.as_onnx(ins[1])
+        u = self.as_onnx(ins[2])
+        self.set(outs[0], self.b.call(
+            "scatter_elements", d, i, u, axis=int(attrs.get("axis", 0)),
+            reduction=attrs.get("reduction", "update")), "onnx")
+
+    def op_Einsum(self, ins, outs, attrs):
+        eq = attrs["equation"]
+        if isinstance(eq, bytes):
+            eq = eq.decode()
+        vs = [self.as_onnx(i) for i in ins]
+        self.set(outs[0], self.b.call("einsum", *vs, equation=eq), "onnx")
+
+    def op_Size(self, ins, outs, attrs):
+        fold = np.int64(int(np.prod(self.shape_of(ins[0]))))
+        self.env[outs[0]] = (np.asarray(fold), "onnx")
+        self.consts[outs[0]] = np.asarray(fold)
+
+    # NN layers ----------------------------------------------------------------
+
+    def op_ConvTranspose(self, ins, outs, attrs):
+        x = self.as_nhwc(ins[0])
+        w = self.const_value(ins[1])
+        assert w is not None, "dynamic ConvTranspose weights unsupported"
+        if int(attrs.get("group", 1)) != 1:
+            raise NotImplementedError("grouped ConvTranspose")
+        # ONNX weight (CIN, COUT, KH, KW) -> HWIO
+        w_hwio = np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+        wn = self.b.const(w_hwio, name=ins[1][:40] + "_w")
+        pads = attrs.get("pads", [0, 0, 0, 0])
+        strides = attrs.get("strides", [1, 1])
+        opad = attrs.get("output_padding", [0, 0])
+        out = self.b.call(
+            "nn.conv2d_transpose", x, wn, strides=tuple(strides),
+            padding=(pads[0], pads[1], pads[2], pads[3]),
+            output_padding=tuple(opad))
+        if len(ins) > 2 and ins[2]:
+            bn = self.b.const(self.const_value(ins[2]), name=ins[2][:40] + "_b")
+            out = self.b.call("nn.bias_add", out, bn, axis=-1)
+        self.set(outs[0], out, "nhwc")
+
+    def op_Resize(self, ins, outs, attrs):
+        mode = attrs.get("mode", "nearest")
+        if isinstance(mode, bytes):
+            mode = mode.decode()
+        if mode != "nearest":
+            raise NotImplementedError(f"Resize mode {mode}")
+        x = self.as_nhwc(ins[0])
+        n, c, h, w = self.shape_of(ins[0])
+        sizes = None
+        if len(ins) > 3 and ins[3]:
+            sz = self.const_value(ins[3])
+            sizes = (int(sz[2]), int(sz[3]))
+        elif len(ins) > 2 and ins[2]:
+            sc = self.const_value(ins[2])
+            if sc is not None and sc.size == 4:
+                sizes = (int(round(h * float(sc[2]))),
+                         int(round(w * float(sc[3]))))
+        if sizes is None:
+            raise NotImplementedError("Resize without static sizes/scales")
+        self.set(outs[0], self.b.call(
+            "image.resize2d", x, size=sizes, method="nearest_neighbor"),
+            "nhwc")
+
+    def op_Upsample(self, ins, outs, attrs):
+        # opset<10 deprecated form
+        mode = attrs.get("mode", "nearest")
+        if isinstance(mode, bytes):
+            mode = mode.decode()
+        if mode != "nearest":
+            raise NotImplementedError(f"Upsample mode {mode}")
+        x = self.as_nhwc(ins[0])
+        n, c, h, w = self.shape_of(ins[0])
+        sc = attrs.get("scales")
+        if sc is None and len(ins) > 1 and ins[1]:
+            sc = self.const_value(ins[1]).tolist()
+        self.set(outs[0], self.b.call(
+            "image.resize2d", x,
+            size=(int(round(h * sc[2])), int(round(w * sc[3]))),
+            method="nearest_neighbor"), "nhwc")
+
+    def op_InstanceNormalization(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        gamma = self.b.const(self.const_value(ins[1]))
+        beta = self.b.const(self.const_value(ins[2]))
+        axis = -1 if layout == "nhwc" else 1
+        self.set(outs[0], self.b.call(
+            "nn.instance_norm", v, gamma, beta, axis=axis,
+            epsilon=float(attrs.get("epsilon", 1e-5))), layout)
+
+    def op_GlobalMaxPool(self, ins, outs, attrs):
+        x = self.as_nhwc(ins[0])
+        self.set(outs[0], self.b.call("nn.global_max_pool2d", x), "nhwc")
+
+    def op_DepthToSpace(self, ins, outs, attrs):
+        x = self.as_nhwc(ins[0])
+        mode = attrs.get("mode", "DCR")
+        if isinstance(mode, bytes):
+            mode = mode.decode()
+        self.set(outs[0], self.b.call(
+            "nn.depth_to_space", x, block_size=int(attrs["blocksize"]),
+            mode=mode), "nhwc")
+
+    def op_SpaceToDepth(self, ins, outs, attrs):
+        x = self.as_nhwc(ins[0])
+        self.set(outs[0], self.b.call(
+            "nn.space_to_depth", x, block_size=int(attrs["blocksize"])),
+            "nhwc")
+
+    def op_LRN(self, ins, outs, attrs):
+        v, layout = self.val(ins[0])
+        axis = -1 if layout == "nhwc" else 1
+        self.set(outs[0], self.b.call(
+            "nn.lrn", v, size=int(attrs.get("size", 5)), axis=axis,
+            alpha=float(attrs.get("alpha", 1e-4)),
+            beta=float(attrs.get("beta", 0.75)),
+            bias=float(attrs.get("bias", 1.0))), layout)
+
 
 def from_onnx(model, input_shapes: dict | None = None) -> Graph:
     """Import an ONNX model (path, bytes, or decoded dict).
