@@ -465,6 +465,51 @@ def remove_identity(graph: Graph) -> Graph:
     return g.transform(rewrite).dead_code_eliminate()
 
 
+# MXU-bound ops worth computing in low precision (the "ALWAYS" list of the
+# reference's ToMixedPrecision, `src/relay/transforms/to_mixed_precision.cc`)
+_AMP_ALWAYS = frozenset({
+    "nn.conv2d", "nn.conv1d", "nn.conv3d", "nn.conv2d_transpose",
+    "nn.conv1d_transpose", "nn.conv3d_transpose", "nn.dense", "nn.matmul",
+    "nn.batch_matmul", "einsum",
+})
+
+
+def to_mixed_precision(graph: Graph, dtype: str = "bfloat16",
+                       out_dtype: str = "float32") -> Graph:
+    """Cast MXU-bound float32 ops to low-precision compute (TPU-native AMP).
+
+    The reference's ToMixedPrecision pass
+    (`src/relay/transforms/to_mixed_precision.cc`) re-types fp32 graphs for
+    fp16 tensor cores; on TPU the MXU's native low precision is bfloat16 at
+    2x the fp32 rate.  Each ALWAYS-list op gets its float32 operands cast to
+    `dtype` (weight constants are cast at compile time) and accumulates into
+    `out_dtype` (float32 by default — the standard TPU recipe: bf16 multiplies,
+    fp32 accumulation, so only rounding of the *inputs* is introduced).
+    Integer (quantized) ops are untouched.
+    """
+    g = infer_types(graph)
+
+    def rewrite(b: GraphBuilder, n: Node, new_inputs):
+        if n.op not in _AMP_ALWAYS:
+            return None
+        if any(g[i].dtype != "float32" for i in n.inputs):
+            return None  # integer/quantized or already low-precision
+        ins = []
+        for orig, new in zip(n.inputs, new_inputs):
+            if g[orig].is_const:
+                ins.append(b.const(
+                    g.params[orig].astype(np.dtype(dtype)),
+                    name=orig + "_" + dtype))
+            else:
+                ins.append(b.call("cast", new, dtype=dtype,
+                                  name=n.name + "_" + orig + "_lp"))
+        attrs = dict(n.attrs)
+        attrs["out_dtype"] = out_dtype
+        return b.call(n.op, *ins, name=n.name, **attrs)
+
+    return infer_types(g.transform(rewrite).dead_code_eliminate())
+
+
 DEFAULT_SIMPLIFY = (fold_constant, simplify_transposes, remove_identity,
                     fold_batch_norm, fold_scale_axis, fuse_pad_into_conv,
                     combine_parallel_dense, eliminate_common_subexpr)
