@@ -57,8 +57,14 @@ def bench_int8_conv_pallas():
         return qconv2d_flat(a, wt, multiplier=m, shift=s,
                             strides=(1, 1), padding=(1, 1, 1, 1))
 
+    # feedback forces a sequential data dependence through ONE output
+    # element.  The Pallas kernel is an opaque custom call, so XLA cannot
+    # narrow it — every iteration computes and materializes the full output
+    # regardless — and this matches the reference's time_evaluator, which
+    # never fetches outputs between iterations
+    # (`python/tvm/runtime/module.py:273`).
     def feedback(a, out):
-        return a ^ (out & 1)
+        return a.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
 
     per = _per_iter(fn, x, feedback)
     macs = n * h * w * cout * k * k * cin
@@ -77,8 +83,10 @@ def bench_int8_matmul_pallas():
     raw = _build_qmatmul(M, K, N, 512, 512, 1024, 0, "UPWARD", -128, 127,
                          "int32", False, _interpret_default())
 
+    # single-element dependence: see bench_int8_conv_pallas (the kernel is
+    # opaque to XLA; the reference's time_evaluator fetches nothing per iter)
     def feedback(a, out):
-        return a ^ (out & 1).astype(jnp.int8)
+        return a.at[0, 0].add(out[0, 0].astype(jnp.int8))
 
     per = _per_iter(lambda a: raw(a, B), A, feedback)
     return 2 * M * K * N / per / 1e9, per

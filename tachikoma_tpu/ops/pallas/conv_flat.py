@@ -320,7 +320,7 @@ def _flat_conv_kernel_t(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
 @functools.lru_cache(maxsize=None)
 def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
                      fuse, out_zp, rounding, qmin, qmax, out_dtype,
-                     shift_values, interpret, layout=None):
+                     shift_values, interpret, layout=None, wslack=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -334,7 +334,8 @@ def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
                "r": _flat_conv_kernel_r}
     kernel = functools.partial(
         kernels[layout],
-        taps=taps, wph=wph, bm=bm, pad=fhx - mp, n_k=n_k,
+        taps=taps, wph=wph, bm=bm,
+        pad=wslack if wslack is not None else fhx - mp, n_k=n_k,
         fuse=fuse, out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
         shift_values=shift_values,
     )
@@ -562,6 +563,26 @@ def _flat_lengths(n, hph, wph, khp, kwp, bm):
     return fh, mp, fhx
 
 
+def _flat_lengths_tight(n, hph, wph, oh, ow, khp, kwp, bm):
+    """Single-pad geometry: inflate the per-image frame height until the
+    batch-folded flat image (n * hp * wph rows, built by ONE jnp.pad of the
+    4-D input) covers the M grid plus the in-kernel window slack — so the
+    wrapper never needs a second row-padding pass.
+
+    Returns (fh, mp, fhx, hp, slack) with fhx == n * fh, or None if no
+    frame height within +64 rows works (callers fall back to the two-pad
+    path)."""
+    maxoff = (khp - 1) * wph + (kwp - 1)
+    slack = _round_up(max(maxoff, 1) + 4, 32)
+    for hp in range(hph, hph + 65):
+        fh = hp * wph
+        need = (n - 1) * fh + oh * wph       # rows through the last image's
+        mp = _round_up(need, bm)             # valid output region
+        if mp + slack <= n * fh:
+            return fh, mp, n * fh, hp, slack
+    return None
+
+
 def _im2col_viable(cin_s, khp, kwp) -> bool:
     # the im2col fallback materializes (M, khp*kwp*cin_s) patches in HBM:
     # worth it only while K stays a modest MXU contraction
@@ -705,15 +726,24 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
     n, h, wd, cin = x.shape
     kh, kw, _, cout = w.shape
     sh, sw = strides
+    s1 = (sh, sw) == (1, 1)
 
-    xs, (oh, ow, khp, kwp, hph, wph) = _phase_stack(
-        x, kh, kw, sh, sw, padding, izp)
+    if s1:
+        # stride-1 fast path: defer ALL input padding to one jnp.pad once
+        # the block geometry is known (wph4 below)
+        oh, ow, khp, kwp, hph, wph = _phase_geometry(
+            h, wd, kh, kw, 1, 1, padding)
+        xs = None
+    else:
+        xs, (oh, ow, khp, kwp, hph, wph) = _phase_stack(
+            x, kh, kw, sh, sw, padding, izp)
     # pad the phase-image width to a multiple of 4 so row-tap offsets stay
     # int8-pack-aligned in the kernel (extra over-wide garbage columns only)
     wph4 = _round_up(wph, 4)
     if wph4 != wph:
-        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, wph4 - wph), (0, 0)),
-                     constant_values=np.int8(izp))
+        if xs is not None:
+            xs = jnp.pad(xs, ((0, 0), (0, 0), (0, wph4 - wph), (0, 0)),
+                         constant_values=np.int8(izp))
         wph = wph4
     wps = _phase_weights(jnp.asarray(w), sh, sw)  # (khp,kwp,P*cin,cout)
     cin_s = wps.shape[2]
@@ -761,6 +791,60 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
             fh, mp, fhx = _flat_lengths(1, hph, wph, khp, kwp, bm)
 
     transposed = layout == "t"
+
+    tight = None
+    if s1 and not vmap_batch:
+        tight = _flat_lengths_tight(n, hph, wph, oh, ow, khp, kwp, bm)
+    if tight is not None:
+        # single-pad wrapper: ONE XLA pass builds the batch-folded flat
+        # image (frame height inflated so the M grid + window slack fit
+        # inside n*fh rows), ONE pass extracts the output
+        fh, mp, fhx, hp_, slack = tight
+        pt, pl_, pb, pr = padding
+        xpad = jnp.pad(
+            x, ((0, 0), (pt, hp_ - h - pt), (pl_, wph - wd - pl_),
+                (0, cin_p - cin_s)),
+            constant_values=np.int8(izp))
+        xflat = xpad.reshape(n * fh, cin_p)
+        if transposed:
+            xflat = jnp.transpose(xflat)
+        wfull = jnp.pad(wps, ((0, 0), (0, 0), (0, cin_p - cin_s),
+                              (0, cout_p - cout)))
+        if layout == "w":
+            wfull = jnp.transpose(wfull, (2, 0, 1, 3)).reshape(
+                cin_p, khp * kwp, cout_p)
+        elif layout == "r":
+            wfull = jnp.transpose(wfull, (1, 0, 2, 3))
+        pad1 = lambda a, cv=0: jnp.pad(
+            a, (0, cout_p - cout), constant_values=cv).reshape(1, cout_p)
+        if fuse:
+            b1, m1, s1v = pad1(bias_arr), pad1(m_arr, 1), pad1(s_arr)
+        else:
+            b1 = pad1(bias_arr)
+            m1 = jnp.ones((1, cout_p), jnp.int32)
+            s1v = jnp.zeros((1, cout_p), jnp.int32)
+        fn = _build_flat_conv(
+            mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk, fuse,
+            int(out_zp), rounding, qmin, qmax, out_dtype, shift_values,
+            interp, layout, wslack=slack)
+        with _x32_tracing():
+            out = fn(xflat, wfull, b1, m1, s1v)
+        rows = oh * wph
+        from jax import lax
+
+        imgs = [lax.slice(out, (i * fh, 0), (i * fh + rows, cout_p))
+                for i in range(n)]
+        out4 = jnp.stack(imgs).reshape(n, oh, wph, cout_p)
+        return out4[:, :, :ow, :cout]
+
+    if xs is None:
+        # stride-1 but the tight single-pad geometry didn't apply
+        # (vmap-batch big image or no frame height fit): classic pads
+        xs, _ = _phase_stack(x, kh, kw, 1, 1, padding, izp)
+        if xs.shape[2] != wph:
+            xs = jnp.pad(xs, ((0, 0), (0, 0), (0, wph - xs.shape[2]),
+                              (0, 0)), constant_values=np.int8(izp))
+
     if vmap_batch:
         xflat = xs.reshape(n, hph * wph, cin_s)
         xflat = jnp.pad(
