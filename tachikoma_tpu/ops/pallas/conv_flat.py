@@ -995,3 +995,274 @@ def flat_conv_workload(n, h, w, cin, cout, kh, kw, strides, fuse,
     g = f"_G{groups}" if groups != 1 else ""
     return (f"qconv2d_flat/N{n}_H{h}_W{w}_C{cin}_O{cout}_K{kh}x{kw}"
             f"_S{sh}x{sw}{g}{'_rq' if fuse else ''}")
+
+
+# ---------------------------------------------------------------------------
+# Frame-chained convolutions (the AlterOpLayout/NCHWc discipline, TPU form)
+# ---------------------------------------------------------------------------
+# A chain of stride-1 same-spatial convs exchanges "frames" instead of NHWC
+# tensors: the raw over-wide kernel output (lead margin of bm rows + mp rows
+# + bm tail rows, cout_p lanes), with every garbage cell (over-wide columns,
+# frame-height margin rows, batch tail) masked to the stage's output zero
+# point so it doubles as the next stage's padding.  The chain pays the
+# NHWC->flat pad once at entry and the flat->NHWC extraction once at exit;
+# every intermediate conv runs at raw kernel speed with ZERO relayout
+# (the role of the reference's NCHWc layout flow:
+# `python/tvm/topi/x86/conv2d_int8.py:136` + AlterOpLayout).
+
+def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
+                        o_ref, acc_ref, *,
+                        taps: tuple, wph: int, bm: int, pad: int, n_k: int,
+                        off_base: int, lead_d: int, izp: int,
+                        mask_out: bool, out_zp: int, rounding: str,
+                        qmin: int, qmax: int, shift_values: tuple):
+    """Base flat kernel + frame plumbing.
+
+    off_base shifts every tap (consumer frames carry a bm-row lead margin:
+    off_base = bm - (pt*wph + pl)); taps whose frame offset would reach into
+    the unwritten lead margin (global output row < lead_d - off) read the
+    stage input zero point instead (exactly the padding semantics).  With
+    mask_out, the epilogue writes out_zp wherever the per-row validity
+    vector is 0, so garbage rows double as the next stage's izp padding."""
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    from .qms32 import q_multiply_shift_select
+
+    m0 = pl.multiple_of(pl.program_id(0) * bm, bm)
+    win = x_ref[pl.ds(m0, bm + pad), :]
+    bkc = win.shape[-1]
+    wlen = bm + pad - 4
+    wins = {}
+    offs = {(a, b): a * wph + b + off_base for (a, b) in taps}
+    for r in sorted({o % 4 for o in offs.values()}):
+        wins[r] = lax.slice(win, (r, 0), (r + wlen, bkc))
+    rows = None
+    part = None
+    for (a, b) in taps:
+        off = offs[(a, b)]
+        r = off % 4
+        patch = lax.slice(wins[r], (off - r, 0), (off - r + bm, bkc))
+        thr = lead_d - (a * wph + b)  # frame rows below 0 live in the lead
+        if lead_d and thr > 0:
+            if rows is None:
+                rows = m0 + lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+            patch = jnp.where(rows < thr, jnp.int8(izp), patch)
+        d = jnp.dot(patch, w_ref[a, b], preferred_element_type=jnp.int32)
+        part = d if part is None else part + d
+
+    def _finish(acc):
+        acc = acc + bias_ref[...]
+        v = q_multiply_shift_select(
+            acc, m_ref[...], s_ref[...], shift_values, rounding)
+        if out_zp:
+            v = v + jnp.int32(out_zp)
+        v = jnp.clip(v, jnp.int32(qmin), jnp.int32(qmax))
+        if mask_out:
+            v = jnp.where(vmask_ref[...] != 0, v, jnp.int32(out_zp))
+        o_ref[...] = v.astype(o_ref.dtype)
+
+    if n_k == 1:
+        _finish(part)
+    else:
+        @pl.when(pl.program_id(2) == 0)
+        def _first():
+            acc_ref[...] = part
+
+        @pl.when((pl.program_id(2) > 0) & (pl.program_id(2) < n_k - 1))
+        def _mid():
+            acc_ref[...] += part
+
+        @pl.when(pl.program_id(2) == n_k - 1)
+        def _epilogue():
+            _finish(acc_ref[...] + part)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
+                           bm, bn, bk, wslack, off_base, lead_d, izp,
+                           frame_out, out_zp, rounding, qmin, qmax,
+                           out_dtype, shift_values, interpret):
+    """One chain stage: x (fhx_in, cin_p) int8 -> out int8, either a frame
+    (mp + 2*bm rows, lead margin unwritten) or a plain (mp, cout_p) block."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_k = cin_p // bk
+    grid = (mp // bm, cout_p // bn, n_k)
+    taps = tuple((a, b) for a in range(khp) for b in range(kwp))
+    kernel = functools.partial(
+        _flat_conv_kernel_f,
+        taps=taps, wph=wph, bm=bm, pad=wslack, n_k=n_k,
+        off_base=off_base, lead_d=lead_d, izp=izp, mask_out=frame_out,
+        out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
+        shift_values=shift_values,
+    )
+    kw_extra = {}
+    if not interpret:
+        kw_extra["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+        kw_extra["cost_estimate"] = pl.CostEstimate(
+            flops=2 * mp * cout_p * khp * kwp * cin_p,
+            bytes_accessed=fhx_in * cin_p + khp * kwp * cin_p * cout_p
+            + mp * cout_p,
+            transcendentals=0,
+        )
+    out_rows = mp + 2 * bm if frame_out else mp
+    out_map = (lambda i, j, k: (i + 1, j)) if frame_out else \
+        (lambda i, j, k: (i, j))
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((out_rows, cout_p),
+                                       jnp.dtype(out_dtype)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((fhx_in, bk), lambda i, j, k: (0, k)),
+                pl.BlockSpec((khp, kwp, bk, bn), lambda i, j, k: (0, 0, k, j)),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+                pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), out_map),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        ),
+        interpret=interpret,
+        **kw_extra,
+    )
+    return jax.jit(fn)
+
+
+def chain_frame_geometry(n, h, w, stages, bm=512):
+    """Shared frame geometry for a conv chain: returns (wph, hp, fh, mp,
+    fhx0, slack0) or None if no frame height fits.  stages = sequence of
+    (khp, kwp, pt, pl, pb, pr)."""
+    max_kh = max(s[0] for s in stages)
+    max_kw = max(s[1] for s in stages)
+    max_top = max(s[2] for s in stages)
+    max_bot = max(s[4] for s in stages)
+    wph = _round_up(w + max_kw - 1, 4)
+    hph = h + max(max_top, max_bot, max_kh - 1)
+    # slack must cover the largest stage's absolute tap window (stage 0
+    # reads taps at unshifted offsets up to (kh-1)*wph + kw-1)
+    tight = _flat_lengths_tight(n, hph, wph, h, w, max_kh, max_kw, bm)
+    if tight is None:
+        return None
+    fh, mp, fhx0, hp, slack0 = tight
+    return wph, hp, fh, mp, fhx0, slack0
+
+
+def qconv2d_flat_chain(x, stages, *, bm=512, interpret=None):
+    """Run a chain of stride-1, same-spatial-size, fused-requantize convs
+    through frame-resident Pallas kernels.
+
+    x: (N, H, W, CIN) int8.  Each stage is a dict with keys:
+      w (KH,KW,CIN,COUT) int8, bias (COUT,) int32 or None,
+      multiplier / shift (scalar or per-channel), izp, out_zp,
+      rounding, qmin, qmax, padding (pt, pl, pb, pr) with SAME spatial
+      output (OH == H, OW == W).
+    Returns (N, H, W, COUT_last) int8.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h, wd, cin = x.shape
+    geo_stages = []
+    for st in stages:
+        kh, kw_, ci, co = st["w"].shape
+        pt, pl_, pb, pr = st.get("padding", (0, 0, 0, 0))
+        oh = h + pt + pb - kh + 1
+        ow = wd + pl_ + pr - kw_ + 1
+        assert (oh, ow) == (h, wd), "chain stages must preserve spatial size"
+        geo_stages.append((kh, kw_, pt, pl_, pb, pr))
+    geo = chain_frame_geometry(n, h, wd, geo_stages, bm)
+    assert geo is not None, "no frame geometry fits this chain"
+    wph, hp, fh, mp, fhx0, slack0 = geo
+
+    # validity vector: frame row -> 1 if (y < h) & (x < w) & inside batch
+    rows = np.arange(mp, dtype=np.int64)
+    p = rows % fh
+    valid = ((p // wph) < h) & ((p % wph) < wd) & (rows < n * fh)
+    vmask = jnp.asarray(valid.astype(np.int8).reshape(mp, 1))
+
+    # entry: one pad builds the flat image
+    st0 = stages[0]
+    pt, pl_, pb, pr = st0.get("padding", (0, 0, 0, 0))
+    izp0 = int(st0.get("izp", 0))
+    cin_p = _round_up(cin, 128)
+    xpad = jnp.pad(
+        x, ((0, 0), (pt, hp - h - pt), (pl_, wph - wd - pl_),
+            (0, cin_p - cin)),
+        constant_values=np.int8(izp0))
+    cur = xpad.reshape(n * fh, cin_p)
+    cur_rows = n * fh
+    cur_lead = 0          # stage-0 input has no lead margin and is pre-padded
+
+    last = len(stages) - 1
+    for si, st in enumerate(stages):
+        kh, kw_, ci, co = st["w"].shape
+        pt, pl_, pb, pr = st.get("padding", (0, 0, 0, 0))
+        izp = int(st.get("izp", 0))
+        ci_p = _round_up(ci, 128)
+        co_p = _round_up(co, 128)
+        wfull = jnp.pad(jnp.asarray(st["w"]),
+                        ((0, 0), (0, 0), (0, ci_p - ci), (0, co_p - co)))
+        bias = (jnp.zeros((co,), jnp.int32) if st.get("bias") is None
+                else jnp.asarray(st["bias"], jnp.int32))
+        if izp:
+            colsum = jnp.sum(jnp.asarray(st["w"], jnp.int32), axis=(0, 1, 2))
+            bias = bias - jnp.int32(izp) * colsum
+        m_arr = np.ascontiguousarray(np.broadcast_to(
+            np.asarray(st["multiplier"], np.int32), (co,)))
+        s_arr = np.ascontiguousarray(np.broadcast_to(
+            np.asarray(st["shift"], np.int32), (co,)))
+        shift_values = tuple(sorted({int(v) for v in s_arr}))
+        pad1 = lambda a, cv=0: jnp.pad(
+            jnp.asarray(a), (0, co_p - co),
+            constant_values=cv).reshape(1, co_p)
+        b1, m1, s1 = pad1(bias), pad1(m_arr, 1), pad1(s_arr)
+
+        if cur_lead:
+            d = pt * wph + pl_
+            off_base = cur_lead - d
+            lead_d = d
+        else:
+            # pre-padded entry image: taps are absolute; the pad already
+            # encodes the borders
+            off_base = 0
+            lead_d = 0
+        maxoff = (kh - 1) * wph + (kw_ - 1) + off_base
+        wslack = _round_up(max(maxoff, 1) + 4, 32)
+        # window containment: stage 0 reads [0, mp + wslack) of n*fh rows;
+        # frame stages read [0, (mp - bm) + bm + wslack) of mp + 2*bm rows
+        if cur_lead:
+            assert wslack <= 2 * bm, "frame window overruns the tail margin"
+        else:
+            assert mp + wslack <= cur_rows, "entry window overruns the image"
+
+        bk = min(ci_p, 512 if ci_p % 512 == 0 else
+                 (256 if ci_p % 256 == 0 else 128))
+        bn = min(co_p, 128)
+        fn = _build_flat_conv_frame(
+            mp, cur_rows, ci_p, co_p, kh, kw_, wph, bm, bn, bk, wslack,
+            off_base, lead_d, izp, si != last, int(st.get("out_zp", 0)),
+            st.get("rounding", "UPWARD"), int(st.get("qmin", -128)),
+            int(st.get("qmax", 127)), "int8", shift_values, interpret)
+        with _x32_tracing():
+            cur = fn(cur, wfull, b1, m1, s1, vmask)
+        if si != last:
+            cur_rows = mp + 2 * bm
+            cur_lead = bm
+        else:
+            rows_img = h * wph
+            imgs = [lax.slice(cur, (i * fh, 0), (i * fh + rows_img, co_p))
+                    for i in range(n)]
+            out4 = jnp.stack(imgs).reshape(n, h, wph, co_p)
+            return out4[:, :, :wd, :co]

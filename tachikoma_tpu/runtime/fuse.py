@@ -71,7 +71,7 @@ def fuse_qnn(graph: Graph) -> Graph:
                 consumed.add(t.name)
 
     if not chains:
-        return g
+        return fuse_conv_chains(g)
 
     b = GraphBuilder(g.name)
     mapping: dict[str, str] = {}
@@ -163,7 +163,8 @@ def fuse_qnn(graph: Graph) -> Graph:
             continue
         ins = [mapping[i] for i in n.inputs]
         mapping[n.name] = b.call(n.op, *ins, name=n.name, **dict(n.attrs))
-    return infer_types(b.build([mapping[o] for o in g.outputs]))
+    return fuse_conv_chains(
+        infer_types(b.build([mapping[o] for o in g.outputs])))
 
 
 # ---------------------------------------------------------------------------
@@ -392,3 +393,232 @@ def _reg_flops():
 
 
 _reg_flops()
+
+
+# ---------------------------------------------------------------------------
+# conv-chain fusion: frame-resident conv sequences (AlterOpLayout analog)
+# ---------------------------------------------------------------------------
+
+def _chain_eligible(g: Graph, n: Node) -> bool:
+    if n.op != "tk.conv2d_rq":
+        return False
+    a = n.attrs
+    from ..ops.nn import _pair
+
+    if _pair(a.get("strides", (1, 1))) != (1, 1):
+        return False
+    if _pair(a.get("dilation", (1, 1))) != (1, 1):
+        return False
+    if int(a.get("groups", 1)) != 1:
+        return False
+    if int(a.get("kernel_zero_point", 0)) or int(a.get("rq_input_zero_point", 0)):
+        return False
+    if a.get("out_dtype", "int8") != "int8":
+        return False
+    data = g[n.inputs[0]]
+    if data.shape is None or n.shape is None:
+        return False
+    return tuple(data.shape[1:3]) == tuple(n.shape[1:3])
+
+
+def fuse_conv_chains(graph: Graph) -> Graph:
+    """Fuse linear runs of stride-1 spatial-preserving tk.conv2d_rq nodes
+    into tk.conv2d_chain super-nodes executed by the frame-resident Pallas
+    path (`ops/pallas/conv_flat.py qconv2d_flat_chain`): intermediate
+    activations never leave the over-wide flat layout, so each inner conv
+    runs at raw kernel speed with zero relayout.  Exact: the chain kernels
+    are bit-identical to the sequential ops (tests/test_conv_chain.py).
+
+    The role of the reference's AlterOpLayout + NCHWc conv flow
+    (`src/relay/transforms/alter_op_layout.cc`,
+    `python/tvm/topi/x86/conv2d_int8.py:136`)."""
+    g = infer_types(graph) if any(
+        n.shape is None and n.dtype != "tuple" for n in graph.nodes) else graph
+    users = g.users()
+
+    def single_user(name):
+        u = users.get(name, ())
+        return g[u[0]] if len(u) == 1 else None
+
+    # greedy maximal runs
+    in_chain: set[str] = set()
+    chains: list[list[Node]] = []
+    for n in g.nodes:
+        if n.name in in_chain or not _chain_eligible(g, n):
+            continue
+        # only start a chain at a node whose producer is NOT chainable into it
+        prod = g[n.inputs[0]]
+        if (prod.name not in in_chain and _chain_eligible(g, prod)
+                and single_user(prod.name) is not None
+                and single_user(prod.name).name == n.name
+                and int(n.attrs.get("input_zero_point", 0))
+                == int(prod.attrs.get("output_zero_point", 0))):
+            continue  # will be picked up when the run head is visited
+        run = [n]
+        cur = n
+        while True:
+            nxt = single_user(cur.name)
+            if (nxt is None or not _chain_eligible(g, nxt)
+                    or nxt.inputs[0] != cur.name
+                    or int(nxt.attrs.get("input_zero_point", 0))
+                    != int(cur.attrs.get("output_zero_point", 0))):
+                break
+            run.append(nxt)
+            cur = nxt
+        if len(run) >= 2:
+            chains.append(run)
+            in_chain.update(x.name for x in run)
+
+    if not chains:
+        return g
+
+    head_of = {run[0].name: run for run in chains}
+    member = {x.name: run for run in chains for x in run}
+
+    b = GraphBuilder(g.name)
+    mapping: dict[str, str] = {}
+    for n in g.nodes:
+        if n.is_var:
+            mapping[n.name] = b.var(n.name, n.shape, n.dtype)
+        elif n.is_const:
+            mapping[n.name] = b.const(g.params[n.name], name=n.name)
+    for n in g.nodes:
+        if n.name in mapping:
+            continue
+        run = member.get(n.name)
+        if run is not None:
+            if n.name != run[0].name:
+                continue  # emitted with the head
+            ins = [mapping[run[0].inputs[0]]]
+            stages = []
+            for m in run:
+                a = dict(m.attrs)
+                ins.append(mapping[m.inputs[1]])
+                st = {
+                    "padding": tuple(a.get("padding", (0, 0, 0, 0))),
+                    "multiplier": a["multiplier"],
+                    "shift": a["shift"],
+                    "input_zero_point": int(a.get("input_zero_point", 0)),
+                    "output_zero_point": int(a.get("output_zero_point", 0)),
+                    "rounding": a.get("rounding", "UPWARD"),
+                    "has_bias": bool(a.get("has_bias")),
+                }
+                if "a_min" in a:
+                    st["a_min"] = int(a["a_min"])
+                if "a_max" in a:
+                    st["a_max"] = int(a["a_max"])
+                if st["has_bias"]:
+                    ins.append(mapping[m.inputs[2]])
+                stages.append(st)
+            out = b.call("tk.conv2d_chain", *ins, name=run[-1].name,
+                         stages=stages, out_dtype="int8")
+            for m in run:
+                mapping[m.name] = out
+            continue
+        ins = [mapping[i] for i in n.inputs]
+        mapping[n.name] = b.call(n.op, *ins, name=n.name, **dict(n.attrs))
+    return infer_types(b.build([mapping[o] for o in g.outputs]))
+
+
+def _chain_split_args(node: Node, args):
+    """args -> (data, [(w, bias|None) per stage])."""
+    data = args[0]
+    rest = list(args[1:])
+    out = []
+    for st in node.attrs["stages"]:
+        w = rest.pop(0)
+        bias = rest.pop(0) if st.get("has_bias") else None
+        out.append((w, bias))
+    return data, out
+
+
+def _chain_stage_node(st: dict, name: str) -> Node:
+    attrs = {
+        "strides": (1, 1), "padding": st["padding"],
+        "multiplier": st["multiplier"], "shift": st["shift"],
+        "input_zero_point": st.get("input_zero_point", 0),
+        "output_zero_point": st.get("output_zero_point", 0),
+        "rounding": st.get("rounding", "UPWARD"),
+        "out_dtype": "int8",
+    }
+    for k in ("a_min", "a_max"):
+        if k in st:
+            attrs[k] = st[k]
+    if st.get("has_bias"):
+        attrs["has_bias"] = True
+    return Node(name, "tk.conv2d_rq", ("d", "w"), attrs)
+
+
+@infer_rule("tk.conv2d_chain")
+def _chain_rel(node, ins):
+    (ds, _) = ins[0]
+    # weights appear in order; last stage's cout is the output channel count
+    w_idx = 0
+    arg = 1
+    cout = None
+    for st in node.attrs["stages"]:
+        cout = ins[arg][0][3]
+        arg += 2 if st.get("has_bias") else 1
+    return (ds[0], ds[1], ds[2], cout), "int8"
+
+
+@np_impl("tk.conv2d_chain")
+def _chain_np(*args, node: Node):
+    data, stages = _chain_split_args(node, args)
+    cur = data
+    for st, (w, bias) in zip(node.attrs["stages"], stages):
+        shadow = _chain_stage_node(st, node.name + "_st")
+        sargs = (cur, w) if bias is None else (cur, w, bias)
+        cur = get_op("tk.conv2d_rq").np_impl(*sargs, node=shadow)
+    return cur
+
+
+@jax_impl("tk.conv2d_chain")
+def _chain_jax(*args, node: Node):
+    import os
+
+    import jax
+
+    data, wb = _chain_split_args(node, args)
+    if jax.devices()[0].platform == "tpu" or os.environ.get("TK_FORCE_PALLAS"):
+        from ..ops.pallas.conv_flat import qconv2d_flat_chain
+
+        info = np.iinfo(np.int8)
+        stages = []
+        for st, (w, bias) in zip(node.attrs["stages"], wb):
+            stages.append(dict(
+                w=w, bias=bias,
+                multiplier=np.asarray(st["multiplier"], np.int32),
+                shift=np.asarray(st["shift"], np.int32),
+                izp=int(st.get("input_zero_point", 0)),
+                out_zp=int(st.get("output_zero_point", 0)),
+                rounding=st.get("rounding", "UPWARD"),
+                qmin=max(int(st.get("a_min", info.min)), info.min),
+                qmax=min(int(st.get("a_max", info.max)), info.max),
+                padding=tuple(st["padding"]),
+            ))
+        return qconv2d_flat_chain(data, stages)
+    cur = data
+    for st, (w, bias) in zip(node.attrs["stages"], wb):
+        shadow = _chain_stage_node(st, node.name + "_st")
+        sargs = (cur, w) if bias is None else (cur, w, bias)
+        cur = get_op("tk.conv2d_rq").jax_impl(*sargs, node=shadow)
+    return cur
+
+
+def _chain_flops(node: Node, ins):
+    from ..ops import nn as _nn
+
+    total = 0
+    (ds, _) = ins[0]
+    h, w = ds[1], ds[2]
+    arg = 1
+    for st in node.attrs["stages"]:
+        (ws, _) = ins[arg]
+        kh, kw, ci, co = ws
+        total += 2 * ds[0] * h * w * co * kh * kw * ci
+        arg += 2 if st.get("has_bias") else 1
+    return total
+
+
+register_op("tk.conv2d_chain", flops=_chain_flops)

@@ -1,0 +1,139 @@
+"""Frame-chained convs: bit-exact vs the sequential production op across
+kernel sizes, zero points, channel widths, and batch tails (interpret mode
+on CPU; the same kernels run compiled on the chip)."""
+
+import numpy as np
+import pytest
+
+from tachikoma_tpu.ops.pallas.conv_flat import (qconv2d_flat,
+                                                qconv2d_flat_chain)
+from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
+
+
+def _mkstage(rng, kh, cin, cout, scale_in, scale_out, izp, out_zp):
+    m, s = plan_requantize(scale_in, scale_out)
+    pad = kh // 2
+    return dict(w=rng.integers(-127, 127, (kh, kh, cin, cout)).astype(np.int8),
+                bias=rng.integers(-1000, 1000, (cout,)).astype(np.int32),
+                multiplier=m, shift=s, izp=izp, out_zp=out_zp,
+                padding=(pad, pad, pad, pad))
+
+
+def _sequential(x, stages):
+    cur = x
+    for st in stages:
+        cur = np.asarray(qconv2d_flat(
+            cur, st["w"], bias=st["bias"], multiplier=st["multiplier"],
+            shift=st["shift"], strides=(1, 1), padding=st["padding"],
+            input_zero_point=st["izp"], out_zp=st["out_zp"]))
+    return cur
+
+
+def _check(x, stages):
+    got = np.asarray(qconv2d_flat_chain(x, stages, interpret=True))
+    want = _sequential(x, stages)
+    assert got.shape == want.shape
+    assert (got == want).all(), (
+        f"mismatch: {np.abs(got.astype(int) - want.astype(int)).max()}")
+
+
+def test_chain_3x3_3x3(rng):
+    stages = [_mkstage(rng, 3, 16, 16, 4e-4, 5e-2, 0, 0),
+              _mkstage(rng, 3, 16, 16, 5e-2, 3e-2, 0, 0)]
+    x = rng.integers(-127, 127, (2, 10, 10, 16)).astype(np.int8)
+    _check(x, stages)
+
+
+def test_chain_bottleneck_zero_points(rng):
+    stages = [_mkstage(rng, 1, 16, 32, 4e-4, 5e-2, 3, 2),
+              _mkstage(rng, 3, 32, 32, 5e-2, 4e-2, 2, -1),
+              _mkstage(rng, 1, 32, 24, 4e-2, 6e-2, -1, 0)]
+    x = rng.integers(-127, 127, (2, 12, 12, 16)).astype(np.int8)
+    _check(x, stages)
+
+
+def test_chain_mixed_kernel_sizes(rng):
+    stages = [_mkstage(rng, 5, 8, 16, 4e-4, 5e-2, 1, 0),
+              _mkstage(rng, 3, 16, 16, 5e-2, 4e-2, 0, 1),
+              _mkstage(rng, 1, 16, 8, 4e-2, 5e-2, 1, 0)]
+    x = rng.integers(-127, 127, (1, 9, 9, 8)).astype(np.int8)
+    _check(x, stages)
+
+
+def test_chain_wide_channels(rng):
+    # cin > 128: multi-K-block path inside the frame kernel
+    stages = [_mkstage(rng, 3, 144, 130, 4e-4, 5e-2, 0, 0),
+              _mkstage(rng, 3, 130, 64, 5e-2, 4e-2, 0, 0)]
+    x = rng.integers(-127, 127, (1, 8, 8, 144)).astype(np.int8)
+    _check(x, stages)
+
+
+def test_chain_batch_tail(rng):
+    # odd batch x odd spatial: exercises frame tail masking between images
+    stages = [_mkstage(rng, 3, 8, 8, 4e-4, 5e-2, 2, 3),
+              _mkstage(rng, 3, 8, 8, 5e-2, 4e-2, 3, -2)]
+    x = rng.integers(-127, 127, (3, 7, 7, 8)).astype(np.int8)
+    _check(x, stages)
+
+
+def test_chain_single_stage_degenerate(rng):
+    stages = [_mkstage(rng, 3, 8, 8, 4e-4, 5e-2, 1, 2)]
+    x = rng.integers(-127, 127, (2, 8, 8, 8)).astype(np.int8)
+    _check(x, stages)
+
+
+def test_chain_rejects_spatial_change(rng):
+    st = _mkstage(rng, 3, 8, 8, 4e-4, 5e-2, 0, 0)
+    st["padding"] = (0, 0, 0, 0)  # valid conv shrinks the image
+    x = rng.integers(-127, 127, (1, 8, 8, 8)).astype(np.int8)
+    with pytest.raises(AssertionError):
+        qconv2d_flat_chain(x, [st], interpret=True)
+
+
+def test_graph_level_chain_fusion(rng):
+    """quantize -> fuse produces tk.conv2d_chain; oracle == XLA (Pallas
+    interpret) == the unfused quantized graph, bit-exact."""
+    import os
+
+    from tachikoma_tpu import GraphBuilder, infer_types, run_graph
+    from tachikoma_tpu.quantize.quantizer import quantize
+    from tachikoma_tpu.runtime.executor import JaxExecutor
+    from tachikoma_tpu.runtime.fuse import fuse_qnn
+
+    b = GraphBuilder()
+    x = b.var("x", (2, 12, 12, 8), "float32")
+
+    def convrelu(src, cin, cout, name):
+        w = b.const(rng.standard_normal((3, 3, cin, cout)).astype(np.float32)
+                    * 0.2, name + "_w")
+        bias = b.const(rng.standard_normal(cout).astype(np.float32) * 0.1,
+                       name + "_b")
+        c = b.call("nn.conv2d", src, w, padding=(1, 1, 1, 1), name=name)
+        c = b.call("nn.bias_add", c, bias, axis=-1)
+        return b.call("nn.relu", c)
+
+    h = convrelu(convrelu(convrelu(x, 8, 16, "c1"), 16, 16, "c2"), 16, 8,
+                 "c3")
+    g = infer_types(b.build(h))
+    calib = [rng.standard_normal((2, 12, 12, 8)).astype(np.float32)
+             for _ in range(2)]
+    qg = quantize(g, calib)
+    fg = fuse_qnn(qg)
+    ops = [n.op for n in fg.nodes if not (n.is_var or n.is_const)]
+    assert "tk.conv2d_chain" in ops
+    assert "tk.conv2d_rq" not in ops  # all three convs joined one chain
+
+    o = run_graph(fg, calib[0])
+    os.environ["TK_FORCE_PALLAS"] = "1"
+    try:
+        j = JaxExecutor(fg).run(calib[0])
+    finally:
+        os.environ.pop("TK_FORCE_PALLAS", None)
+    uo = run_graph(qg, calib[0])
+    for a, c, u in zip(o, j, uo):
+        a, c, u = np.asarray(a), np.asarray(c), np.asarray(u)
+        if a.dtype.kind in "iu":
+            assert (a == c).all() and (a == u).all()
+        else:
+            np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(a, u, rtol=1e-5, atol=1e-6)
