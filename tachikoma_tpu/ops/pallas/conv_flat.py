@@ -563,11 +563,15 @@ def _flat_lengths(n, hph, wph, khp, kwp, bm):
     return fh, mp, fhx
 
 
-def _flat_lengths_tight(n, hph, wph, oh, ow, khp, kwp, bm):
+def _flat_lengths_tight(n, hph, wph, oh, ow, khp, kwp, bm, margin=0):
     """Single-pad geometry: inflate the per-image frame height until the
     batch-folded flat image (n * hp * wph rows, built by ONE jnp.pad of the
     4-D input) covers the M grid plus the in-kernel window slack — so the
     wrapper never needs a second row-padding pass.
+
+    margin extends the computed-row requirement past the last valid output
+    (frame chains must COMPUTE the masked bottom-margin rows the next
+    stage's taps read — unwritten rows are garbage in compiled mode).
 
     Returns (fh, mp, fhx, hp, slack) with fhx == n * fh, or None if no
     frame height within +64 rows works (callers fall back to the two-pad
@@ -576,8 +580,8 @@ def _flat_lengths_tight(n, hph, wph, oh, ow, khp, kwp, bm):
     slack = _round_up(max(maxoff, 1) + 4, 32)
     for hp in range(hph, hph + 65):
         fh = hp * wph
-        need = (n - 1) * fh + oh * wph       # rows through the last image's
-        mp = _round_up(need, bm)             # valid output region
+        need = (n - 1) * fh + oh * wph + margin  # last image's valid rows
+        mp = _round_up(need, bm)                 # (+ chained-tap margin)
         if mp + slack <= n * fh:
             return fh, mp, n * fh, hp, slack
     return None
@@ -1013,42 +1017,46 @@ def flat_conv_workload(n, h, w, cin, cout, kh, kw, strides, fuse,
 def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
                         o_ref, acc_ref, *,
                         taps: tuple, wph: int, bm: int, pad: int, n_k: int,
-                        off_base: int, lead_d: int, izp: int,
-                        mask_out: bool, out_zp: int, rounding: str,
-                        qmin: int, qmax: int, shift_values: tuple):
+                        off_base: int, frame_out: bool, out_zp: int,
+                        rounding: str, qmin: int, qmax: int,
+                        shift_values: tuple):
     """Base flat kernel + frame plumbing.
 
     off_base shifts every tap (consumer frames carry a bm-row lead margin:
-    off_base = bm - (pt*wph + pl)); taps whose frame offset would reach into
-    the unwritten lead margin (global output row < lead_d - off) read the
-    stage input zero point instead (exactly the padding semantics).  With
-    mask_out, the epilogue writes out_zp wherever the per-row validity
-    vector is 0, so garbage rows double as the next stage's izp padding."""
+    off_base = bm - (pt*wph + pl)).  With frame_out the M grid is extended
+    by ONE cell that fills the lead margin with out_zp — so downstream
+    stages read real padding bytes and need no per-tap masking — and the
+    epilogue writes out_zp wherever the per-row validity vector is 0, so
+    garbage rows double as the next stage's padding."""
     import jax.numpy as jnp
     from jax import lax
     from jax.experimental import pallas as pl
 
     from .qms32 import q_multiply_shift_select
 
-    m0 = pl.multiple_of(pl.program_id(0) * bm, bm)
-    win = x_ref[pl.ds(m0, bm + pad), :]
+    if frame_out:
+        mi = pl.program_id(0)
+        m0 = pl.multiple_of(jnp.maximum(mi - 1, 0) * bm, bm)
+    else:
+        mi = None
+        m0 = pl.multiple_of(pl.program_id(0) * bm, bm)
+    offs = {(a, b): a * wph + b + off_base for (a, b) in taps}
+    # rebase: load the window at the first tap (32-aligned), not at m0 —
+    # frame stages put taps ~bm rows in (past the lead margin) and a
+    # full-width window would double the per-cell VMEM traffic
+    wbase = (min(offs.values()) // 32) * 32
+    offs = {k: v - wbase for k, v in offs.items()}
+    win = x_ref[pl.ds(m0 + wbase, bm + pad), :]
     bkc = win.shape[-1]
     wlen = bm + pad - 4
     wins = {}
-    offs = {(a, b): a * wph + b + off_base for (a, b) in taps}
     for r in sorted({o % 4 for o in offs.values()}):
         wins[r] = lax.slice(win, (r, 0), (r + wlen, bkc))
-    rows = None
     part = None
     for (a, b) in taps:
         off = offs[(a, b)]
         r = off % 4
         patch = lax.slice(wins[r], (off - r, 0), (off - r + bm, bkc))
-        thr = lead_d - (a * wph + b)  # frame rows below 0 live in the lead
-        if lead_d and thr > 0:
-            if rows is None:
-                rows = m0 + lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
-            patch = jnp.where(rows < thr, jnp.int8(izp), patch)
         d = jnp.dot(patch, w_ref[a, b], preferred_element_type=jnp.int32)
         part = d if part is None else part + d
 
@@ -1059,45 +1067,71 @@ def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
         if out_zp:
             v = v + jnp.int32(out_zp)
         v = jnp.clip(v, jnp.int32(qmin), jnp.int32(qmax))
-        if mask_out:
+        if frame_out:
             v = jnp.where(vmask_ref[...] != 0, v, jnp.int32(out_zp))
         o_ref[...] = v.astype(o_ref.dtype)
 
-    if n_k == 1:
-        _finish(part)
+    kid = pl.program_id(2)
+    if frame_out:
+        @pl.when((mi == 0) & (kid == n_k - 1))
+        def _lead_fill():
+            o_ref[...] = jnp.full_like(o_ref, out_zp)
+
+        if n_k == 1:
+            @pl.when(mi > 0)
+            def _store():
+                _finish(part)
+        else:
+            @pl.when(kid == 0)
+            def _first():
+                acc_ref[...] = part
+
+            @pl.when((kid > 0) & (kid < n_k - 1))
+            def _mid():
+                acc_ref[...] += part
+
+            @pl.when((mi > 0) & (kid == n_k - 1))
+            def _epilogue():
+                _finish(acc_ref[...] + part)
     else:
-        @pl.when(pl.program_id(2) == 0)
-        def _first():
-            acc_ref[...] = part
+        if n_k == 1:
+            _finish(part)
+        else:
+            @pl.when(kid == 0)
+            def _first2():
+                acc_ref[...] = part
 
-        @pl.when((pl.program_id(2) > 0) & (pl.program_id(2) < n_k - 1))
-        def _mid():
-            acc_ref[...] += part
+            @pl.when((kid > 0) & (kid < n_k - 1))
+            def _mid2():
+                acc_ref[...] += part
 
-        @pl.when(pl.program_id(2) == n_k - 1)
-        def _epilogue():
-            _finish(acc_ref[...] + part)
+            @pl.when(kid == n_k - 1)
+            def _epilogue2():
+                _finish(acc_ref[...] + part)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
-                           bm, bn, bk, wslack, off_base, lead_d, izp,
+                           bm, bn, bk, wslack, off_base,
                            frame_out, out_zp, rounding, qmin, qmax,
                            out_dtype, shift_values, interpret):
     """One chain stage: x (fhx_in, cin_p) int8 -> out int8, either a frame
-    (mp + 2*bm rows, lead margin unwritten) or a plain (mp, cout_p) block."""
+    (mp + 2*bm rows: out_zp lead margin + mp computed rows + unwritten
+    tail) or a plain (mp, cout_p) block."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_k = cin_p // bk
-    grid = (mp // bm, cout_p // bn, n_k)
+    grid_m = mp // bm + (1 if frame_out else 0)
+    grid = (grid_m, cout_p // bn, n_k)
+    assert not frame_out or bn == 128, "frame mask is 128 lanes wide"
     taps = tuple((a, b) for a in range(khp) for b in range(kwp))
     kernel = functools.partial(
         _flat_conv_kernel_f,
         taps=taps, wph=wph, bm=bm, pad=wslack, n_k=n_k,
-        off_base=off_base, lead_d=lead_d, izp=izp, mask_out=frame_out,
+        off_base=off_base, frame_out=frame_out,
         out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
         shift_values=shift_values,
     )
@@ -1112,8 +1146,6 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
             transcendentals=0,
         )
     out_rows = mp + 2 * bm if frame_out else mp
-    out_map = (lambda i, j, k: (i + 1, j)) if frame_out else \
-        (lambda i, j, k: (i, j))
     fn = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((out_rows, cout_p),
@@ -1127,9 +1159,13 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-                pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+                # validity vector replicated to 128 lanes (sub-128-lane
+                # blocks wedge the Mosaic compiler); for frame_out the
+                # array carries a bm-row lead so block i aligns with the
+                # shifted output rows
+                pl.BlockSpec((bm, 128), lambda i, j, k: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((bm, bn), out_map),
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         ),
         interpret=interpret,
@@ -1149,8 +1185,10 @@ def chain_frame_geometry(n, h, w, stages, bm=512):
     wph = _round_up(w + max_kw - 1, 4)
     hph = h + max(max_top, max_bot, max_kh - 1)
     # slack must cover the largest stage's absolute tap window (stage 0
-    # reads taps at unshifted offsets up to (kh-1)*wph + kw-1)
-    tight = _flat_lengths_tight(n, hph, wph, h, w, max_kh, max_kw, bm)
+    # reads taps at unshifted offsets up to (kh-1)*wph + kw-1); the margin
+    # makes the grid COMPUTE (and mask) the bottom rows downstream taps read
+    tight = _flat_lengths_tight(n, hph, wph, h, w, max_kh, max_kw, bm,
+                                margin=(max_kh - 1) * wph + max_kw)
     if tight is None:
         return None
     fh, mp, fhx0, hp, slack0 = tight
@@ -1182,15 +1220,24 @@ def qconv2d_flat_chain(x, stages, *, bm=512, interpret=None):
         ow = wd + pl_ + pr - kw_ + 1
         assert (oh, ow) == (h, wd), "chain stages must preserve spatial size"
         geo_stages.append((kh, kw_, pt, pl_, pb, pr))
+    for prev, nxt in zip(stages, stages[1:]):
+        assert int(nxt.get("izp", 0)) == int(prev.get("out_zp", 0)), \
+            "chain stages must agree on zero points (izp == producer out_zp)"
     geo = chain_frame_geometry(n, h, wd, geo_stages, bm)
     assert geo is not None, "no frame geometry fits this chain"
     wph, hp, fh, mp, fhx0, slack0 = geo
 
-    # validity vector: frame row -> 1 if (y < h) & (x < w) & inside batch
+    # validity vector: frame row -> 1 if (y < h) & (x < w) & inside batch;
+    # replicated to 128 lanes (1-lane blocks wedge the Mosaic compiler)
     rows = np.arange(mp, dtype=np.int64)
     p = rows % fh
     valid = ((p // wph) < h) & ((p % wph) < wd) & (rows < n * fh)
-    vmask = jnp.asarray(valid.astype(np.int8).reshape(mp, 1))
+    vm = np.broadcast_to(valid.astype(np.int8).reshape(mp, 1), (mp, 128))
+    vmask_plain = jnp.asarray(vm)
+    # frame stages' outputs are shifted one block down (lead fill cell):
+    # prepend a lead block so vmask block i aligns with output block i
+    vmask_frame = jnp.asarray(
+        np.concatenate([np.zeros((bm, 128), np.int8), vm]))
 
     # entry: one pad builds the flat image
     st0 = stages[0]
@@ -1230,20 +1277,23 @@ def qconv2d_flat_chain(x, stages, *, bm=512, interpret=None):
         b1, m1, s1 = pad1(bias), pad1(m_arr, 1), pad1(s_arr)
 
         if cur_lead:
-            d = pt * wph + pl_
-            off_base = cur_lead - d
-            lead_d = d
+            # consumer taps reach into the lead margin, which the producer
+            # FILLED with its out_zp (= this stage's padding value)
+            off_base = cur_lead - (pt * wph + pl_)
         else:
             # pre-padded entry image: taps are absolute; the pad already
             # encodes the borders
             off_base = 0
-            lead_d = 0
+        # the kernel rebases its window at the first tap (32-aligned), so
+        # the slack only has to span the tap RANGE, not the lead margin
         maxoff = (kh - 1) * wph + (kw_ - 1) + off_base
-        wslack = _round_up(max(maxoff, 1) + 4, 32)
+        wbase = (off_base // 32) * 32
+        wslack = _round_up(max(maxoff - wbase, 1) + 4, 32)
         # window containment: stage 0 reads [0, mp + wslack) of n*fh rows;
-        # frame stages read [0, (mp - bm) + bm + wslack) of mp + 2*bm rows
+        # frame stages read [0, mp + wbase + wslack) of mp + 2*bm rows
         if cur_lead:
-            assert wslack <= 2 * bm, "frame window overruns the tail margin"
+            assert wbase + wslack <= 2 * bm, \
+                "frame window overruns the tail margin"
         else:
             assert mp + wslack <= cur_rows, "entry window overruns the image"
 
@@ -1252,11 +1302,12 @@ def qconv2d_flat_chain(x, stages, *, bm=512, interpret=None):
         bn = min(co_p, 128)
         fn = _build_flat_conv_frame(
             mp, cur_rows, ci_p, co_p, kh, kw_, wph, bm, bn, bk, wslack,
-            off_base, lead_d, izp, si != last, int(st.get("out_zp", 0)),
+            off_base, si != last, int(st.get("out_zp", 0)),
             st.get("rounding", "UPWARD"), int(st.get("qmin", -128)),
             int(st.get("qmax", 127)), "int8", shift_values, interpret)
         with _x32_tracing():
-            cur = fn(cur, wfull, b1, m1, s1, vmask)
+            cur = fn(cur, wfull, b1, m1, s1,
+                     vmask_frame if si != last else vmask_plain)
         if si != last:
             cur_rows = mp + 2 * bm
             cur_lead = bm
