@@ -1022,31 +1022,35 @@ def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
                         shift_values: tuple):
     """Base flat kernel + frame plumbing.
 
-    off_base shifts every tap (consumer frames carry a bm-row lead margin:
-    off_base = bm - (pt*wph + pl)).  With frame_out the M grid is extended
-    by ONE cell that fills the lead margin with out_zp — so downstream
-    stages read real padding bytes and need no per-tap masking — and the
-    epilogue writes out_zp wherever the per-row validity vector is 0, so
-    garbage rows double as the next stage's padding."""
+    Frame format: array row a holds frame row g = a - bm (a bm-row lead
+    whose cells are masked to out_zp like every other garbage row, so
+    downstream stages read real padding bytes with no per-tap masking).
+    With frame_out the M grid covers mp + bm rows of SHIFTED outputs and
+    every store is unconditional (conditional stores measurably break
+    Mosaic's output pipelining); block 0 computes from a clamped window but
+    all its rows are masked.  off_base folds the inter-stage coordinate
+    shifts: image-in/frame-out = tap - bm; frame-in/frame-out = tap - d;
+    frame-in/plain-out = tap + bm - d  (d = pt*wph + pl)."""
     import jax.numpy as jnp
     from jax import lax
     from jax.experimental import pallas as pl
 
     from .qms32 import q_multiply_shift_select
 
-    if frame_out:
-        mi = pl.program_id(0)
-        m0 = pl.multiple_of(jnp.maximum(mi - 1, 0) * bm, bm)
-    else:
-        mi = None
-        m0 = pl.multiple_of(pl.program_id(0) * bm, bm)
+    m0 = pl.multiple_of(pl.program_id(0) * bm, bm)
     offs = {(a, b): a * wph + b + off_base for (a, b) in taps}
     # rebase: load the window at the first tap (32-aligned), not at m0 —
-    # frame stages put taps ~bm rows in (past the lead margin) and a
-    # full-width window would double the per-cell VMEM traffic
-    wbase = (min(offs.values()) // 32) * 32
+    # a full-width window would double the per-cell VMEM traffic.  off_base
+    # (hence wbase) is NEGATIVE for frame-out stages (outputs are shifted
+    # one block down in the frame coordinate); the clamped start only
+    # affects block 0, whose rows are all masked garbage by construction.
+    wbase = (min(offs.values()) // 32) * 32 if min(offs.values()) >= 0 \
+        else -((-min(offs.values()) + 31) // 32) * 32
     offs = {k: v - wbase for k, v in offs.items()}
-    win = x_ref[pl.ds(m0 + wbase, bm + pad), :]
+    start = m0 + wbase
+    if wbase < 0:
+        start = pl.multiple_of(jnp.maximum(start, 0), 32)
+    win = x_ref[pl.ds(start, bm + pad), :]
     bkc = win.shape[-1]
     wlen = bm + pad - 4
     wins = {}
@@ -1072,42 +1076,20 @@ def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
         o_ref[...] = v.astype(o_ref.dtype)
 
     kid = pl.program_id(2)
-    if frame_out:
-        @pl.when((mi == 0) & (kid == n_k - 1))
-        def _lead_fill():
-            o_ref[...] = jnp.full_like(o_ref, out_zp)
-
-        if n_k == 1:
-            @pl.when(mi > 0)
-            def _store():
-                _finish(part)
-        else:
-            @pl.when(kid == 0)
-            def _first():
-                acc_ref[...] = part
-
-            @pl.when((kid > 0) & (kid < n_k - 1))
-            def _mid():
-                acc_ref[...] += part
-
-            @pl.when((mi > 0) & (kid == n_k - 1))
-            def _epilogue():
-                _finish(acc_ref[...] + part)
+    if n_k == 1:
+        _finish(part)
     else:
-        if n_k == 1:
-            _finish(part)
-        else:
-            @pl.when(kid == 0)
-            def _first2():
-                acc_ref[...] = part
+        @pl.when(kid == 0)
+        def _first():
+            acc_ref[...] = part
 
-            @pl.when((kid > 0) & (kid < n_k - 1))
-            def _mid2():
-                acc_ref[...] += part
+        @pl.when((kid > 0) & (kid < n_k - 1))
+        def _mid():
+            acc_ref[...] += part
 
-            @pl.when(kid == n_k - 1)
-            def _epilogue2():
-                _finish(acc_ref[...] + part)
+        @pl.when(kid == n_k - 1)
+        def _epilogue():
+            _finish(acc_ref[...] + part)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1124,7 +1106,8 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
     from jax.experimental.pallas import tpu as pltpu
 
     n_k = cin_p // bk
-    grid_m = mp // bm + (1 if frame_out else 0)
+    # frame outputs are block-shifted: the grid covers mp + bm SHIFTED rows
+    grid_m = (mp + bm if frame_out else mp) // bm
     grid = (grid_m, cout_p // bn, n_k)
     assert not frame_out or bn == 128, "frame mask is 128 lanes wide"
     taps = tuple((a, b) for a in range(khp) for b in range(kwp))
@@ -1276,38 +1259,34 @@ def qconv2d_flat_chain(x, stages, *, bm=512, interpret=None):
             constant_values=cv).reshape(1, co_p)
         b1, m1, s1 = pad1(bias), pad1(m_arr, 1), pad1(s_arr)
 
-        if cur_lead:
-            # consumer taps reach into the lead margin, which the producer
-            # FILLED with its out_zp (= this stage's padding value)
-            off_base = cur_lead - (pt * wph + pl_)
-        else:
-            # pre-padded entry image: taps are absolute; the pad already
-            # encodes the borders
-            off_base = 0
+        # coordinate shifts (see _flat_conv_kernel_f docstring): frames
+        # store row g at array row g + bm; pre-padded entry images have no
+        # shift and their pad already encodes the borders
+        out_frame = si != last
+        in_shift, d_in = (bm, pt * wph + pl_) if cur_lead else (0, 0)
+        out_shift = bm if out_frame else 0
+        off_base = in_shift - d_in - out_shift
         # the kernel rebases its window at the first tap (32-aligned), so
-        # the slack only has to span the tap RANGE, not the lead margin
+        # the slack only spans the tap RANGE
         maxoff = (kh - 1) * wph + (kw_ - 1) + off_base
         wbase = (off_base // 32) * 32
         wslack = _round_up(max(maxoff - wbase, 1) + 4, 32)
-        # window containment: stage 0 reads [0, mp + wslack) of n*fh rows;
-        # frame stages read [0, mp + wbase + wslack) of mp + 2*bm rows
-        if cur_lead:
-            assert wbase + wslack <= 2 * bm, \
-                "frame window overruns the tail margin"
-        else:
-            assert mp + wslack <= cur_rows, "entry window overruns the image"
+        # window containment (max read = m0_max + wbase + bm + wslack)
+        m0_max = mp if out_frame else mp - bm
+        assert m0_max + wbase + bm + wslack <= cur_rows, \
+            "window overruns the frame"
 
         bk = min(ci_p, 512 if ci_p % 512 == 0 else
                  (256 if ci_p % 256 == 0 else 128))
         bn = min(co_p, 128)
         fn = _build_flat_conv_frame(
             mp, cur_rows, ci_p, co_p, kh, kw_, wph, bm, bn, bk, wslack,
-            off_base, si != last, int(st.get("out_zp", 0)),
+            off_base, out_frame, int(st.get("out_zp", 0)),
             st.get("rounding", "UPWARD"), int(st.get("qmin", -128)),
             int(st.get("qmax", 127)), "int8", shift_values, interpret)
         with _x32_tracing():
             cur = fn(cur, wfull, b1, m1, s1,
-                     vmask_frame if si != last else vmask_plain)
+                     vmask_frame if out_frame else vmask_plain)
         if si != last:
             cur_rows = mp + 2 * bm
             cur_lead = bm
