@@ -1,7 +1,8 @@
 """Built-in model zoo (the relay.testing equivalent)."""
 
 from . import transformer, vision
-from .transformer import bert, bert_base, vit, vit_b16, vit_l16
+from .transformer import (bert, bert_base, gpt2, gpt2_small, vit,
+                          vit_b16, vit_l16)
 from .vision import (
     dcgan_generator,
     densenet,

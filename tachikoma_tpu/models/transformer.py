@@ -142,3 +142,80 @@ def vit_l16(batch_size=1, image_size=224, seed=0) -> Graph:
 
 def vit_b16(batch_size=1, image_size=224, seed=0) -> Graph:
     return vit(batch_size, image_size, 16, 768, 12, 12, 3072, seed=seed)
+
+
+def _causal_attention(b, x, batch, seq, dim, heads, rng, name):
+    """Decoder self-attention: additive causal mask (upper triangle at -30,
+    deep enough that the integer softmax LUT maps masked scores to ~0 while
+    staying inside a sane quantization range)."""
+    hd = dim // heads
+    q = _dense(b, x, dim, dim, rng, f"{name}_q")
+    k = _dense(b, x, dim, dim, rng, f"{name}_k")
+    v = _dense(b, x, dim, dim, rng, f"{name}_v")
+
+    def heads_split(t, nm, perm):
+        t = b.call("reshape", t, newshape=(batch, seq, heads, hd),
+                   name=f"{nm}_r")
+        return b.call("transpose", t, axes=perm, name=f"{nm}_t")
+
+    qh = heads_split(q, f"{name}_qh", (0, 2, 1, 3))
+    kh = heads_split(k, f"{name}_kh", (0, 2, 3, 1))
+    vh = heads_split(v, f"{name}_vh", (0, 2, 1, 3))
+    scores = b.call("nn.batch_matmul", qh, kh, name=f"{name}_scores")
+    scale = b.const(np.float32(1.0 / np.sqrt(hd)))
+    scaled = b.call("multiply", scores, scale, name=f"{name}_scaled")
+    mask = np.triu(np.full((seq, seq), -30.0, np.float32), 1)
+    mc = b.const(mask.reshape(1, seq, seq), name=f"{name}_causal_mask")
+    masked = b.call("add", scaled, mc, name=f"{name}_masked")
+    att = b.call("nn.softmax", masked, axis=-1, name=f"{name}_softmax")
+    ctx = b.call("nn.batch_matmul", att, vh, name=f"{name}_ctx")
+    ctx = b.call("transpose", ctx, axes=(0, 2, 1, 3), name=f"{name}_ctx_t")
+    ctx = b.call("reshape", ctx, newshape=(batch, seq, dim),
+                 name=f"{name}_ctx_r")
+    return _dense(b, ctx, dim, dim, rng, f"{name}_o")
+
+
+def _decoder_layer(b, x, batch, seq, dim, heads, ffn_dim, rng, name):
+    """Pre-LN (GPT-2 style) causal decoder block."""
+    ln1 = _layer_norm(b, x, dim, rng, f"{name}_ln1")
+    att = _causal_attention(b, ln1, batch, seq, dim, heads, rng,
+                            f"{name}_attn")
+    res1 = b.call("add", x, att, name=f"{name}_res1")
+    ln2 = _layer_norm(b, res1, dim, rng, f"{name}_ln2")
+    h = _dense(b, ln2, dim, ffn_dim, rng, f"{name}_ffn1")
+    h = b.call("nn.gelu", h, name=f"{name}_act")
+    h = _dense(b, h, ffn_dim, dim, rng, f"{name}_ffn2")
+    return b.call("add", res1, h, name=f"{name}_res2")
+
+
+def gpt2(batch_size=1, seq_len=128, hidden=768, layers=12, heads=12,
+         ffn_dim=3072, vocab=50257, seed=0) -> Graph:
+    """GPT-2-style decoder-only causal LM (pre-LN blocks, learned
+    positions, weight-tied-shape LM head) — the autoregressive-LM family of
+    the zoo (reference zoo has no decoder LM; this rounds out the model
+    families for serving workloads)."""
+    rng = _rng(seed)
+    b = GraphBuilder("gpt2")
+    ids = b.var("input_ids", (batch_size, seq_len), "int32")
+    tok_table = b.const(
+        (rng.standard_normal((vocab, hidden)) * 0.02).astype(np.float32),
+        name="wte")
+    pos_table = b.const(
+        (rng.standard_normal((seq_len, hidden)) * 0.02).astype(np.float32),
+        name="wpe")
+    tok = b.call("take", tok_table, ids, axis=0, name="embed_tok")
+    pos = b.call("reshape", pos_table, newshape=(1, seq_len, hidden),
+                 name="embed_pos")
+    h = b.call("add", tok, pos, name="embed_sum")
+    for i in range(layers):
+        h = _decoder_layer(b, h, batch_size, seq_len, hidden, heads,
+                           ffn_dim, rng, f"block{i}")
+    h = _layer_norm(b, h, hidden, rng, "ln_f")
+    lm_w = b.const((rng.standard_normal((hidden, vocab)) * 0.02
+                    ).astype(np.float32), name="lm_head")
+    logits = b.call("nn.matmul", h, lm_w, name="logits")
+    return infer_types(b.build(logits))
+
+
+def gpt2_small(batch_size=1, seq_len=128, seed=0) -> Graph:
+    return gpt2(batch_size, seq_len, 768, 12, 12, 3072, seed=seed)

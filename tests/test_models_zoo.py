@@ -30,3 +30,37 @@ def test_zoo_model_quantizes(name, build, shape, min_corr):
     assert fout.shape == qout.shape
     corr = np.corrcoef(fout.ravel(), qout.ravel())[0, 1]
     assert corr > min_corr, f"{name}: corr {corr}"
+
+
+def test_gpt2_causal(rng):
+    """Decoder-only LM: perturbing token t must not change logits < t."""
+    from tachikoma_tpu import run_graph
+    from tachikoma_tpu.models.transformer import gpt2
+
+    g = gpt2(batch_size=1, seq_len=8, hidden=32, layers=2, heads=4,
+             ffn_dim=64, vocab=97)
+    ids = rng.integers(0, 97, (1, 8)).astype(np.int32)
+    base = run_graph(g, {"input_ids": ids})[0]
+    ids2 = ids.copy()
+    ids2[0, 5] = (ids2[0, 5] + 1) % 97
+    pert = run_graph(g, {"input_ids": ids2})[0]
+    np.testing.assert_allclose(base[0, :5], pert[0, :5], rtol=1e-5,
+                               atol=1e-5)
+    assert np.abs(base[0, 5:] - pert[0, 5:]).max() > 1e-3
+
+
+def test_gpt2_quantizes(rng):
+    from tachikoma_tpu import run_graph
+    from tachikoma_tpu.models.transformer import gpt2
+    from tachikoma_tpu.quantize.config import TRANSFORMER_INT8
+    from tachikoma_tpu.quantize.quantizer import quantize
+
+    g = gpt2(batch_size=1, seq_len=8, hidden=32, layers=1, heads=4,
+             ffn_dim=64, vocab=61)
+    calib = [rng.integers(0, 61, (1, 8)).astype(np.int32) for _ in range(2)]
+    qg = quantize(g, calib, config=TRANSFORMER_INT8)
+    fl = run_graph(g, {"input_ids": calib[0]})[0]
+    qi = run_graph(qg, {"input_ids": calib[0]})[0]
+    # int8 LM logits track float argmax at most positions
+    agree = (fl.argmax(-1) == qi.argmax(-1)).mean()
+    assert agree >= 0.5, f"argmax agreement {agree}"
