@@ -465,7 +465,15 @@ def fuse_conv_chains(graph: Graph) -> Graph:
                 break
             run.append(nxt)
             cur = nxt
-        if len(run) >= 2:
+        # frames only pay off when they erase spatial relayout: a pure
+        # 1x1 run is already a flat matmul (NHWC IS its natural layout) and
+        # the tuned matmul route beats the frame kernel there (measured:
+        # MobileNetV2 regressed ~10% with 1x1-only chains)
+        def _spatial(m):
+            ws = g[m.inputs[1]].shape
+            return ws is not None and (ws[0] > 1 or ws[1] > 1)
+
+        if len(run) >= 2 and any(_spatial(m) for m in run):
             chains.append(run)
             in_chain.update(x.name for x in run)
 
