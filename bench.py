@@ -92,6 +92,62 @@ def bench_int8_matmul_pallas():
     return 2 * M * K * N / per / 1e9, per
 
 
+def bench_conv_chain():
+    """Per-conv time inside a frame-chained 3-deep 3x3 chain at the headline
+    geometry — the graph-resident conv number (entry pad / exit slice
+    amortize across the chain, as in fused ResNet-50 bottlenecks)."""
+    import jax.numpy as jnp
+
+    from tachikoma_tpu.ops.pallas.conv_flat import qconv2d_flat_chain
+    from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
+
+    n, h, w, c, depth = 8, 56, 56, 128, 3
+    rng = np.random.default_rng(0)
+    m, s = plan_requantize(0.0004, 0.05)
+    stages = [dict(w=rng.integers(-127, 127, (3, 3, c, c)).astype(np.int8),
+                   bias=rng.integers(-500, 500, (c,)).astype(np.int32),
+                   multiplier=m, shift=s, izp=0, out_zp=0,
+                   padding=(1, 1, 1, 1)) for _ in range(depth)]
+    x = jnp.asarray(rng.integers(-127, 127, (n, h, w, c)).astype(np.int8))
+
+    def fn(a):
+        return qconv2d_flat_chain(a, stages)
+
+    def feedback(a, out):
+        return a.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
+
+    per = _per_iter(fn, x, feedback) / depth
+    macs = n * h * w * c * 9 * c
+    return 2 * macs / per / 1e9, per
+
+
+def bench_resnet50_e2e():
+    """Quantized+fused ResNet-50 b8 end-to-end latency."""
+    import jax.numpy as jnp
+
+    from tachikoma_tpu.models.vision import resnet
+    from tachikoma_tpu.quantize.quantizer import quantize
+    from tachikoma_tpu.runtime.executor import JaxExecutor
+
+    log("bench: building + quantizing ResNet-50 b8 ...")
+    g = resnet(50, batch_size=8, image_size=224)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
+    qg = quantize(g, [x])
+    ex = JaxExecutor(qg, fuse=True)
+    fn0, params = ex.make_jit_fn()
+    vname = ex.graph.inputs[0].name
+
+    def fn(a):
+        return fn0(params, {vname: a})[0]
+
+    def feedback(a, out):
+        return a.at[0, 0, 0, 0].add(out[0, 0].astype(np.float32))
+
+    per = _per_iter(fn, jnp.asarray(x), feedback)
+    return per
+
+
 def bench_trace_gen():
     """Quantized ResNet-50 full-graph trace generation, traces/sec."""
     from tachikoma_tpu.models.vision import resnet
@@ -149,6 +205,20 @@ def main():
         log(f"bench: matmul kernel failed ({e})")
         mm_gops, mm_t = 0.0, float("inf")
 
+    log("bench: conv chain (graph-resident) ...")
+    try:
+        chain_gops, chain_t = bench_conv_chain()
+    except Exception as e:  # pragma: no cover
+        log(f"bench: conv chain failed ({e})")
+        chain_gops, chain_t = 0.0, float("inf")
+
+    log("bench: ResNet-50 b8 e2e ...")
+    try:
+        r50_t = bench_resnet50_e2e()
+    except Exception as e:  # pragma: no cover
+        log(f"bench: resnet50 e2e failed ({e})")
+        r50_t = float("inf")
+
     traces_per_sec, n_records, trace_bytes, trace_t = bench_trace_gen()
 
     roofline_gops = V5E_INT8_TOPS * 1000.0
@@ -167,6 +237,12 @@ def main():
             "int8_matmul_gops": round(mm_gops, 2),
             "int8_matmul_roofline_frac": round(mm_gops / roofline_gops, 4)
             if platform == "tpu" else 0.0,
+            "int8_conv_chain_gops": round(chain_gops, 2),
+            "int8_conv_chain_roofline_frac": round(
+                chain_gops / roofline_gops, 4) if platform == "tpu" else 0.0,
+            "resnet50_e2e_ms_b8": round(r50_t * 1000, 3),
+            "resnet50_img_per_sec": round(8 / r50_t, 1)
+            if r50_t != float("inf") else 0.0,
             "resnet50_traces_per_sec": round(traces_per_sec, 2),
             "resnet50_trace_records": n_records,
             "resnet50_trace_bytes": trace_bytes,

