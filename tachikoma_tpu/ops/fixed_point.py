@@ -148,12 +148,20 @@ def requantize_np(
 def q_multiply_shift_jnp(x, m: int, shift: int, rounding: str = UPWARD):
     """Exact jnp fixed-point multiply.
 
-    Implemented with int64 on the XLA side; XLA integer arithmetic is
-    two's-complement wraparound, matching numpy, so results are bit-identical
-    to `q_multiply_shift_np` by construction.  (The Pallas epilogue kernel
-    re-derives the same result with 32-bit ops; tested for equality.)
+    UPWARD with shift <= 0 (every practical requantize: ratios < 1) takes
+    the 32-bit high-word path shared with the Pallas epilogue
+    (`pallas/qms32.py` — an exact algebraic rewrite, so still bit-identical
+    to `q_multiply_shift_np`): int64 arithmetic on TPU is emulated by XLA
+    and dominates elementwise requantize/qnn.add time otherwise.
     """
     import jax.numpy as jnp
+
+    if rounding == UPWARD and int(shift) <= 0 and int(m) > 0:
+        from .pallas.qms32 import q_multiply_shift_select
+
+        return q_multiply_shift_select(
+            x.astype(jnp.int32), jnp.int32(int(m)), jnp.int32(int(shift)),
+            (int(shift),), rounding)
 
     left, right = _shifts(int(shift))
     v = x.astype(jnp.int64)
@@ -174,6 +182,20 @@ def q_multiply_shift_jnp(x, m: int, shift: int, rounding: str = UPWARD):
 
 def q_multiply_shift_per_axis_jnp(x, ms, shifts, axis: int, rounding: str = UPWARD):
     import jax.numpy as jnp
+
+    shifts_i = np.asarray(shifts, np.int64)
+    if (rounding == UPWARD and (shifts_i <= 0).all()
+            and (np.asarray(ms, np.int64) > 0).all()):
+        # 32-bit high-word path (see q_multiply_shift_jnp)
+        from .pallas.qms32 import q_multiply_shift_select
+
+        bshape = [1] * x.ndim
+        bshape[axis] = -1
+        m_b = jnp.asarray(np.asarray(ms, np.int32).reshape(bshape))
+        s_b = jnp.asarray(shifts_i.astype(np.int32).reshape(bshape))
+        return q_multiply_shift_select(
+            x.astype(jnp.int32), m_b, s_b,
+            tuple(sorted({int(s) for s in shifts_i})), rounding)
 
     ms = np.asarray(ms, dtype=np.int64)
     shifts = np.asarray(shifts, dtype=np.int64)
