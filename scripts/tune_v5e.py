@@ -25,6 +25,9 @@ MATMULS = [
     (392, 2048, 512), (392, 512, 2048), (392, 1024, 2048),
     (512, 768, 768), (512, 768, 3072), (512, 3072, 768),
     (788, 1024, 1024), (788, 1024, 4096), (788, 4096, 1024),
+    # ResNet-50 b8 stem: 7x7 s2 via im2col (flat M = 8 * 115 * 116, K = 16
+    # phase-taps x 12 phase-channels, N = 64)
+    (106720, 192, 64),
 ]
 
 MM_CANDS = [(256, 256, 512), (256, 512, 512), (512, 256, 512),
