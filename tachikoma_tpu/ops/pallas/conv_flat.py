@@ -1178,7 +1178,7 @@ def chain_frame_geometry(n, h, w, stages, bm=512):
     return wph, hp, fh, mp, fhx0, slack0
 
 
-def qconv2d_flat_chain(x, stages, *, bm=512, interpret=None):
+def qconv2d_flat_chain(x, stages, *, bm=None, interpret=None):
     """Run a chain of stride-1, same-spatial-size, fused-requantize convs
     through frame-resident Pallas kernels.
 
@@ -1195,6 +1195,12 @@ def qconv2d_flat_chain(x, stages, *, bm=512, interpret=None):
     if interpret is None:
         interpret = _interpret_default()
     n, h, wd, cin = x.shape
+    if bm is None:
+        # small frames drown in the 2*bm lead/tail margins (stage-3 ResNet
+        # frames are ~2.5k rows; a 1024-row margin is 40% overhead): scale
+        # the block with the frame's row count
+        est_rows = n * (h + 4) * _round_up(wd + 4, 4)
+        bm = 512 if est_rows >= 8192 else (256 if est_rows >= 2048 else 128)
     geo_stages = []
     for st in stages:
         kh, kw_, ci, co = st["w"].shape
