@@ -24,17 +24,23 @@ from .executor import JaxExecutor
 
 
 def value_and_grad_fn(graph: Graph, loss_index: int = 0,
-                      wrt: Sequence[str] | None = None):
+                      wrt: Sequence[str] | None = None,
+                      remat: bool = False):
     """(jitted_fn, params) with jitted_fn(params, inputs) ->
     (loss, {param: grad}).
 
     loss_index selects which graph output is the scalar loss; wrt limits the
-    differentiated parameter set (default: every float param).
+    differentiated parameter set (default: every float param).  remat wraps
+    the forward in jax.checkpoint — activations are recomputed in the
+    backward pass instead of stored (the TPU HBM/FLOPs trade; XLA reschedules
+    the whole program around it).
     """
     import jax
 
     ex = JaxExecutor(graph)
     run_fn, params = ex.make_jit_fn()
+    if remat:
+        run_fn = jax.checkpoint(run_fn)
     if wrt is None:
         wrt = [k for k, v in params.items()
                if np.issubdtype(np.asarray(v).dtype, np.floating)]

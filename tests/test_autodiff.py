@@ -61,3 +61,16 @@ def test_wrt_subset(rng):
     g = mlp_with_loss(rng)
     vg, train, frozen = value_and_grad_fn(g, wrt=["w2"])
     assert set(train) == {"w2"} and "w1" in frozen
+
+
+def test_remat_matches(rng):
+    g = mlp_with_loss(rng)
+    x = rng.standard_normal((4, 8)).astype(np.float32)
+    t = rng.dirichlet(np.ones(3), 4).astype(np.float32)
+    vg, train, _ = value_and_grad_fn(g)
+    vgr, trainr, _ = value_and_grad_fn(g, remat=True)
+    l1, g1 = vg(train, {"x": x, "t": t})
+    l2, g2 = vgr(trainr, {"x": x, "t": t})
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(g1[k], g2[k], rtol=1e-5, atol=1e-6)
