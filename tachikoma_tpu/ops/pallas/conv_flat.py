@@ -1196,11 +1196,10 @@ def qconv2d_flat_chain(x, stages, *, bm=None, interpret=None):
         interpret = _interpret_default()
     n, h, wd, cin = x.shape
     if bm is None:
-        # small frames drown in the 2*bm lead/tail margins (stage-3 ResNet
-        # frames are ~2.5k rows; a 1024-row margin is 40% overhead): scale
-        # the block with the frame's row count
-        est_rows = n * (h + 4) * _round_up(wd + 4, 4)
-        bm = 512 if est_rows >= 8192 else (256 if est_rows >= 2048 else 128)
+        # measured on v5e: smaller blocks at small spatial extents LOSE more
+        # to per-dot inefficiency than they save in lead/tail margin rows
+        # (auto-shrinking to 256/128 cost ResNet-50 ~1.2 ms e2e)
+        bm = 512
     geo_stages = []
     for st in stages:
         kh, kw_, ci, co = st["w"].shape
@@ -1302,3 +1301,9 @@ def qconv2d_flat_chain(x, stages, *, bm=None, interpret=None):
                     for i in range(n)]
             out4 = jnp.stack(imgs).reshape(n, h, wph, co_p)
             return out4[:, :, :wd, :co]
+
+
+def chain_workload(n, h, w, stage_dims) -> str:
+    """Tune-DB key for a conv chain: stage_dims = [(kh, cin, cout), ...]."""
+    stages = "+".join(f"K{kh}C{ci}O{co}" for (kh, ci, co) in stage_dims)
+    return f"qconv2d_chain/N{n}_H{h}_W{w}/{stages}"
