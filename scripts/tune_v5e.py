@@ -12,7 +12,8 @@ makes re-runs cheap.
 import sys
 
 from tachikoma_tpu.tune.database import TOPHUB_PATH, TuneDatabase
-from tachikoma_tpu.tune.tuner import tune_conv_flat, tune_matmul
+from tachikoma_tpu.tune.tuner import (tune_conv_chain, tune_conv_flat,
+                                      tune_matmul)
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else TOPHUB_PATH
 
@@ -44,6 +45,16 @@ CONVS = [
     ((8, 56, 56, 128), (3, 3, 128, 128), (2, 2)),
     ((8, 28, 28, 256), (3, 3, 256, 256), (2, 2)),
     ((8, 14, 14, 512), (3, 3, 512, 512), (2, 2)),
+]
+
+
+# ResNet-50 b8 bottleneck chain geometries (fuse_conv_chains output)
+CHAINS = [
+    (8, 56, 56, [(1, 64, 64), (3, 64, 64), (1, 64, 256)]),
+    (8, 56, 56, [(1, 256, 64), (3, 64, 64), (1, 64, 256)]),
+    (8, 28, 28, [(1, 512, 128), (3, 128, 128), (1, 128, 512)]),
+    (8, 14, 14, [(1, 1024, 256), (3, 256, 256), (1, 256, 1024)]),
+    (8, 7, 7, [(1, 2048, 512), (3, 512, 512), (1, 512, 2048)]),
 ]
 
 
@@ -86,6 +97,13 @@ def main():
         tune_conv_flat(shape, wshape, strides, pad, 1, db)
 
     print(f"\n{len(db)} records -> {OUT}")
+    from tachikoma_tpu.ops.pallas.conv_flat import chain_workload
+
+    for (n, h, w, dims) in CHAINS:
+        if chain_workload(n, h, w, dims) in done:
+            continue
+        tune_conv_chain(n, h, w, dims, db)
+
     for wl in db.workloads():
         r = db.best(wl)
         if r:

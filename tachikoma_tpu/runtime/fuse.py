@@ -589,7 +589,13 @@ def _chain_jax(*args, node: Node):
 
     data, wb = _chain_split_args(node, args)
     if jax.devices()[0].platform == "tpu" or os.environ.get("TK_FORCE_PALLAS"):
-        from ..ops.pallas.conv_flat import qconv2d_flat_chain
+        from ..ops.pallas.conv_flat import chain_workload, qconv2d_flat_chain
+        from ..tune.database import lookup_config
+
+        n_, h_, w_, _ = data.shape
+        dims = [(w.shape[0], w.shape[2], w.shape[3]) for (w, _) in wb]
+        cfg = lookup_config(chain_workload(n_, h_, w_, dims))
+        bm = int(cfg["bm"]) if cfg and "bm" in cfg else None
 
         info = np.iinfo(np.int8)
         stages = []
@@ -605,7 +611,7 @@ def _chain_jax(*args, node: Node):
                 qmax=min(int(st.get("a_max", info.max)), info.max),
                 padding=tuple(st["padding"]),
             ))
-        return qconv2d_flat_chain(data, stages)
+        return qconv2d_flat_chain(data, stages, bm=bm)
     cur = data
     for st, (w, bias) in zip(node.attrs["stages"], wb):
         shadow = _chain_stage_node(st, node.name + "_st")

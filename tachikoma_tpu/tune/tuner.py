@@ -273,3 +273,47 @@ def tune_conv(
         status = f"{t*1e3:.3f} ms ({rec.meta.get('tops', 0)} TOPS)" if err == NO_ERROR else f"err{err}: {msg[:80]}"
         print(f"  {workload}: {status}", flush=True)
     return db.best(workload)
+
+
+def tune_conv_chain(n, h, w, stage_dims, db: TuneDatabase,
+                    verbose: bool = True) -> TuneRecord | None:
+    """Tune the frame-chain block size bm for a chain geometry.
+
+    stage_dims = [(kh, cin, cout), ...] with 'same' padding per stage (the
+    shape fuse_conv_chains produces for ResNet-style bottlenecks)."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas.conv_flat import chain_workload, qconv2d_flat_chain
+    from ..ops.pallas.qms32 import plan_requantize
+
+    workload = chain_workload(n, h, w, stage_dims)
+    rng = np.random.default_rng(0)
+    m, s = plan_requantize(0.0004, 0.05)
+    stages = []
+    for (kh, ci, co) in stage_dims:
+        pad = kh // 2
+        stages.append(dict(
+            w=rng.integers(-127, 127, (kh, kh, ci, co)).astype(np.int8),
+            bias=rng.integers(-500, 500, (co,)).astype(np.int32),
+            multiplier=m, shift=s, izp=0, out_zp=0,
+            padding=(pad, pad, pad, pad)))
+    x = jnp.asarray(rng.integers(-127, 127,
+                                 (n, h, w, stage_dims[0][1])).astype(np.int8))
+    macs = sum(n * h * w * co * kh * kh * ci for (kh, ci, co) in stage_dims)
+    for bm in (256, 512, 1024):
+        def fn(a, _bm=bm):
+            return qconv2d_flat_chain(a, stages, bm=_bm)
+
+        t, err, msg = _measure_scan(fn, x)
+        rec = TuneRecord(
+            workload, {"bm": bm},
+            t * 1e3 if t != float("inf") else float("inf"), err, msg,
+            meta={"tops": round(2 * macs / t / 1e12, 2)} if err == NO_ERROR
+            else {},
+        )
+        db.add(rec)
+        if verbose:
+            status = (f"{t*1e6:.1f} us ({rec.meta.get('tops', 0)} TOPS)"
+                      if err == NO_ERROR else f"err{err}: {msg[:60]}")
+            print(f"  {workload} bm={bm}: {status}", flush=True)
+    return db.best(workload)
