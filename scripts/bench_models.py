@@ -25,6 +25,18 @@ def build(name):
         g = mobilenet_v2(batch_size=8, image_size=224)
         x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
         qg = quantize(g, [x])
+    elif name == "vit":
+        from tachikoma_tpu.models.transformer import vit_l16
+
+        g = vit_l16(batch_size=1, image_size=224)
+        x = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+        qg = quantize(g, [x], config=TRANSFORMER_INT8)
+    elif name == "gpt2":
+        from tachikoma_tpu.models.transformer import gpt2_small
+
+        g = gpt2_small(batch_size=1, seq_len=128)
+        x = rng.integers(0, 50257, (1, 128)).astype(np.int32)
+        qg = quantize(g, [x], config=TRANSFORMER_INT8)
     elif name == "bert":
         g = bert(batch_size=4, seq_len=128)
         x = rng.integers(0, 30522, (4, 128)).astype(np.int32)
