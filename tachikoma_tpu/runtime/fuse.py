@@ -431,7 +431,12 @@ def fuse_conv_chains(graph: Graph) -> Graph:
 
     The role of the reference's AlterOpLayout + NCHWc conv flow
     (`src/relay/transforms/alter_op_layout.cc`,
-    `python/tvm/topi/x86/conv2d_int8.py:136`)."""
+    `python/tvm/topi/x86/conv2d_int8.py:136`).  TK_DISABLE_CHAINS=1 turns
+    the pass off (A/B knob; like the reference's disabled_pass)."""
+    import os
+
+    if os.environ.get("TK_DISABLE_CHAINS"):
+        return graph
     g = infer_types(graph) if any(
         n.shape is None and n.dtype != "tuple" for n in graph.nodes) else graph
     users = g.users()
