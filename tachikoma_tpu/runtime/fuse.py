@@ -478,6 +478,13 @@ def fuse_conv_chains(graph: Graph) -> Graph:
             ws = g[m.inputs[1]].shape
             return ws is not None and (ws[0] > 1 or ws[1] > 1)
 
+        # NOTE: a tune-DB profitability gate (chain record vs sum of the
+        # members' standalone records) was tried and REMOVED: isolated-op
+        # records omit the inter-op NHWC relayout that chaining eliminates,
+        # so the comparison mispredicts (ResNet-50 measured 4.4 ms with
+        # chains vs 5.05 ms without, while the record sums said the
+        # opposite).  The e2e-validated rule is simply: fuse runs that
+        # contain a spatial kernel.
         if len(run) >= 2 and any(_spatial(m) for m in run):
             chains.append(run)
             in_chain.update(x.name for x in run)

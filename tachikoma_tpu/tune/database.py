@@ -136,6 +136,12 @@ def default_database() -> TuneDatabase | None:
     return _DEFAULT_DB
 
 
+def current_database() -> TuneDatabase | None:
+    """The active dispatch database: apply_history_best context if entered,
+    else the default (packaged tophub / $TK_TUNE_DB)."""
+    return _CURRENT_DB if _CURRENT_DB is not None else default_database()
+
+
 def lookup_config(workload: str) -> dict | None:
     db = _CURRENT_DB if _CURRENT_DB is not None else default_database()
     if db is None:
