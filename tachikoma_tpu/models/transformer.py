@@ -46,9 +46,13 @@ def _attention(b, x, batch, seq, dim, heads, rng, name):
         return b.call("transpose", t, axes=perm, name=f"{nm}_t")
 
     qh = heads_split(q, f"{name}_qh", (0, 2, 1, 3))   # B,H,S,D
-    kh = heads_split(k, f"{name}_kh", (0, 2, 3, 1))   # B,H,D,S
+    # K stays (B,H,S,D): transpose_b folds the head transpose into the
+    # contraction (an explicit int8 (0,2,3,1) transpose costs ~86 us/layer
+    # on v5e — minor-dim relayout)
+    kh = heads_split(k, f"{name}_kh", (0, 2, 1, 3))
     vh = heads_split(v, f"{name}_vh", (0, 2, 1, 3))   # B,H,S,D
-    scores = b.call("nn.batch_matmul", qh, kh, name=f"{name}_scores")
+    scores = b.call("nn.batch_matmul", qh, kh, transpose_b=True,
+                    name=f"{name}_scores")
     scale = b.const(np.float32(1.0 / np.sqrt(hd)))
     scaled = b.call("multiply", scores, scale, name=f"{name}_scaled")
     att = b.call("nn.softmax", scaled, axis=-1, name=f"{name}_softmax")
@@ -159,9 +163,10 @@ def _causal_attention(b, x, batch, seq, dim, heads, rng, name):
         return b.call("transpose", t, axes=perm, name=f"{nm}_t")
 
     qh = heads_split(q, f"{name}_qh", (0, 2, 1, 3))
-    kh = heads_split(k, f"{name}_kh", (0, 2, 3, 1))
+    kh = heads_split(k, f"{name}_kh", (0, 2, 1, 3))
     vh = heads_split(v, f"{name}_vh", (0, 2, 1, 3))
-    scores = b.call("nn.batch_matmul", qh, kh, name=f"{name}_scores")
+    scores = b.call("nn.batch_matmul", qh, kh, transpose_b=True,
+                    name=f"{name}_scores")
     scale = b.const(np.float32(1.0 / np.sqrt(hd)))
     scaled = b.call("multiply", scores, scale, name=f"{name}_scaled")
     mask = np.triu(np.full((seq, seq), -30.0, np.float32), 1)
