@@ -249,3 +249,26 @@ def test_depth_space(rng):
     np.testing.assert_array_equal(got, want)
     back = run_op("nn.space_to_depth", [got], block_size=2)
     assert back.shape == x.shape
+
+
+def test_take_onehot_path_matches_oracle(rng):
+    """The embedding-pattern take (2-D table, axis 0) runs as a one-hot MXU
+    matmul on the jax side — must stay exact vs np.take for int tables and
+    bit-close for float, across clip/wrap modes."""
+    import tachikoma_tpu.ops.jax_ops  # noqa: F401  (registers jax impls)
+    from tachikoma_tpu.ir.graph import Node
+    from tachikoma_tpu.ir.registry import get_op
+
+    od = get_op("take")
+    table_i = rng.integers(-127, 127, (300, 64)).astype(np.int8)
+    table_f = rng.standard_normal((300, 64)).astype(np.float32)
+    ids = rng.integers(-5, 305, (4, 7)).astype(np.int32)  # incl. OOB
+    for mode in ("clip", "wrap"):
+        node = Node("t", "take", ("a", "i"), {"axis": 0, "mode": mode})
+        for tbl in (table_i, table_f):
+            want = od.np_impl(tbl, ids, node=node)
+            got = np.asarray(od.jax_impl(tbl, ids, node=node))
+            if tbl.dtype == np.int8:
+                assert (want == got).all()
+            else:
+                np.testing.assert_array_equal(want, got)
