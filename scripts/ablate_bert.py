@@ -35,6 +35,7 @@ def main():
             ("l0 softmax", pick("layer0_attn_softmax")),
             ("l0 ctx+out", pick("layer0_attn_o_biased", "layer0_attn_o")),
             ("l0 ln1", pick("layer0_ln1")),
+            ("l0 ffn1", pick("layer0_ffn1_biased", "layer0_ffn1")),
             ("l0 ffn-act", pick("layer0_act")),
             ("l0 done", pick("layer0_ln2")),
             ("l3 done", pick("layer3_ln2")),

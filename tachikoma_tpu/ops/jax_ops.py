@@ -931,18 +931,51 @@ def _fpm_pa_jax(a, *, node: Node):
 
 
 def _lut_select(table_np: np.ndarray, idx):
-    """Small-table lookup as a 256-way select-sum.
+    """Small-table lookup as a packed select-sum.
 
     XLA lowers jnp.take on TPU to SCALAR gathers (~8 ns/element — measured
     12.8 ms for a (512,3072) int8 LUT, the entire BERT bottleneck); a
-    where-chain over the table entries is pure vectorized VPU work, ~30x
-    faster.  table_np must be a CONCRETE numpy array."""
-    table_np = np.asarray(table_np)
-    out = jnp.zeros(idx.shape, jnp.int32)
+    where-chain over table entries is pure vectorized VPU work, ~30x faster.
+
+    The chain length is cut a further 4x (int8 tables) / 2x (int16) by
+    PACKING adjacent entries into one 32-bit word: select over the packed
+    words, then extract the target lane with an elementwise variable shift
+    (data-dependent shifts are fine in XLA — only Mosaic forbids them).
+    Bit-identical to the naive chain: packing/extraction is exact.
+    table_np must be a CONCRETE numpy array."""
+    table_np = np.asarray(table_np).astype(np.int64)
+    n = int(table_np.shape[0])
     idx = idx.astype(jnp.int32)
-    for k in range(table_np.shape[0]):
-        out = jnp.where(idx == jnp.int32(k), jnp.int32(int(table_np[k])), out)
-    return out
+    lo, hi = int(table_np.min()), int(table_np.max())
+    signed = lo < 0
+    if (-128 <= lo and hi <= 127) if signed else hi <= 255:
+        p, bits = 4, 8
+    elif (-32768 <= lo and hi <= 32767) if signed else hi <= 65535:
+        p, bits = 2, 16   # NB: the Q15 softmax table's 32768 fits unsigned
+    else:
+        p, bits = 1, 32
+    if p == 1:
+        out = jnp.zeros(idx.shape, jnp.int32)
+        for k in range(n):
+            out = jnp.where(idx == jnp.int32(k),
+                            jnp.int32(int(table_np[k])), out)
+        return out
+    mask = (1 << bits) - 1
+    npk = -(-n // p)
+    packed = np.zeros(npk, np.uint32)
+    for j in range(p):
+        ent = (table_np[j::p] & mask).astype(np.uint32)
+        packed[: len(ent)] |= ent << np.uint32(bits * j)
+    g = (idx >> int(p).bit_length() - 1).astype(jnp.int32)  # idx // p
+    w = jnp.zeros(idx.shape, jnp.uint32)
+    for k in range(npk):
+        w = jnp.where(g == jnp.int32(k), jnp.uint32(int(packed[k])), w)
+    sh = ((idx & jnp.int32(p - 1)) * jnp.int32(bits)).astype(jnp.uint32)
+    b = ((w >> sh) & jnp.uint32(mask)).astype(jnp.int32)
+    if not signed:
+        return b
+    half = jnp.int32(1 << (bits - 1))
+    return (b ^ half) - half  # sign-extend the packed lane
 
 
 @jax_impl("qnn.softmax")
