@@ -967,9 +967,15 @@ def _lut_select(table_np: np.ndarray, idx):
         ent = (table_np[j::p] & mask).astype(np.uint32)
         packed[: len(ent)] |= ent << np.uint32(bits * j)
     g = (idx >> int(p).bit_length() - 1).astype(jnp.int32)  # idx // p
-    w = jnp.zeros(idx.shape, jnp.uint32)
+    # initialize with the MODAL packed word and only select the rest: long
+    # constant runs (the exp table's underflow-to-zero tail, gelu's
+    # saturated tails) drop out of the chain entirely
+    vals, counts = np.unique(packed, return_counts=True)
+    mode = int(vals[np.argmax(counts)])
+    w = jnp.full(idx.shape, np.uint32(mode), jnp.uint32)
     for k in range(npk):
-        w = jnp.where(g == jnp.int32(k), jnp.uint32(int(packed[k])), w)
+        if int(packed[k]) != mode:
+            w = jnp.where(g == jnp.int32(k), jnp.uint32(int(packed[k])), w)
     sh = ((idx & jnp.int32(p - 1)) * jnp.int32(bits)).astype(jnp.uint32)
     b = ((w >> sh) & jnp.uint32(mask)).astype(jnp.int32)
     if not signed:
