@@ -26,10 +26,18 @@ def build(name):
         x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
         qg = quantize(g, [x])
     elif name == "vit":
+        # ViT-L's unrolled 24-layer program exceeds the axon tunnel's
+        # remote-compile request limit (HTTP 413); ViT-B fits
         from tachikoma_tpu.models.transformer import vit_l16
 
         g = vit_l16(batch_size=1, image_size=224)
         x = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+        qg = quantize(g, [x], config=TRANSFORMER_INT8)
+    elif name == "vit_b":
+        from tachikoma_tpu.models.transformer import vit_b16
+
+        g = vit_b16(batch_size=8, image_size=224)
+        x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
         qg = quantize(g, [x], config=TRANSFORMER_INT8)
     elif name == "gpt2":
         from tachikoma_tpu.models.transformer import gpt2_small
