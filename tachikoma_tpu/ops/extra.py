@@ -417,12 +417,23 @@ def _topk_jax(a, *, node: Node):
     return vals if ret == "values" else idx
 
 
-# aliases the reference registers as distinct ops
+# aliases the reference registers as distinct ops.  Impls delegate LAZILY:
+# the target's jax impl registers only when ops/jax_ops is imported, which
+# happens after this module (a snapshot alias froze jax_impl=None and
+# crashed the GPT-2 LM head on the executor).
 def _alias(name: str, target: str):
     from ..ir.registry import get_op
 
     t = get_op(target)
-    register_op(name, infer=t.infer, np_impl=t.np_impl, jax_impl=t.jax_impl, flops=t.flops)
+
+    def _np(*args, node: Node):
+        return get_op(target).np_impl(*args, node=node)
+
+    def _jax(*args, node: Node):
+        return get_op(target).jax_impl(*args, node=node)
+
+    register_op(name, infer=t.infer, np_impl=_np, jax_impl=_jax,
+                flops=t.flops)
 
 
 _alias("nn.fast_softmax", "nn.softmax")
