@@ -1109,7 +1109,6 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
     # frame outputs are block-shifted: the grid covers mp + bm SHIFTED rows
     grid_m = (mp + bm if frame_out else mp) // bm
     grid = (grid_m, cout_p // bn, n_k)
-    assert not frame_out or bn == 128, "frame mask is 128 lanes wide"
     taps = tuple((a, b) for a in range(khp) for b in range(kwp))
     kernel = functools.partial(
         _flat_conv_kernel_f,
@@ -1142,11 +1141,11 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-                # validity vector replicated to 128 lanes (sub-128-lane
+                # validity vector replicated to bn lanes (sub-128-lane
                 # blocks wedge the Mosaic compiler); for frame_out the
                 # array carries a bm-row lead so block i aligns with the
                 # shifted output rows
-                pl.BlockSpec((bm, 128), lambda i, j, k: (i, 0)),
+                pl.BlockSpec((bm, bn), lambda i, j, k: (i, 0)),
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
@@ -1178,7 +1177,7 @@ def chain_frame_geometry(n, h, w, stages, bm=512):
     return wph, hp, fh, mp, fhx0, slack0
 
 
-def qconv2d_flat_chain(x, stages, *, bm=None, interpret=None):
+def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None):
     """Run a chain of stride-1, same-spatial-size, fused-requantize convs
     through frame-resident Pallas kernels.
 
@@ -1220,12 +1219,13 @@ def qconv2d_flat_chain(x, stages, *, bm=None, interpret=None):
     rows = np.arange(mp, dtype=np.int64)
     p = rows % fh
     valid = ((p // wph) < h) & ((p % wph) < wd) & (rows < n * fh)
-    vm = np.broadcast_to(valid.astype(np.int8).reshape(mp, 1), (mp, 128))
+    bn_cap = int(bn_cap)
+    vm = np.broadcast_to(valid.astype(np.int8).reshape(mp, 1), (mp, bn_cap))
     vmask_plain = jnp.asarray(vm)
-    # frame stages' outputs are shifted one block down (lead fill cell):
-    # prepend a lead block so vmask block i aligns with output block i
+    # frame stages' outputs are shifted one block down: prepend a lead
+    # block so vmask block i aligns with output block i
     vmask_frame = jnp.asarray(
-        np.concatenate([np.zeros((bm, 128), np.int8), vm]))
+        np.concatenate([np.zeros((bm, bn_cap), np.int8), vm]))
 
     # entry: one pad builds the flat image
     st0 = stages[0]
@@ -1283,7 +1283,8 @@ def qconv2d_flat_chain(x, stages, *, bm=None, interpret=None):
 
         bk = min(ci_p, 512 if ci_p % 512 == 0 else
                  (256 if ci_p % 256 == 0 else 128))
-        bn = min(co_p, 128)
+        bn = max(d for d in (512, 256, 128)
+                 if d <= min(bn_cap, co_p) and co_p % d == 0)
         fn = _build_flat_conv_frame(
             mp, cur_rows, ci_p, co_p, kh, kw_, wph, bm, bn, bk, wslack,
             off_base, out_frame, int(st.get("out_zp", 0)),

@@ -608,6 +608,7 @@ def _chain_jax(*args, node: Node):
         dims = [(w.shape[0], w.shape[2], w.shape[3]) for (w, _) in wb]
         cfg = lookup_config(chain_workload(n_, h_, w_, dims))
         bm = int(cfg["bm"]) if cfg and "bm" in cfg else None
+        bn_cap = int(cfg["bn"]) if cfg and "bn" in cfg else 128
 
         info = np.iinfo(np.int8)
         stages = []
@@ -623,7 +624,7 @@ def _chain_jax(*args, node: Node):
                 qmax=min(int(st.get("a_max", info.max)), info.max),
                 padding=tuple(st["padding"]),
             ))
-        return qconv2d_flat_chain(data, stages, bm=bm)
+        return qconv2d_flat_chain(data, stages, bm=bm, bn_cap=bn_cap)
     cur = data
     for st, (w, bias) in zip(node.attrs["stages"], wb):
         shadow = _chain_stage_node(st, node.name + "_st")

@@ -300,13 +300,14 @@ def tune_conv_chain(n, h, w, stage_dims, db: TuneDatabase,
     x = jnp.asarray(rng.integers(-127, 127,
                                  (n, h, w, stage_dims[0][1])).astype(np.int8))
     macs = sum(n * h * w * co * kh * kh * ci for (kh, ci, co) in stage_dims)
-    for bm in (256, 512, 1024):
-        def fn(a, _bm=bm):
-            return qconv2d_flat_chain(a, stages, bm=_bm)
+    for bm in (512, 1024):
+      for bn_cap in (128, 256):
+        def fn(a, _bm=bm, _bn=bn_cap):
+            return qconv2d_flat_chain(a, stages, bm=_bm, bn_cap=_bn)
 
         t, err, msg = _measure_scan(fn, x)
         rec = TuneRecord(
-            workload, {"bm": bm},
+            workload, {"bm": bm, "bn": bn_cap},
             t * 1e3 if t != float("inf") else float("inf"), err, msg,
             meta={"tops": round(2 * macs / t / 1e12, 2)} if err == NO_ERROR
             else {},

@@ -137,3 +137,13 @@ def test_graph_level_chain_fusion(rng):
         else:
             np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(a, u, rtol=1e-5, atol=1e-6)
+
+
+def test_chain_wide_bn(rng):
+    stages = [_mkstage(rng, 1, 8, 260, 4e-4, 5e-2, 0, 1),
+              _mkstage(rng, 3, 260, 260, 5e-2, 4e-2, 1, 0)]
+    x = rng.integers(-127, 127, (1, 9, 9, 8)).astype(np.int8)
+    got = np.asarray(qconv2d_flat_chain(x, stages, bn_cap=256,
+                                        interpret=True))
+    want = _sequential(x, stages)
+    assert (got == want).all()
