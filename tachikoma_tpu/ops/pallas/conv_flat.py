@@ -37,6 +37,15 @@ per-phase tap lists so polyphase stride-2 wastes zero MACs.
 
 1x1 convs are routed to the tuned Pallas matmul (`matmul_int8.qmatmul_int8`)
 — a 1x1 conv IS a GEMM; stride-2 1x1 subsamples the input first (exact).
+
+*Frame chains* (bottom of this file).  Runs of stride-1, spatial-preserving
+convs exchange "frames": the raw over-wide kernel output with every garbage
+cell masked to the stage's zero point, shifted one block down so the lead
+margin doubles as top padding.  Inner stages run at raw kernel speed with
+zero relayout — the TPU form of the reference's AlterOpLayout + NCHWc conv
+discipline.  fuse.py's fuse_conv_chains rewrites eligible graph regions to
+use qconv2d_flat_chain; e2e A/B on ResNet-50 b8: 4.4 ms chained vs 5.05 ms
+sequential.
 """
 
 from __future__ import annotations
