@@ -105,6 +105,7 @@ OP_IDS = {
     "tk.conv2d_rq": 40,
     "tk.dense_rq": 41,
     "tk.bmm_rq": 42,
+    "tk.conv2d_chain": 43,
     # float-side ops that may appear at graph boundaries
     "nn.conv2d": 64,
     "nn.dense": 65,

@@ -147,3 +147,31 @@ def test_chain_wide_bn(rng):
                                         interpret=True))
     want = _sequential(x, stages)
     assert (got == want).all()
+
+
+def test_chain_graph_traces(rng):
+    """Trace emission of a chain-fused graph: oracle and XLA backends emit
+    byte-identical traces and the semantic verifier passes."""
+    from tachikoma_tpu import GraphBuilder, infer_types
+    from tachikoma_tpu.quantize.quantizer import quantize
+    from tachikoma_tpu.runtime.fuse import fuse_qnn
+    from tachikoma_tpu.trace.emitter import emit_trace, verify_trace
+
+    b = GraphBuilder()
+    x = b.var("x", (1, 10, 10, 8), "float32")
+
+    def conv(src, cin, cout, name):
+        w = b.const(rng.standard_normal((3, 3, cin, cout)).astype(np.float32)
+                    * 0.2, name + "_w")
+        c = b.call("nn.conv2d", src, w, padding=(1, 1, 1, 1), name=name)
+        return b.call("nn.relu", c)
+
+    g = infer_types(b.build(conv(conv(x, 8, 8, "c1"), 8, 8, "c2")))
+    calib = [rng.standard_normal((1, 10, 10, 8)).astype(np.float32)
+             for _ in range(2)]
+    fg = fuse_qnn(quantize(g, calib))
+    assert any(n.op == "tk.conv2d_chain" for n in fg.nodes)
+    blob_np = emit_trace(fg, calib[0], backend="numpy")
+    blob_jx = emit_trace(fg, calib[0], backend="jax")
+    assert blob_np == blob_jx
+    assert verify_trace(blob_np, fg)["mismatches"] == []
