@@ -19,8 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..ir.graph import Node
-from ..ir.registry import (get_op, infer_rule, jax_impl, np_impl,
-                           register_op)
+from ..ir.registry import infer_rule, jax_impl, np_impl, register_op
 from ..utils import dtypes as dt
 from .nn import _pad4, _pair
 
