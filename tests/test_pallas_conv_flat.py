@@ -38,6 +38,10 @@ def oracle(x, w, bias, scales, out_scale, ozp, strides, padding, groups, izp):
         ((1, 12, 12, 128), 3, (1, 1), (1, 1, 1, 1), 128),   # depthwise
         ((1, 11, 11, 96), 3, (2, 2), (1, 1, 1, 1), 96),     # dw stride 2
         ((1, 14, 14, 160), 5, (2, 2), (2, 2, 2, 2), 160),   # dw 5x5 stride 2
+        ((1, 20, 20, 8), 7, (2, 2), (3, 3, 3, 3), 1),       # stem-like 7x7 s2
+        ((3, 13, 13, 16), 3, (1, 1), (1, 1, 1, 1), 1),      # odd batch tight
+        ((1, 6, 6, 24), 5, (1, 1), (2, 2, 2, 2), 1),        # k5 small image
+        ((2, 8, 8, 16), 3, (1, 1), (0, 1, 0, 1), 1),        # asymmetric pad
     ],
 )
 def test_flat_conv_bitexact(rng, shape, k, strides, padding, groups):
