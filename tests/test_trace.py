@@ -144,3 +144,37 @@ def test_trace_to_file(tmp_path, qlenet):
     assert n > 0 and os.path.getsize(path) > 1000
     res = verify_trace(path, qg)
     assert res["verified"] == res["records"]
+
+
+def test_native_tktrace_cli(tmp_path, rng):
+    """The standalone C++ trace inspector verifies traces, prints a record
+    histogram, and detects single-bit corruption."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    from tachikoma_tpu.models import lenet5
+    from tachikoma_tpu.quantize.quantizer import quantize
+    from tachikoma_tpu.trace.emitter import TraceEmitter
+
+    exe = str(tmp_path / "tktrace")
+    subprocess.run(["g++", "-O2", "-o", exe, "native/tktrace_cli.cpp",
+                    "-lz"], check=True, cwd="/root/repo")
+    g = lenet5(batch_size=1)
+    x = rng.standard_normal((1, 28, 28, 1)).astype(np.float32)
+    qg = quantize(g, [x])
+    path = str(tmp_path / "t.tktrace")
+    TraceEmitter(qg, backend="numpy").emit_to(x, path)
+
+    r = subprocess.run([exe, "verify", path], capture_output=True, text=True)
+    assert r.returncode == 0 and "OK:" in r.stdout
+    r = subprocess.run([exe, "info", path], capture_output=True, text=True)
+    assert r.returncode == 0 and "qnn.conv2d" in r.stdout
+
+    blob = bytearray(open(path, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    bad = str(tmp_path / "bad.tktrace")
+    open(bad, "wb").write(bytes(blob))
+    r = subprocess.run([exe, "verify", bad], capture_output=True, text=True)
+    assert r.returncode == 1
