@@ -25,6 +25,16 @@ def build(name):
         g = mobilenet_v2(batch_size=8, image_size=224)
         x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
         qg = quantize(g, [x])
+    elif name == "resnet50_fp32":
+        g = resnet(50, batch_size=8, image_size=224)
+        x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
+        return g, x  # float graph, no quantize
+    elif name == "resnet50_bf16":
+        from tachikoma_tpu.ir.transforms import to_mixed_precision
+
+        g = to_mixed_precision(resnet(50, batch_size=8, image_size=224))
+        x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
+        return g, x
     elif name == "vit":
         # ViT-L's unrolled 24-layer program exceeds the axon tunnel's
         # remote-compile request limit (HTTP 413); ViT-B fits
