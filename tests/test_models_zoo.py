@@ -64,3 +64,16 @@ def test_gpt2_quantizes(rng):
     # int8 LM logits track float argmax at most positions
     agree = (fl.argmax(-1) == qi.argmax(-1)).mean()
     assert agree >= 0.5, f"argmax agreement {agree}"
+
+
+def test_gpt2_executor_matches_oracle(rng):
+    from tachikoma_tpu import run_graph
+    from tachikoma_tpu.models.transformer import gpt2
+    from tachikoma_tpu.runtime.executor import JaxExecutor
+
+    g = gpt2(batch_size=1, seq_len=8, hidden=32, layers=1, heads=4,
+             ffn_dim=64, vocab=61)
+    ids = rng.integers(0, 61, (1, 8)).astype(np.int32)
+    o = run_graph(g, {"input_ids": ids})[0]
+    j = np.asarray(JaxExecutor(g).run({"input_ids": ids})[0])
+    np.testing.assert_allclose(o, j, rtol=1e-3, atol=5e-3)
