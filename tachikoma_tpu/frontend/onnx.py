@@ -1090,11 +1090,22 @@ class _OnnxImporter:
         self.set(outs[0], out, "nhwc")
 
     def op_Resize(self, ins, outs, attrs):
-        mode = attrs.get("mode", "nearest")
-        if isinstance(mode, bytes):
-            mode = mode.decode()
-        if mode != "nearest":
+        def s(v, default):
+            v = attrs.get(v, default)
+            return v.decode() if isinstance(v, bytes) else v
+
+        mode = s("mode", "nearest")
+        if mode not in ("nearest", "linear"):
             raise NotImplementedError(f"Resize mode {mode}")
+        # ONNX opset-11+ defaults: half_pixel + round_prefer_floor
+        # (frontend parity: /root/reference/python/tvm/relay/frontend/onnx.py
+        # Resize converter passes both through to image.resize2d)
+        ctm = s("coordinate_transformation_mode", "half_pixel")
+        nearest = s("nearest_mode", "round_prefer_floor")
+        if ctm == "pytorch_half_pixel":
+            ctm = "half_pixel"  # identical when output size > 1
+        if ctm == "tf_half_pixel_for_nn":
+            ctm = "half_pixel"
         x = self.as_nhwc(ins[0])
         n, c, h, w = self.shape_of(ins[0])
         sizes = None
@@ -1108,9 +1119,12 @@ class _OnnxImporter:
                          int(round(w * float(sc[3]))))
         if sizes is None:
             raise NotImplementedError("Resize without static sizes/scales")
-        self.set(outs[0], self.b.call(
-            "image.resize2d", x, size=sizes, method="nearest_neighbor"),
-            "nhwc")
+        kw = dict(size=sizes, coordinate_transformation_mode=ctm)
+        if mode == "nearest":
+            kw.update(method="nearest_neighbor", rounding_method=nearest)
+        else:
+            kw.update(method="linear")
+        self.set(outs[0], self.b.call("image.resize2d", x, **kw), "nhwc")
 
     def op_Upsample(self, ins, outs, attrs):
         # opset<10 deprecated form

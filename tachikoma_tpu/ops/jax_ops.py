@@ -741,14 +741,9 @@ def _onehot_jax(indices, *, node: Node):
 
 @jax_impl("image.resize2d")
 def _resize2d_jax(a, *, node: Node):
-    oh, ow = _pair(node.attrs["size"])
-    method = node.attrs.get("method", "nearest_neighbor")
-    n, h, w, c = a.shape
-    if method in ("nearest_neighbor", "nearest"):
-        ys = np.minimum((np.arange(oh) * h) // oh, h - 1)
-        xs = np.minimum((np.arange(ow) * w) // ow, w - 1)
-        return a[:, ys][:, :, xs]
-    raise NotImplementedError(f"resize2d method {method}")
+    from .nn import _resize2d_common
+
+    return _resize2d_common(a, node)
 
 
 @jax_impl("nn.depth_to_space")

@@ -1120,17 +1120,78 @@ def _resize2d_rel(node: Node, ins):
     return (n, oh, ow, c), adt
 
 
-@np_impl("image.resize2d")
-def _resize2d_np(a, *, node: Node):
+def _resize2d_src_coords(in_size: int, out_size: int, ctm: str) -> np.ndarray:
+    """Float source coordinates for each output index, per the ONNX/TVM
+    coordinate_transformation_mode semantics
+    (reference: python/tvm/topi/image/resize.py get_inx)."""
+    x = np.arange(out_size, dtype=np.float64)
+    if ctm == "asymmetric":
+        return x * in_size / out_size
+    if ctm == "half_pixel":
+        return (x + 0.5) * in_size / out_size - 0.5
+    if ctm == "align_corners":
+        return x * (in_size - 1) / max(out_size - 1, 1)
+    raise NotImplementedError(
+        f"resize2d coordinate_transformation_mode {ctm!r}")
+
+
+def _resize2d_nn_index(in_size: int, out_size: int, ctm: str,
+                       rm: str) -> np.ndarray:
+    xin = _resize2d_src_coords(in_size, out_size, ctm)
+    if rm == "floor":
+        idx = np.floor(xin)
+    elif rm == "ceil":
+        idx = np.ceil(xin)
+    elif rm == "round_prefer_floor":
+        idx = np.ceil(xin - 0.5)
+    elif rm == "round_prefer_ceil":
+        idx = np.floor(xin + 0.5)
+    else:
+        raise NotImplementedError(f"resize2d rounding_method {rm!r}")
+    return np.clip(idx, 0, in_size - 1).astype(np.int64)
+
+
+def _resize2d_linear_taps(in_size: int, out_size: int, ctm: str):
+    """(lo_index, hi_index, hi_weight) static arrays for 1-D linear resize."""
+    xin = np.clip(_resize2d_src_coords(in_size, out_size, ctm), 0, in_size - 1)
+    lo = np.floor(xin).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    return lo, hi, (xin - lo).astype(np.float32)
+
+
+def _resize2d_common(a, node):
+    """Shared np/jax resize2d: all indices/weights are STATIC numpy arrays
+    (shapes are static), so both backends perform the identical gathers."""
     oh, ow = _pair(node.attrs["size"])
     method = node.attrs.get("method", "nearest_neighbor")
+    ctm = node.attrs.get("coordinate_transformation_mode", "asymmetric")
     n, h, w, c = a.shape
     if method in ("nearest_neighbor", "nearest"):
-        # asymmetric coordinate mode, floor rounding (TVM default for NN)
-        ys = np.minimum((np.arange(oh) * h) // oh, h - 1)
-        xs = np.minimum((np.arange(ow) * w) // ow, w - 1)
+        rm = node.attrs.get("rounding_method", "floor")
+        ys = _resize2d_nn_index(h, oh, ctm, rm)
+        xs = _resize2d_nn_index(w, ow, ctm, rm)
         return a[:, ys][:, :, xs]
+    if method in ("linear", "bilinear"):
+        if not np.issubdtype(np.dtype(str(a.dtype)), np.floating):
+            raise NotImplementedError(
+                "resize2d linear requires float input (dequantize first); "
+                f"got {a.dtype}")
+        ylo, yhi, wy = _resize2d_linear_taps(h, oh, ctm)
+        xlo, xhi, wx = _resize2d_linear_taps(w, ow, ctm)
+        wy = wy.reshape(1, oh, 1, 1).astype(str(a.dtype))
+        wx = wx.reshape(1, 1, ow, 1).astype(str(a.dtype))
+        top = a[:, ylo]
+        bot = a[:, yhi]
+        row = top + (bot - top) * wy
+        left = row[:, :, xlo]
+        right = row[:, :, xhi]
+        return left + (right - left) * wx
     raise NotImplementedError(f"resize2d method {method}")
+
+
+@np_impl("image.resize2d")
+def _resize2d_np(a, *, node: Node):
+    return _resize2d_common(a, node)
 
 
 @infer_rule("nn.depth_to_space")

@@ -94,7 +94,16 @@ class BucketedExecutor:
             inputs = padded
         outs = ex.run(inputs)
         if bucket != b:
-            sl = [slice(None)] * max(o.ndim for o in outs)
+            for o in outs:
+                if o.ndim <= self.axis:
+                    # e.g. a scalar loss: the value was computed over the
+                    # zero-padded rows and cannot be sliced back — padding
+                    # would silently corrupt it
+                    raise ValueError(
+                        f"bucketed output of rank {o.ndim} has no batch "
+                        f"axis {self.axis}; outputs that aggregate over the "
+                        "batch are not paddable — run at an exact bucket "
+                        f"size (buckets={self.buckets})")
             outs = [o[tuple(
                 slice(0, b) if d == self.axis else slice(None)
                 for d in range(o.ndim))] for o in outs]

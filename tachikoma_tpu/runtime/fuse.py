@@ -35,8 +35,14 @@ _FUSABLE_HEAD = {"qnn.conv2d": "tk.conv2d_rq", "qnn.dense": "tk.dense_rq",
 def fuse_qnn(graph: Graph) -> Graph:
     g = infer_types(graph) if any(n.shape is None and n.dtype != "tuple" for n in graph.nodes) else graph
     users = g.users()
+    outs = set(g.outputs)
 
     def single_user(name):
+        # a graph output is observable: fusing past it would rewire the
+        # output to the fused tail's value (Graph.users() does not count
+        # graph outputs as users) — treat it as multi-user
+        if name in outs:
+            return None
         u = users[name]
         return g[u[0]] if len(u) == 1 else None
 
@@ -440,8 +446,14 @@ def fuse_conv_chains(graph: Graph) -> Graph:
     g = infer_types(graph) if any(
         n.shape is None and n.dtype != "tuple" for n in graph.nodes) else graph
     users = g.users()
+    outs = set(g.outputs)
 
     def single_user(name):
+        # never extend a chain PAST a graph output (it may only end one):
+        # swallowing an output member would rewire that output to the
+        # chain's final result (Graph.users() ignores graph outputs)
+        if name in outs:
+            return None
         u = users.get(name, ())
         return g[u[0]] if len(u) == 1 else None
 
