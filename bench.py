@@ -5,6 +5,21 @@ on the Pallas direct-conv kernel at a ResNet-50 stage shape; extras record
 int8 matmul throughput and full-graph int8 trace generation (traces/sec) for
 quantized ResNet-50.
 
+Robustness (the reference analog is autotvm's measurement isolation,
+`autotvm/measure/measure_methods.py:74,216` — build/run in killable workers,
+errors are data): the axon TPU tunnel can be wedged or dead when the driver
+runs this.  Structure:
+
+  supervisor (this process, never touches the TPU)
+    ├ probe loop: `jax.devices()` in a SUBPROCESS with a hard timeout,
+    │   bounded retries with cooldown (scripts/tpu_recovery_queue.sh logic)
+    ├ payload attempts: `python bench.py --payload <state.json>` — a
+    │   subprocess that runs each sub-benchmark and CHECKPOINTS results to
+    │   the state file after each one; a wedge/crash loses only the
+    │   in-flight sub-bench, and the next attempt skips completed ones
+    └ final emit: ONE JSON line assembled from the state file — partial
+        results if sub-benches died, zeros if everything did; never nothing.
+
 Methodology notes (see tachikoma_tpu/utils/timing.py): kernels are iterated
 INSIDE one jitted lax.scan with a full-output data dependence (feedback
 xors the output into the next input) so neither dispatch latency nor XLA
@@ -15,6 +30,8 @@ per-iteration time is the difference quotient between two iteration counts.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -24,10 +41,29 @@ import numpy as np
 V5E_INT8_TOPS = 394.7
 V5E_BF16_TFLOPS = 197.0
 
+# supervisor budgets (seconds; env-overridable for tests)
+PROBE_TIMEOUT = 150
+PROBE_SLEEP = 90
+MAX_PROBES = 8
+PAYLOAD_TIMEOUT = 2100
+COOLDOWN = int(os.environ.get("TK_BENCH_COOLDOWN", "150"))
+DEADLINE = 80 * 60  # overall wall-clock cap for the whole harness
+
+_ALL_SUBBENCHES = ("conv", "matmul", "chain", "resnet50", "trace")
+# TK_BENCH_ONLY=conv,chain restricts the run (smoke tests / reruns)
+SUBBENCH_KEYS = tuple(
+    k for k in _ALL_SUBBENCHES
+    if k in os.environ.get("TK_BENCH_ONLY", ",".join(_ALL_SUBBENCHES)
+                           ).split(","))
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
+
+# ---------------------------------------------------------------------------
+# payload: the only code that touches the TPU (run as a subprocess)
+# ---------------------------------------------------------------------------
 
 def _per_iter(fn, x0, feedback, repeats=3):
     from tachikoma_tpu.utils.timing import per_iter_chain
@@ -72,13 +108,14 @@ def bench_int8_conv_pallas():
 
     per = _per_iter(fn, x, feedback)
     macs = n * h * w * cout * k * k * cin
-    return 2 * macs / per / 1e9, per
+    return {"gops": 2 * macs / per / 1e9, "time_s": per}
 
 
 def bench_int8_matmul_pallas():
     import jax.numpy as jnp
 
-    from tachikoma_tpu.ops.pallas.matmul_int8 import _build_qmatmul, _interpret_default
+    from tachikoma_tpu.ops.pallas.matmul_int8 import (_build_qmatmul,
+                                                      _interpret_default)
 
     M = K = N = 4096
     rng = np.random.default_rng(0)
@@ -93,7 +130,7 @@ def bench_int8_matmul_pallas():
         return a.at[0, 0].add(out[0, 0].astype(jnp.int8))
 
     per = _per_iter(lambda a: raw(a, B), A, feedback)
-    return 2 * M * K * N / per / 1e9, per
+    return {"gops": 2 * M * K * N / per / 1e9, "time_s": per}
 
 
 def bench_conv_chain():
@@ -122,7 +159,7 @@ def bench_conv_chain():
 
     per = _per_iter(fn, x, feedback) / depth
     macs = n * h * w * c * 9 * c
-    return 2 * macs / per / 1e9, per
+    return {"gops": 2 * macs / per / 1e9, "time_s": per}
 
 
 def bench_resnet50_e2e():
@@ -149,11 +186,13 @@ def bench_resnet50_e2e():
         return a.at[0, 0, 0, 0].add(out[0, 0].astype(np.float32))
 
     per = _per_iter(fn, jnp.asarray(x), feedback)
-    return per
+    return {"time_s": per}
 
 
 def bench_trace_gen():
     """Quantized ResNet-50 full-graph trace generation, traces/sec."""
+    import tempfile
+
     from tachikoma_tpu.models.vision import resnet
     from tachikoma_tpu.quantize.quantizer import quantize
     from tachikoma_tpu.trace.emitter import TraceEmitter
@@ -165,9 +204,6 @@ def bench_trace_gen():
     qg = quantize(g, data)
     em = TraceEmitter(qg, backend="jax")
     log("bench: compiling + first trace emit ...")
-    import os
-    import tempfile
-
     path = os.path.join(tempfile.gettempdir(), "tk_bench_trace.bin")
     n_records = em.emit_to(data[0], path)  # native zero-copy writer
     trace_bytes = os.path.getsize(path)
@@ -178,82 +214,217 @@ def bench_trace_gen():
         times.append(time.perf_counter() - t0)
     t = min(times)
     os.unlink(path)
-    return n_records / t, n_records, trace_bytes, t
+    return {"traces_per_sec": n_records / t, "records": n_records,
+            "bytes": trace_bytes, "time_s": t}
+
+
+_SUBBENCHES = {
+    "conv": bench_int8_conv_pallas,
+    "matmul": bench_int8_matmul_pallas,
+    "chain": bench_conv_chain,
+    "resnet50": bench_resnet50_e2e,
+    "trace": bench_trace_gen,
+}
+
+
+def _load_state(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_state(path, state):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def payload(state_path: str) -> int:
+    """Run every not-yet-done sub-benchmark, checkpointing after each."""
+    state = _load_state(state_path)
+    if os.environ.get("TK_BENCH_CRASH_ONCE"):  # test hook: simulated wedge
+        marker = state_path + ".crashed"
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            log("payload: simulated crash (TK_BENCH_CRASH_ONCE)")
+            os._exit(1)
+
+    if os.environ.get("TK_BENCH_FAKE"):
+        # test hook: exercise the supervisor/checkpoint/emit machinery
+        # without touching jax at all
+        subbenches = {k: (lambda k=k: {"gops": 100.0 + len(k),
+                                       "time_s": 0.001})
+                      for k in _ALL_SUBBENCHES}
+        state["device"], state["platform"] = "fake", "tpu"
+    else:
+        import jax
+
+        if os.environ.get("TK_BENCH_PLATFORM"):  # test hook: payload on CPU
+            jax.config.update("jax_platforms",
+                              os.environ["TK_BENCH_PLATFORM"])
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/tk_jaxcache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        subbenches = _SUBBENCHES
+        device = jax.devices()[0]
+        state["device"] = str(device)
+        state["platform"] = device.platform
+        log(f"payload: device {device}")
+    _save_state(state_path, state)
+
+    for key in SUBBENCH_KEYS:
+        fn = subbenches[key]
+        if key in state:
+            log(f"payload: {key} already done, skipping")
+            continue
+        log(f"payload: {key} ...")
+        try:
+            state[key] = fn()
+        except Exception as e:  # noqa: BLE001 — a failed trial is data
+            log(f"payload: {key} FAILED: {e!r}")
+            state[key] = {"error": repr(e)[:300]}
+        _save_state(state_path, state)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# supervisor
+# ---------------------------------------------------------------------------
+
+def _probe_tpu() -> bool:
+    """One bounded-subprocess backend probe; True iff a TPU answered."""
+    code = ("import jax; d = jax.devices()[0]; "
+            "print('TK_PROBE', d.platform, flush=True)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=PROBE_TIMEOUT)
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and "TK_PROBE tpu" in (r.stdout or "")
+
+
+def _emit(state):
+    conv = state.get("conv") or {}
+    mm = state.get("matmul") or {}
+    chain = state.get("chain") or {}
+    r50 = state.get("resnet50") or {}
+    tr = state.get("trace") or {}
+    platform = state.get("platform", "none")
+    on_tpu = platform == "tpu"
+    roofline_gops = V5E_INT8_TOPS * 1000.0
+
+    def gops(d):
+        return float(d.get("gops", 0.0) or 0.0)
+
+    def frac(d):
+        return gops(d) / roofline_gops if on_tpu else 0.0
+
+    r50_t = float(r50.get("time_s", 0.0) or 0.0)
+    result = {
+        "metric": "int8_conv_gops",
+        "value": round(gops(conv), 2),
+        "unit": "GOPS",
+        "vs_baseline": round(frac(conv), 4),
+        "extra": {
+            "device": state.get("device", "unavailable"),
+            "platform": platform,
+            "completed": [k for k in SUBBENCH_KEYS
+                          if isinstance(state.get(k), dict)
+                          and "error" not in state[k]],
+            "errors": {k: state[k]["error"] for k in SUBBENCH_KEYS
+                       if isinstance(state.get(k), dict)
+                       and "error" in state[k]},
+            "conv_time_ms": round(float(conv.get("time_s", 0.0)) * 1000, 3),
+            "mxu_roofline_frac": round(frac(conv), 4),
+            "int8_matmul_gops": round(gops(mm), 2),
+            "int8_matmul_roofline_frac": round(frac(mm), 4),
+            "int8_conv_chain_gops": round(gops(chain), 2),
+            "int8_conv_chain_roofline_frac": round(frac(chain), 4),
+            "resnet50_e2e_ms_b8": round(r50_t * 1000, 3),
+            "resnet50_img_per_sec": round(8 / r50_t, 1) if r50_t else 0.0,
+            "resnet50_traces_per_sec":
+                round(float(tr.get("traces_per_sec", 0.0) or 0.0), 2),
+            "resnet50_trace_records": int(tr.get("records", 0) or 0),
+            "resnet50_trace_bytes": int(tr.get("bytes", 0) or 0),
+            "resnet50_trace_time_s": round(float(tr.get("time_s", 0.0)
+                                                 or 0.0), 3),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+def _complete(state) -> bool:
+    return all(isinstance(state.get(k), dict) and "error" not in state[k]
+               for k in SUBBENCH_KEYS)
+
+
+def supervisor() -> int:
+    t0 = time.time()
+    state_path = os.environ.get("TK_BENCH_STATE",
+                                "/tmp/tk_bench_state_%d.json" % os.getpid())
+    if os.path.exists(state_path) and not os.environ.get("TK_BENCH_RESUME"):
+        os.unlink(state_path)
+
+    env = dict(os.environ)
+    env.setdefault("PYTHONPATH", "/root/repo:/root/.axon_site")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tk_jaxcache")
+
+    # phase 1: probe until the backend answers (skippable for CPU testing)
+    if env.get("TK_BENCH_PLATFORM"):
+        log("supervisor: TK_BENCH_PLATFORM set, skipping TPU probe")
+    else:
+        for i in range(1, MAX_PROBES + 1):
+            if _probe_tpu():
+                log(f"supervisor: TPU answered on probe {i}")
+                break
+            log(f"supervisor: probe {i}/{MAX_PROBES} failed; "
+                f"cooldown {PROBE_SLEEP}s")
+            if time.time() - t0 > DEADLINE / 2:
+                log("supervisor: probe budget exhausted")
+                break
+            time.sleep(PROBE_SLEEP)
+        else:
+            log("supervisor: TPU never answered; attempting payload anyway")
+
+    # phase 2: payload attempts with checkpointed resume
+    attempt = 0
+    while not _complete(_load_state(state_path)):
+        attempt += 1
+        remaining = DEADLINE - (time.time() - t0)
+        if remaining < 120 or attempt > 4:
+            log("supervisor: attempt budget exhausted")
+            break
+        log(f"supervisor: payload attempt {attempt}")
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--payload",
+                 state_path],
+                timeout=min(PAYLOAD_TIMEOUT, remaining), env=env,
+                stdout=sys.stderr, stderr=sys.stderr)
+        except subprocess.TimeoutExpired:
+            log("supervisor: payload timed out (tunnel wedge?)")
+        state = _load_state(state_path)
+        if _complete(state):
+            break
+        # a wedge poisons the NEXT process's first compile: cool down
+        log(f"supervisor: state so far {sorted(state)}; "
+            f"cooldown {COOLDOWN}s")
+        time.sleep(min(COOLDOWN, max(0, DEADLINE - (time.time() - t0))))
+
+    _emit(_load_state(state_path))
+    return 0
 
 
 def main():
-    import os
-
-    import jax
-
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/tk_jaxcache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    device = jax.devices()[0]
-    platform = device.platform
-    log(f"bench: device {device}")
-
-    log("bench: int8 conv (pallas) ...")
-    try:
-        conv_gops, conv_t = bench_int8_conv_pallas()
-    except Exception as e:  # pragma: no cover
-        log(f"bench: conv kernel failed ({e}); falling back to 0")
-        conv_gops, conv_t = 0.0, float("inf")
-
-    log("bench: int8 matmul (pallas) ...")
-    try:
-        mm_gops, mm_t = bench_int8_matmul_pallas()
-    except Exception as e:  # pragma: no cover
-        log(f"bench: matmul kernel failed ({e})")
-        mm_gops, mm_t = 0.0, float("inf")
-
-    log("bench: conv chain (graph-resident) ...")
-    try:
-        chain_gops, chain_t = bench_conv_chain()
-    except Exception as e:  # pragma: no cover
-        log(f"bench: conv chain failed ({e})")
-        chain_gops, chain_t = 0.0, float("inf")
-
-    log("bench: ResNet-50 b8 e2e ...")
-    try:
-        r50_t = bench_resnet50_e2e()
-    except Exception as e:  # pragma: no cover
-        log(f"bench: resnet50 e2e failed ({e})")
-        r50_t = float("inf")
-
-    traces_per_sec, n_records, trace_bytes, trace_t = bench_trace_gen()
-
-    roofline_gops = V5E_INT8_TOPS * 1000.0
-    frac = conv_gops / roofline_gops if platform == "tpu" else 0.0
-
-    result = {
-        "metric": "int8_conv_gops",
-        "value": round(conv_gops, 2),
-        "unit": "GOPS",
-        "vs_baseline": round(frac, 4),
-        "extra": {
-            "device": str(device),
-            "platform": platform,
-            "conv_time_ms": round(conv_t * 1000, 3),
-            "mxu_roofline_frac": round(frac, 4),
-            "int8_matmul_gops": round(mm_gops, 2),
-            "int8_matmul_roofline_frac": round(mm_gops / roofline_gops, 4)
-            if platform == "tpu" else 0.0,
-            "int8_conv_chain_gops": round(chain_gops, 2),
-            "int8_conv_chain_roofline_frac": round(
-                chain_gops / roofline_gops, 4) if platform == "tpu" else 0.0,
-            "resnet50_e2e_ms_b8": round(r50_t * 1000, 3),
-            "resnet50_img_per_sec": round(8 / r50_t, 1)
-            if r50_t != float("inf") else 0.0,
-            "resnet50_traces_per_sec": round(traces_per_sec, 2),
-            "resnet50_trace_records": n_records,
-            "resnet50_trace_bytes": trace_bytes,
-            "resnet50_trace_time_s": round(trace_t, 3),
-        },
-    }
-    print(json.dumps(result))
+    if len(sys.argv) > 1 and sys.argv[1] == "--payload":
+        sys.exit(payload(sys.argv[2]))
+    sys.exit(supervisor())
 
 
 if __name__ == "__main__":
