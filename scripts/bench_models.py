@@ -35,9 +35,10 @@ def build(name):
         g = to_mixed_precision(resnet(50, batch_size=8, image_size=224))
         x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
         return g, x
-    elif name == "vit":
+    elif name in ("vit", "vitl"):
         # ViT-L's unrolled 24-layer program exceeds the axon tunnel's
-        # remote-compile request limit (HTTP 413); ViT-B fits
+        # remote-compile request limit (HTTP 413): run SEGMENTED
+        # (runtime/segmented.py), one small program per encoder block
         from tachikoma_tpu.models.transformer import vit_l16
 
         g = vit_l16(batch_size=1, image_size=224)
@@ -64,23 +65,20 @@ def build(name):
     return fuse_qnn(qg), x
 
 
+# models whose unrolled one-program form exceeds the tunnel's remote
+# compile request cap (HTTP 413) — executed segmented instead
+SEGMENTED = {"vit", "vitl", "gpt2"}
+
+
 def bench(name):
     import jax
 
     from tachikoma_tpu.runtime.executor import JaxExecutor
-    from tachikoma_tpu.utils.timing import per_iter_chain
+    from tachikoma_tpu.utils.timing import per_iter_chain, per_iter_host_chain
 
     t0 = time.time()
     fg, x = build(name)
     print(f"{name}: built+quantized+fused in {time.time()-t0:.0f}s", flush=True)
-
-    ex = JaxExecutor(fg)
-    fn0, params = ex.make_jit_fn()
-    vname = fg.inputs[0].name
-
-    def fn(xin):
-        outs = fn0(params, {vname: xin})
-        return outs[0]
 
     if x.dtype == np.int32:
         def feedback(a, out):
@@ -96,7 +94,25 @@ def bench(name):
 
     xin = jax.device_put(x)
     t0 = time.time()
-    per = per_iter_chain(fn, xin, feedback, scan_len=8, repeats=3)
+    if name in SEGMENTED:
+        from tachikoma_tpu.runtime.segmented import SegmentedExecutor
+
+        ex = SegmentedExecutor(fg)
+        print(f"{name}: {len(ex.segments)} segments, {ex.n_programs} "
+              f"programs, scans {[(s, i['length']) for s, i in ex._scan_fns.items()]}",
+              flush=True)
+        fb = jax.jit(feedback)
+        per = per_iter_host_chain(lambda a: ex.run_device(a)[0], xin, fb,
+                                  repeats=3)
+    else:
+        ex = JaxExecutor(fg)
+        fn0, params = ex.make_jit_fn()
+        vname = fg.inputs[0].name
+
+        def fn(a):
+            return fn0(params, {vname: a})[0]
+
+        per = per_iter_chain(fn, xin, feedback, scan_len=8, repeats=3)
     batch = x.shape[0]
     print(f"{name}: {per*1e3:.3f} ms/batch-{batch} = {batch/per:.1f} samples/s"
           f"  (measured in {time.time()-t0:.0f}s)", flush=True)

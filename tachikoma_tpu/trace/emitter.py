@@ -65,7 +65,13 @@ def _build_records(graph: Graph, values: dict[str, np.ndarray]):
 
 
 class TraceEmitter:
-    """Emit a trace for (graph, inputs) using the oracle or the XLA executor."""
+    """Emit a trace for (graph, inputs) using the oracle or the XLA executor.
+
+    backend="jax" compiles the whole graph as one program with intermediate
+    capture; backend="jax-segmented" uses the segmented executor
+    (`runtime/segmented.py`) — required for deep models whose unrolled
+    program exceeds remote compile limits.  Traces are byte-identical across
+    ALL backends (integer semantics are exact at any jit boundary)."""
 
     def __init__(self, graph: Graph, backend: str = "jax", meta: dict | None = None):
         self.graph = infer_types(graph) if any(
@@ -107,11 +113,16 @@ class TraceEmitter:
                 values[n.name] = values[n.inputs[0]][int(n.attrs["index"])]
 
     def _values_jax(self, inputs) -> dict[str, np.ndarray]:
-        from ..runtime.executor import JaxExecutor
-
         names = [n.name for n in _computational(self.graph)]
         if self._executor is None:
-            self._executor = JaxExecutor(self.graph, capture=names)
+            if self.backend == "jax-segmented":
+                from ..runtime.segmented import SegmentedExecutor
+
+                self._executor = SegmentedExecutor(self.graph, capture=names)
+            else:
+                from ..runtime.executor import JaxExecutor
+
+                self._executor = JaxExecutor(self.graph, capture=names)
         outs = self._executor.run_device(inputs)
         # pipelined device->host transfers: fetch ahead in a worker thread
         # so serialization overlaps the (bandwidth-bound) transfers
@@ -126,7 +137,7 @@ class TraceEmitter:
     def emit(self, inputs, f: BinaryIO) -> int:
         """Write a trace for one batch of inputs; returns record count."""
         values = (
-            self._values_jax(inputs) if self.backend == "jax" else self._values_oracle(inputs)
+            self._values_jax(inputs) if self.backend.startswith("jax") else self._values_oracle(inputs)
         )
         comp = _computational(self.graph)
         w = TraceWriter(f, _graph_hash(self.graph), self.meta)
@@ -151,7 +162,7 @@ class TraceEmitter:
             with open(path, "wb") as f:
                 return self.emit(inputs, f)
         values = (
-            self._values_jax(inputs) if self.backend == "jax" else self._values_oracle(inputs)
+            self._values_jax(inputs) if self.backend.startswith("jax") else self._values_oracle(inputs)
         )
         g = self.graph
         comp = _computational(g)

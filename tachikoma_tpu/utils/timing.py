@@ -100,6 +100,43 @@ def per_iter_scan(fn, x0, feedback, iters_lo: int = 8,
     return t_lo / iters_lo  # unreachable
 
 
+def per_iter_host_chain(run_once, x0, feedback, repeats: int = 3,
+                        target_s: float = 0.5, max_n: int = 256) -> float:
+    """Per-iteration time for a HOST-COMPOSED pipeline (e.g. the segmented
+    executor, whose model run is a chain of per-segment jit dispatches that
+    must NOT be re-inlined into one scan program — that would rebuild the
+    oversized unrolled program segmentation exists to avoid).
+
+    run_once(x) -> device output; feedback(x, out) -> next x (jitted, tiny).
+    Same differential protocol as per_iter_chain: async dispatches pipeline
+    over the tunnel, the final np.asarray is the true sync, and T(1+n)-T(1)
+    cancels fixed dispatch cost."""
+    import numpy as np
+
+    def T(n):
+        best = float("inf")
+        for _ in range(repeats):
+            x = x0
+            t0 = time.perf_counter()
+            for _ in range(n):
+                x = feedback(x, run_once(x))
+            np.asarray(x)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    np.asarray(feedback(x0, run_once(x0)))  # warm: compile every segment
+    t1 = T(1)
+    n = 4
+    while True:
+        t2 = T(1 + n)
+        if t2 - t1 >= target_s or n >= max_n:
+            per = (t2 - t1) / n
+            if per <= 0:
+                per = t2 / (1 + n)
+            return per
+        n *= 4
+
+
 def per_iter_chain(fn, x0, feedback, scan_len: int = 64, repeats: int = 3,
                    target_s: float = 0.08) -> float:
     """Per-iteration kernel time: chain n async dispatches of ONE compiled

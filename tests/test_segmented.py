@@ -149,3 +149,21 @@ def test_segmented_multi_output_feature_taps(rng):
     seg = SegmentedExecutor(g, min_ops=2, max_ops=4).run(xin)
     for a, c in zip(whole, seg):
         np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
+
+
+def test_segmented_trace_byte_identical(rng):
+    """BASELINE contract: the segmented backend's trace must be
+    byte-identical to the oracle's and the whole-graph XLA one."""
+    from tachikoma_tpu.quantize.config import TRANSFORMER_INT8
+    from tachikoma_tpu.trace.emitter import emit_trace, verify_trace
+
+    g = tiny_bert(layers=2)
+    calib = [rng.integers(0, 100, (2, 16)).astype(np.int32)]
+    qg = quantize(g, calib, config=TRANSFORMER_INT8)
+    x = calib[0]
+    blob_np = emit_trace(qg, x, backend="numpy")
+    blob_jx = emit_trace(qg, x, backend="jax")
+    blob_sg = emit_trace(qg, x, backend="jax-segmented")
+    assert blob_np == blob_jx
+    assert blob_np == blob_sg, "segmented trace differs"
+    assert verify_trace(blob_sg, qg)["mismatches"] == []
