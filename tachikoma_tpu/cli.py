@@ -25,6 +25,15 @@ import numpy as np
 
 
 def _load_graph(path: str):
+    if path.endswith(".onnx"):
+        from .frontend.onnx import from_onnx
+
+        return from_onnx(path)
+    if path.endswith(".tflite"):
+        # prequantized: already an integer graph, runnable/traceable as-is
+        from .frontend.tflite import from_tflite
+
+        return from_tflite(path)
     from .ir.graph import Graph
 
     with open(path) as f:
@@ -76,7 +85,7 @@ def cmd_quantize(args):
     from .quantize.config import TRANSFORMER_INT8, QConfig
     from .quantize.quantizer import quantize
 
-    if args.model.endswith(".json"):
+    if args.model.endswith((".json", ".onnx", ".tflite")):
         g = _load_graph(args.model)
     else:
         g = _zoo(args.model, args.batch, args.image_size, args.seq_len)

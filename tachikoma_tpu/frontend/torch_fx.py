@@ -328,8 +328,19 @@ class _Importer:
         elif t in (F.gelu, "gelu"):
             approx = fxn.kwargs.get("approximate", "none")
             self._same_layout_unary(fxn, "nn.gelu", approximate=approx)
-        elif t in (F.silu, torch.nn.functional.hardswish):
+        elif t is F.silu:
             self._same_layout_unary(fxn, "nn.silu")
+        elif t is torch.nn.functional.hardswish:
+            # x * clip(x+3, 0, 6) / 6 (NOT silu — distinct activation)
+            x, layout = self.env[fxn.args[0]]
+            three = self.b.const(np.float32(3.0))
+            six = self.b.const(np.float32(6.0))
+            gate = self.b.call("clip", self.b.call("add", x, three),
+                               a_min=0.0, a_max=6.0)
+            out = self.b.call(
+                "divide", self.b.call("multiply", x, gate), six,
+                name=fxn.name)
+            self.set(fxn, out, layout)
         elif t in (torch.sigmoid, F.sigmoid, "sigmoid"):
             self._same_layout_unary(fxn, "sigmoid")
         elif t in (torch.tanh, F.tanh, "tanh"):

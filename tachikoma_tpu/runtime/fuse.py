@@ -417,7 +417,11 @@ def _chain_eligible(g: Graph, n: Node) -> bool:
         return False
     if int(a.get("groups", 1)) != 1:
         return False
-    if int(a.get("kernel_zero_point", 0)) or int(a.get("rq_input_zero_point", 0)):
+    # kernel_zero_point may be a per-channel vector (TFLite symmetric
+    # per-channel weights store an all-zero vector)
+    if np.any(np.asarray(a.get("kernel_zero_point", 0))):
+        return False
+    if int(a.get("rq_input_zero_point", 0)):
         return False
     if a.get("out_dtype", "int8") != "int8":
         return False
