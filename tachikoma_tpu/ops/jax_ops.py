@@ -1073,3 +1073,29 @@ def _qln_jax(x, *, node: Node):
     out = out + jnp.asarray(np.asarray(a["bias"], np.int32))
     odt = a.get("out_dtype", "int8")
     return jnp.clip(out, jnp.int32(dt.qmin(odt)), jnp.int32(dt.qmax(odt))).astype(_jdt(odt))
+
+
+@jax_impl("qnn.simulated_quantize")
+def _simq_jax(x, *, node: Node):
+    from .qnn import _sim_scale_zp
+    from ..utils import dtypes as dt
+
+    scale, zp = _sim_scale_zp(node, x.ndim)
+    odt = node.attrs.get("out_dtype", "int8")
+    lo, hi = dt.qmin(odt), dt.qmax(odt)
+    x = x.astype(jnp.float32)
+    q = jnp.round(x / scale) + zp
+    qc = jnp.clip(q, lo, hi)
+    # straight-through estimator: gradient 1/scale inside the representable
+    # range, 0 where the clip saturates (the QAT-standard fake-quant grad)
+    inside = (q >= lo) & (q <= hi)
+    ste = x / scale + jax.lax.stop_gradient(qc - x / scale)
+    return jnp.where(inside, ste, jax.lax.stop_gradient(qc))
+
+
+@jax_impl("qnn.simulated_dequantize")
+def _simdq_jax(x, *, node: Node):
+    from .qnn import _sim_scale_zp
+
+    scale, zp = _sim_scale_zp(node, x.ndim)
+    return (x.astype(jnp.float32) - zp) * scale

@@ -571,3 +571,51 @@ def _qln_np(x: np.ndarray, *, node: Node) -> np.ndarray:
     out = out + np.asarray(a["bias"], np.int64)
     odt = a.get("out_dtype", "int8")
     return np.clip(out, dt.qmin(odt), dt.qmax(odt)).astype(odt)
+
+
+# -- simulated (fake) quantization for QAT -----------------------------------
+# The reference's qnn.simulated_quantize/dequantize
+# (`src/relay/qnn/op/simulated_quantize.cc:63`,
+# `python/tvm/relay/qnn/op/qnn.py:221`): float-in/float-out ops that mimic
+# quantize (round + zp + clip, "always outputs float values") and
+# dequantize, so a float model can be trained THROUGH the quantization
+# nonlinearity.  The JAX impls (ops/jax_ops.py) carry a straight-through
+# estimator gradient: identity (1/scale resp. scale) inside the
+# representable range, zero where the clip saturates.
+
+def _sim_scale_zp(node: Node, ndim: int):
+    scale = np.asarray(node.attrs["scale"], np.float32)
+    zp = np.asarray(node.attrs.get("zero_point", 0), np.int32)
+    if scale.ndim > 0:
+        axis = int(node.attrs.get("axis", -1))
+        shape = [1] * ndim
+        shape[axis] = -1
+        scale = scale.reshape(shape)
+        zp = zp.reshape(shape) if zp.ndim > 0 else zp
+    return scale, zp
+
+
+@infer_rule("qnn.simulated_quantize")
+def _simq_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    (a, _) = ins[0]
+    return tuple(a), "float32"
+
+
+@np_impl("qnn.simulated_quantize")
+def _simq_np(x: np.ndarray, *, node: Node) -> np.ndarray:
+    scale, zp = _sim_scale_zp(node, x.ndim)
+    odt = node.attrs.get("out_dtype", "int8")
+    q = np.rint(x.astype(np.float32) / scale) + zp
+    return np.clip(q, dt.qmin(odt), dt.qmax(odt)).astype(np.float32)
+
+
+@infer_rule("qnn.simulated_dequantize")
+def _simdq_rel(node: Node, ins: Sequence[TensorType]) -> TensorType:
+    (a, _) = ins[0]
+    return tuple(a), "float32"
+
+
+@np_impl("qnn.simulated_dequantize")
+def _simdq_np(x: np.ndarray, *, node: Node) -> np.ndarray:
+    scale, zp = _sim_scale_zp(node, x.ndim)
+    return ((x.astype(np.float32) - zp) * scale).astype(np.float32)
