@@ -158,10 +158,25 @@ def cmd_verify(args):
 
 
 def cmd_profile(args):
-    from .runtime.profiler import profile_graph
-
     g = _load_graph(args.graph)
     inputs = _load_inputs(args, g)
+    if args.mode == "ablate":
+        from .runtime.profiler import ablate_graph
+
+        rep = ablate_graph(g, inputs, repeats=args.repeats,
+                           fuse=not args.no_fuse)
+        if args.format == "csv":
+            print(rep.csv())
+        elif args.format == "json":
+            print(rep.json())
+        else:
+            print(rep.table())
+        return
+    from .runtime.profiler import profile_graph
+
+    print("NOTE: isolated per-op times mispredict in-context cost by ~2x "
+          "in both directions (fusion/overlap); use --mode=ablate for "
+          "honest attribution.", file=sys.stderr)
     rep = profile_graph(g, inputs, repeats=args.repeats, fuse=not args.no_fuse)
     if args.format == "table":
         print(rep.table(top=args.top))
@@ -270,8 +285,14 @@ def main(argv=None):
     v.add_argument("--crc-only", action="store_true")
     v.set_defaults(fn=cmd_verify)
 
-    pr = sub.add_parser("profile", help="per-op timing report")
+    pr = sub.add_parser(
+        "profile",
+        help="timing report: --mode=ablate (cut-point, honest in-context "
+             "attribution, the default) or --mode=isolated (per-op "
+             "RunIndividual-style; misleading for in-context cost)")
     pr.add_argument("graph")
+    pr.add_argument("--mode", default="ablate",
+                    choices=["ablate", "isolated"])
     pr.add_argument("--input")
     pr.add_argument("--repeats", type=int, default=5)
     pr.add_argument("--top", type=int, default=None)
