@@ -98,8 +98,13 @@ def tune_matmul(
     fused: bool = False,
     candidates: Sequence[tuple[int, int, int]] | None = None,
     verbose: bool = True,
+    strategy: str = "auto",
 ) -> TuneRecord | None:
-    """Grid-search matmul blockings on the current default device."""
+    """Search matmul blockings on the current default device.
+
+    strategy: 'grid' measures every candidate; 'model' ranks by the learned
+    cost model (tune/model.py) and early-stops; 'auto' uses the model when
+    the database has enough records to fit one."""
     import jax
     import jax.numpy as jnp
 
@@ -119,15 +124,34 @@ def tune_matmul(
 
     workload = matmul_workload(M, K, N, fused)
     cands = list(candidates or matmul_candidates(M, K, N)) + ["xla"]
-    for cand in cands:
-        def fn(a, _blocks=cand):
+    configs = [{"impl": "xla"} if c == "xla" else {"blocks": list(c)}
+               for c in cands]
+
+    def measure(cfg):
+        blocks = tuple(cfg["blocks"]) if "blocks" in cfg else "xla"
+
+        def fn(a, _blocks=blocks):
             if fused:
                 return qmatmul_int8(a, B, multiplier=mult, shift=shift,
                                     blocks=_blocks)
             return qmatmul_int8(a, B, blocks=_blocks)
 
-        t, err, msg = _measure_scan(fn, A)
-        cfg = {"impl": "xla"} if cand == "xla" else {"blocks": list(cand)}
+        return _measure_scan(fn, A)
+
+    from .model import fit_from_db, model_search
+
+    if strategy == "model" or (strategy == "auto"
+                               and fit_from_db(db) is not None):
+        best, trials = model_search(
+            workload, configs, measure, db, verbose=verbose,
+            meta_fn=lambda t: {"tops": round(2 * M * K * N / t / 1e12, 2)})
+        if verbose:
+            print(f"  {workload}: model search measured {trials}/"
+                  f"{len(configs)} candidates", flush=True)
+        return best
+
+    for cfg in configs:
+        t, err, msg = measure(cfg)
         rec = TuneRecord(
             workload, cfg,
             t * 1e3 if t != float("inf") else float("inf"), err, msg,
@@ -164,9 +188,10 @@ def conv_flat_candidates(mp, cin_p, cout_p, khp, kwp, fhx) -> list[tuple[int, in
 
 def tune_conv_flat(
     shape: tuple, wshape: tuple, strides, padding, groups, db: TuneDatabase,
-    verbose: bool = True,
+    verbose: bool = True, strategy: str = "auto",
 ) -> TuneRecord | None:
-    """Grid-search the flat conv kernel's (bm, bn, bk) blockings."""
+    """Search the flat conv kernel's (bm, bn, bk, layout) blockings
+    (grid, or model-ranked with early stop — see tune_matmul)."""
     import jax.numpy as jnp
 
     from ..ops.pallas.conv_flat import (
@@ -206,17 +231,39 @@ def tune_conv_flat(
         (w + padding[1] + padding[3] - kw) // sw + 1
     ) * cout * kh * kw * (cin // groups)
     layouts = [None, "t"] if (groups == 1 and (kh, kw) != (1, 1)) else [None]
+    configs = []
     for blocks in cands:
-      for layout in layouts:
+        for layout in layouts:
+            cfg = {"blocks": list(blocks)} if blocks else {"kernel": "routed"}
+            if layout:
+                cfg["layout"] = layout
+            configs.append(cfg)
+
+    def measure(cfg):
+        blocks = tuple(cfg["blocks"]) if "blocks" in cfg else None
+        layout = cfg.get("layout")
+
         def fn(a, _blocks=blocks, _layout=layout):
             return qconv2d_flat(a, wt, multiplier=m, shift=s,
                                 strides=tuple(strides), padding=tuple(padding),
                                 groups=groups, blocks=_blocks, layout=_layout)
 
-        t, err, msg = _measure_scan(fn, x)
-        cfg = {"blocks": list(blocks)} if blocks else {"kernel": "routed"}
-        if layout:
-            cfg["layout"] = layout
+        return _measure_scan(fn, x)
+
+    from .model import fit_from_db, model_search
+
+    if len(configs) > 6 and (strategy == "model" or (
+            strategy == "auto" and fit_from_db(db) is not None)):
+        best, trials = model_search(
+            workload, configs, measure, db, verbose=verbose,
+            meta_fn=lambda t: {"tops": round(2 * macs / t / 1e12, 2)})
+        if verbose:
+            print(f"  {workload}: model search measured {trials}/"
+                  f"{len(configs)} candidates", flush=True)
+        return best
+
+    for cfg in configs:
+        t, err, msg = measure(cfg)
         rec = TuneRecord(
             workload, cfg,
             t * 1e3 if t != float("inf") else float("inf"), err, msg,

@@ -1,0 +1,137 @@
+"""Model-based tuner search (the XGBoost-tuner role, scaled down).
+
+Validation data is the REAL on-chip record database
+(tune/tophub_v5e.jsonl, 275 v5e measurements): leave-one-workload-out,
+rank by the model, simulate the early-stop policy — the chosen config must
+be near-optimal while touching a fraction of the grid.
+"""
+
+import numpy as np
+import pytest
+
+from tachikoma_tpu.tune.database import NO_ERROR, TuneDatabase, TuneRecord
+from tachikoma_tpu.tune.model import (CostModel, featurize, fit_from_db,
+                                      model_search, parse_workload,
+                                      rank_candidates)
+
+DB_PATH = "tachikoma_tpu/tune/tophub_v5e.jsonl"
+
+
+def test_parse_workload():
+    d = parse_workload("qconv2d_flat/N8_H56_W56_C64_O64_K3x3_S1x1_rq")
+    assert d["N"] == 8 and d["H"] == 56 and d["C"] == 64 and d["O"] == 64
+    assert d["K"] == 3 and d["K2"] == 3 and d["S"] == 1
+    d = parse_workload("qmatmul_int8/M4096_K4096_N4096/fused")
+    assert d["M"] == d["K"] == d["N"] == 4096 and d["tag_fused"] == 1.0
+    d = parse_workload("qconv2d_chain/N8_H56_W56/K1C64O64+K3C64O64")
+    assert d["n_stages"] == 2
+
+
+def test_featurize_shapes():
+    f1 = featurize("qmatmul_int8/M512_K768_N768/fused",
+                   {"blocks": [256, 256, 512]})
+    f2 = featurize("qmatmul_int8/M512_K768_N768/fused", {"impl": "xla"})
+    assert f1.shape == f2.shape
+    assert not np.allclose(f1, f2)
+
+
+def _loaded_db():
+    db = TuneDatabase(DB_PATH)
+    assert len(db) >= 200
+    return db
+
+
+def test_model_fits_and_predicts_ordering():
+    db = _loaded_db()
+    m = fit_from_db(db)
+    assert m is not None
+    # in-sample rank correlation on a well-populated workload
+    from collections import defaultdict
+
+    by_wl = defaultdict(list)
+    for r in db.records:
+        if r.error_no == NO_ERROR and np.isfinite(r.time_ms):
+            by_wl[r.workload].append(r)
+    wl = max(by_wl, key=lambda w: len(by_wl[w]))
+    recs = by_wl[wl]
+    feats = np.asarray([featurize(wl, r.config) for r in recs])
+    pred = m.predict(feats)
+    times = np.log([r.time_ms for r in recs])
+    corr = np.corrcoef(pred, times)[0, 1]
+    assert corr > 0.5, f"in-sample rank signal too weak: {corr}"
+
+
+def test_leave_one_workload_out_half_grid():
+    """The verdict's 'done' bar: a NEW workload family touches <= half the
+    grid (median) at near-optimal chosen configs, with the model trained
+    only on OTHER workloads' records."""
+    from collections import defaultdict
+
+    db = _loaded_db()
+    by_wl = defaultdict(list)
+    for r in db.records:
+        if r.error_no == NO_ERROR and np.isfinite(r.time_ms):
+            by_wl[r.workload].append(r)
+
+    fracs, regrets = [], []
+    for wl, recs in by_wl.items():
+        seen = {}
+        for r in recs:
+            k = str(sorted(r.config.items()))
+            if k not in seen or r.time_ms < seen[k].time_ms:
+                seen[k] = r
+        recs = list(seen.values())
+        if len(recs) < 10:
+            continue
+        feats, times_l = [], []
+        for wl2, rs in by_wl.items():
+            if wl2 == wl:
+                continue
+            for r in rs:
+                feats.append(featurize(r.workload, r.config))
+                times_l.append(r.time_ms)
+        m = CostModel()
+        m.fit(np.asarray(feats), np.asarray(times_l))
+        order = rank_candidates(m, wl, [r.config for r in recs])
+        times = np.asarray([r.time_ms for r in recs])
+        best, stall, trials = np.inf, 0, 0
+        for i in order:
+            trials += 1
+            if times[i] < best * 0.98:
+                best, stall = times[i], 0
+            else:
+                stall += 1
+            if trials >= 5 and stall >= 4:
+                break
+        fracs.append(trials / len(recs))
+        regrets.append(best / times.min())
+    assert len(fracs) >= 8
+    assert np.median(fracs) <= 0.6, f"median trial fraction {np.median(fracs)}"
+    assert np.mean(regrets) <= 1.02, f"mean regret {np.mean(regrets)}"
+    assert max(regrets) <= 1.10, f"worst regret {max(regrets)}"
+
+
+def test_model_search_early_stops(tmp_path):
+    """Synthetic quadratic landscape: search finds the optimum while
+    measuring a fraction of the candidates."""
+    rng = np.random.default_rng(0)
+    db = TuneDatabase(str(tmp_path / "db.jsonl"))
+    # seed records over several sibling workloads so a model can fit
+    for M in (256, 512, 1024, 2048):
+        for bm in (64, 128, 256, 512):
+            t = 0.1 + (np.log2(bm) - np.log2(M) / 2) ** 2 + rng.normal(0, 1e-3)
+            db.add(TuneRecord(f"qmatmul_int8/M{M}_K512_N512/raw",
+                              {"blocks": [bm, 128, 128]}, t))
+    wl = "qmatmul_int8/M4096_K512_N512/raw"
+    cands = [{"blocks": [bm, 128, 128]}
+             for bm in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)]
+    measured = []
+
+    def measure(cfg):
+        bm = cfg["blocks"][0]
+        measured.append(bm)
+        return 0.1 + (np.log2(bm) - 6) ** 2, NO_ERROR, ""  # optimum bm=64
+
+    best, trials = model_search(wl, cands, measure, db)
+    assert trials < len(cands)
+    assert best.config["blocks"][0] in (32, 64, 128)
