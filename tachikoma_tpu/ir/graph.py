@@ -53,6 +53,13 @@ def _canon_attr(v: Any) -> Any:
     return v
 
 
+def _c_contig(v):
+    """C-contiguous ndarray preserving 0-d shape (np.ascontiguousarray
+    promotes 0-d to (1,), corrupting scalar params through round-trips)."""
+    a = np.ascontiguousarray(v)
+    return a.reshape(()) if np.ndim(v) == 0 else a
+
+
 @dataclass(frozen=True)
 class Node:
     """One op in the graph.
@@ -234,7 +241,7 @@ class Graph:
             h = hashlib.sha256(enc)
             for n in self.nodes:
                 if n.is_const:
-                    a = np.ascontiguousarray(self.params[n.name])
+                    a = _c_contig(self.params[n.name])
                     h.update(rename[n.name].encode())
                     h.update(str(a.dtype).encode())
                     h.update(str(a.shape).encode())
@@ -274,7 +281,7 @@ class Graph:
             pd = {}
             for k, v in self.params.items():
                 buf = io.BytesIO()
-                np.save(buf, np.ascontiguousarray(v), allow_pickle=False)
+                np.save(buf, _c_contig(v), allow_pickle=False)
                 pd[k] = base64.b64encode(zlib.compress(buf.getvalue())).decode()
             d["params"] = pd
         return json.dumps(d, sort_keys=True, default=_canon_attr)

@@ -23,6 +23,8 @@ from typing import Mapping
 
 import numpy as np
 
+from ..utils import dtypes as dt
+
 from ..ir.graph import Graph
 from ..ir.infer import infer_types
 
@@ -81,7 +83,7 @@ class ShardedExecutor:
         pspecs = dict(param_specs or {})
         params = {}
         for name in sorted(g.params):
-            arr = np.ascontiguousarray(g.params[name])
+            arr = dt.c_contig(g.params[name])
             spec = pspecs.get(name, default_param_spec(name, arr, mesh))
             params[name] = jax.device_put(arr, NamedSharding(mesh, spec))
         self._params = params

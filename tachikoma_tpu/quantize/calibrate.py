@@ -130,8 +130,11 @@ class Calibrator:
         self.stats: dict[str, TensorStats] = {}
         self._interp = Interpreter(self.graph)
 
-    def collect(self, inputs) -> None:
-        bins = self.config.kl_bins if self.config.calibrate_mode in ("kl", "percentile") else None
+    def collect(self, inputs, bins: int | None | str = "auto") -> None:
+        if bins == "auto":
+            bins = (self.config.kl_bins
+                    if self.config.calibrate_mode in ("kl", "percentile")
+                    else None)
 
         def hook(name, op, args, out):
             if isinstance(out, np.ndarray) and out.dtype.kind == "f":
@@ -148,8 +151,25 @@ class Calibrator:
         self._interp.run(inputs, intercept=hook)
 
     def run(self, dataset: Iterable) -> CalibrationResult:
-        for batch in dataset:
-            self.collect(batch)
+        """Two-pass calibration for histogram modes (kl/percentile): pass 1
+        records exact ranges, pass 2 fills histograms with the FINAL range
+        fixed — so no approximate re-bucketing ever happens and the result
+        matches the reference's full-distribution KL
+        (`python/tvm/relay/quantize/kl_divergence.py` sees all data at one
+        range).  The incremental widen path in TensorStats.update stays as
+        the fallback for streaming use (collect() called directly), where
+        the re-bucketing approximation is documented behavior."""
+        if self.config.calibrate_mode in ("kl", "percentile"):
+            dataset = list(dataset)
+            for batch in dataset:
+                self.collect(batch, bins=None)  # exact ranges only
+            for st in self.stats.values():
+                st.hist_range = max(st.absmax, 1e-12)
+            for batch in dataset:
+                self.collect(batch)             # exact histograms
+        else:
+            for batch in dataset:
+                self.collect(batch)
         return CalibrationResult(self.stats, self.config)
 
 

@@ -17,6 +17,8 @@ import tarfile
 
 import numpy as np
 
+from ..utils import dtypes as dt
+
 from ..ir.graph import Graph
 
 FORMAT = "tachikoma_tpu.artifact.v1"
@@ -51,7 +53,7 @@ def save_artifact(path: str, graph: Graph, tune_db_path: str | None = None,
         # here carry mtime=0, keeping artifact bytes deterministic)
         for k in sorted(graph.params):
             buf = io.BytesIO()
-            np.save(buf, np.ascontiguousarray(graph.params[k]), allow_pickle=False)
+            np.save(buf, dt.c_contig(graph.params[k]), allow_pickle=False)
             add_bytes(tar, f"params/{k}.npy", buf.getvalue())
         if tune_db_path and os.path.exists(tune_db_path):
             with open(tune_db_path, "rb") as f:

@@ -15,6 +15,8 @@ from typing import Any, Mapping, Sequence
 
 import numpy as np
 
+from ..utils import dtypes as dt
+
 from ..ir.graph import CONST, TUPLE, TUPLE_GET_ITEM, VAR, Graph
 from ..ir.infer import infer_types
 from ..ir.registry import get_op
@@ -62,7 +64,7 @@ class JaxExecutor:
 
         param_names = sorted(g.params)
         self._param_names = param_names
-        params_np = {k: np.ascontiguousarray(g.params[k]) for k in param_names}
+        params_np = {k: dt.c_contig(g.params[k]) for k in param_names}
         self._params = {
             k: jax.device_put(v, device) if device is not None else jax.device_put(v)
             for k, v in params_np.items()

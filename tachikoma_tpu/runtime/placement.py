@@ -24,6 +24,8 @@ from typing import Any, Mapping, Sequence
 
 import numpy as np
 
+from ..utils import dtypes as dt
+
 from ..ir.graph import CONST, TUPLE, TUPLE_GET_ITEM, VAR, Graph
 from ..ir.infer import infer_types
 from ..ir.registry import get_op
@@ -119,7 +121,7 @@ class HeterogeneousExecutor:
         by_name = {n.name: n for n in g.nodes}
         self._const_vals = {
             n.name: jax.device_put(
-                np.ascontiguousarray(g.params[n.name]),
+                dt.c_contig(g.params[n.name]),
                 self.devices[self.plan[n.name] % len(self.devices)])
             for n in g.nodes if n.op == CONST
         }

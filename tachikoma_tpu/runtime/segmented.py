@@ -35,6 +35,8 @@ from typing import Any, Mapping, Sequence
 
 import numpy as np
 
+from ..utils import dtypes as dt
+
 from ..ir.graph import CONST, TUPLE, TUPLE_GET_ITEM, VAR, Graph, Node
 from ..ir.infer import infer_types
 from ..ir.registry import get_op
@@ -243,9 +245,9 @@ class SegmentedExecutor:
                 self._jit_cache[s.key] = jax.jit(_make_run_fn(s.sub))
 
         # device-resident params per segment, canonical (positional) order
-        put = (lambda v: jax.device_put(np.ascontiguousarray(v), device)
+        put = (lambda v: jax.device_put(dt.c_contig(v), device)
                if device is not None
-               else jax.device_put(np.ascontiguousarray(v)))
+               else jax.device_put(dt.c_contig(v)))
         self._seg_params = [
             [put(s.params_np[k]) for k in s.canonical_param_order()]
             for s in self.segments
@@ -323,7 +325,7 @@ class SegmentedExecutor:
                   for k in range(length)]
         stacked = []
         for pi in range(len(orders[0])):
-            mats = [np.ascontiguousarray(
+            mats = [dt.c_contig(
                 self.segments[start + k].params_np[orders[k][pi]])
                 for k in range(length)]
             arr = np.stack(mats)

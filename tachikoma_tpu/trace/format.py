@@ -45,6 +45,8 @@ from typing import BinaryIO
 
 import numpy as np
 
+from ..utils import dtypes as dt
+
 MAGIC = b"TKTRACE1"
 END_MAGIC = b"TKEND\x00\x00\x00"
 VERSION = 1
@@ -168,7 +170,7 @@ def canonical_attrs(attrs: dict) -> bytes:
 
 
 def _np_to_bytes(arr: np.ndarray) -> bytes:
-    a = np.ascontiguousarray(arr)
+    a = dt.c_contig(arr)
     if a.dtype == np.bool_:
         a = a.astype(np.uint8)
     return a.tobytes()

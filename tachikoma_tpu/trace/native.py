@@ -138,6 +138,8 @@ class NativeTraceWriter:
         the hot path for full-graph trace generation."""
         import numpy as np
 
+        from ..utils import dtypes as dt
+
         lib = self._lib
         name_b = node.name.encode()
         op_b = node.op.encode()
@@ -150,7 +152,7 @@ class NativeTraceWriter:
         if rc != 0:
             raise RuntimeError(f"tk_record_begin failed: {rc}")
         for role, arr in [*in_arrays, *out_arrays]:
-            a = np.ascontiguousarray(arr)
+            a = dt.c_contig(arr)
             if a.dtype == np.bool_:
                 a = a.astype(np.uint8)
                 code = DTYPE_CODES["bool"]

@@ -44,3 +44,11 @@ def promote(a: str, b: str) -> str:
 
 def normalize(dtype) -> str:
     return str(np.dtype(dtype)) if dtype != "bfloat16" else "bfloat16"
+
+
+def c_contig(v):
+    """C-contiguous ndarray PRESERVING 0-d shape (np.ascontiguousarray
+    silently promotes 0-d arrays to shape (1,), which corrupts scalar
+    params through serialization/device-put round-trips)."""
+    a = np.ascontiguousarray(v)
+    return a.reshape(()) if np.ndim(v) == 0 else a

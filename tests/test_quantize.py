@@ -157,3 +157,25 @@ def test_depthwise_and_clip6_quantize():
     fout = run_graph(g, data[0])[0]
     qout = run_graph(qg, data[0])[0]
     assert np.abs(fout - qout).max() < 0.1
+
+
+def test_two_pass_calibration_is_order_invariant(rng):
+    """kl/percentile histogram calibration must not depend on batch order
+    (the old single-pass re-bucketing drifted when ranges widened late)."""
+    from tachikoma_tpu import GraphBuilder, infer_types
+    from tachikoma_tpu.quantize.calibrate import calibrate
+    from tachikoma_tpu.quantize.config import QConfig
+
+    b = GraphBuilder()
+    x = b.var("x", (32,), "float32")
+    g = infer_types(b.build(b.call("nn.relu", x)))
+    small = rng.standard_normal(32).astype(np.float32) * 0.1
+    big = rng.standard_normal(32).astype(np.float32) * 10.0
+    cfg = QConfig(calibrate_mode="kl")
+    s1 = calibrate(g, [small, big], cfg).scale_zp(g.outputs[0])
+    s2 = calibrate(g, [big, small], cfg).scale_zp(g.outputs[0])
+    assert s1 == s2, f"order-dependent KL scales: {s1} vs {s2}"
+    cfg = QConfig(calibrate_mode="percentile")
+    p1 = calibrate(g, [small, big], cfg).scale_zp(g.outputs[0])
+    p2 = calibrate(g, [big, small], cfg).scale_zp(g.outputs[0])
+    assert p1 == p2
