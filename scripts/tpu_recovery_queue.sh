@@ -1,33 +1,42 @@
 #!/usr/bin/env bash
-# Probe the TPU until it answers, then run the queued measurement sequence.
-# Single TPU toucher: probes are short-timeout, one at a time.
+# Probe the TPU until it answers, then run the round-3 measurement queue.
+# Single TPU toucher: probes are short-timeout, one at a time; every stage
+# runs under timeout and appends to /tmp/tk_r3_queue.log.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/tmp/tk_jaxcache
+LOG=/tmp/tk_r3_queue.log
+
+stage() {
+  echo "=== $1 ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
+}
 
 for i in $(seq 1 60); do
-  if timeout 90 python -c "import jax; print(jax.devices())" >/tmp/tpu_probe.log 2>&1; then
-    echo "TPU back at attempt $i: $(cat /tmp/tpu_probe.log | tail -1)"
+  if timeout 240 python -c "import jax; print(jax.devices())" >/tmp/tpu_probe.log 2>&1; then
+    echo "TPU back at attempt $i: $(tail -1 /tmp/tpu_probe.log)" | tee -a "$LOG"
     break
   fi
-  echo "probe $i: down"
+  echo "probe $i: down" | tee -a "$LOG"
   sleep 240
 done
 if ! grep -q "TPU" /tmp/tpu_probe.log 2>/dev/null; then
-  echo "TPU never recovered"; exit 1
+  echo "TPU never recovered" | tee -a "$LOG"; exit 1
 fi
 sleep 30
-echo "=== chain retune (bn grid) ==="
-python - <<'EOF'
-import json
-p = "tachikoma_tpu/tune/tophub_v5e.jsonl"
-keep = [l for l in open(p) if not json.loads(l)["workload"].startswith("qconv2d_chain/")]
-open(p, "w").writelines(keep)
-EOF
-timeout 2400 python -u scripts/tune_v5e.py
-echo "=== models ==="
-timeout 1500 python -u scripts/bench_models.py resnet50 bert
-echo "=== bench ==="
-timeout 2400 python bench.py
-echo "=== queue done ==="
+
+stage "conv60 experiments (A raw variants, B chains, C slow families)"
+timeout 3600 python -u scripts/conv60_experiments.py >>"$LOG" 2>&1
+sleep 30
+
+stage "models e2e (incl. segmented vitl/gpt2)"
+timeout 2700 python -u scripts/bench_models.py resnet50 mobilenet bert >>"$LOG" 2>&1
+sleep 30
+timeout 2700 python -u scripts/bench_models.py vit_b vitl gpt2 >>"$LOG" 2>&1
+sleep 30
+
+stage "bench.py (driver metric)"
+timeout 4800 python bench.py >>"$LOG" 2>&1
+
+stage "queue done"
+tail -5 "$LOG"
