@@ -1,0 +1,176 @@
+"""Incremental (KV-cache) decoding for the causal-LM family — the serving
+path.
+
+The reference stack has no autoregressive serving story (it is a 2022
+inference compiler; its graph executor recomputes the full sequence every
+step).  TPU-native serving splits the model into two STATIC-shape programs:
+
+  * the full causal graph (models/transformer.py gpt2) serves as prefill /
+    the recompute reference;
+  * gpt2_decode_step builds the per-token step graph: one token + position
+    scalar + per-layer K/V caches in, next-token logits + updated caches
+    out.  Cache writes are `dynamic_update_slice` at the position scalar;
+    attention runs over the full cache with an additive position mask, so
+    every shape is static and XLA compiles ONE step program reused for
+    every token.
+
+Weights are TAKEN FROM the full graph's params (same const names), so
+incremental decode and full recompute are the same model by construction —
+tests/test_decoding.py asserts token-level agreement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ir.graph import Graph, GraphBuilder
+from ..ir.infer import infer_types
+
+
+def gpt2_decode_step(full: Graph, batch_size=1, max_len=128, hidden=768,
+                     layers=12, heads=12, ffn_dim=3072,
+                     vocab=50257) -> Graph:
+    """Build the single-token decode-step graph sharing `full`'s weights.
+
+    Inputs : token (B,1) int32, pos () int32,
+             k0..k{L-1}, v0..v{L-1}  (B,H,max_len,hd) float32
+    Outputs: logits (B,vocab), then the updated caches in the same order.
+    """
+    P = full.params
+    hd = hidden // heads
+    b = GraphBuilder("gpt2_step")
+    token = b.var("token", (batch_size, 1), "int32")
+    pos = b.var("pos", (), "int32")
+    kc = [b.var(f"k{i}", (batch_size, heads, max_len, hd), "float32")
+          for i in range(layers)]
+    vc = [b.var(f"v{i}", (batch_size, heads, max_len, hd), "float32")
+          for i in range(layers)]
+
+    def const(name):
+        return b.const(P[name], name=name)
+
+    def dense(x, prefix, cin, cout):
+        y = b.call("nn.dense", x, const(f"{prefix}_w"))
+        return b.call("nn.bias_add", y, const(f"{prefix}_b"))
+
+    def layer_norm(x, prefix):
+        return b.call("nn.layer_norm", x, const(f"{prefix}_g"),
+                      const(f"{prefix}_b"), axis=-1, epsilon=1e-12)
+
+    tok = b.call("take", const("wte"), token, axis=0)        # (B,1,H)
+    pe = b.call("take", const("wpe"), pos, axis=0)           # (H,)
+    pe = b.call("reshape", pe, newshape=(1, 1, hidden))
+    h = b.call("add", tok, pe)
+
+    zero = b.const(np.int32(0))
+    # additive mask over cache positions: 0 where j <= pos, -30 beyond
+    # (matches the full model's causal mask constant, transformer.py:172)
+    ar = b.const(np.arange(max_len, dtype=np.int32), "step_arange")
+    keep = b.call("less_equal", ar, pos)                     # (max_len,) bool
+    mzero = b.const(np.zeros(max_len, np.float32))
+    mneg = b.const(np.full(max_len, -30.0, np.float32))
+    maskf = b.call("where", keep, mzero, mneg)               # (max_len,)
+    maskf = b.call("reshape", maskf, newshape=(1, 1, 1, max_len))
+
+    new_k, new_v = [], []
+    for i in range(layers):
+        pfx = f"block{i}"
+        ln1 = layer_norm(h, f"{pfx}_ln1")
+        q = dense(ln1, f"{pfx}_attn_q", hidden, hidden)
+        k = dense(ln1, f"{pfx}_attn_k", hidden, hidden)
+        v = dense(ln1, f"{pfx}_attn_v", hidden, hidden)
+
+        def heads1(t):
+            t = b.call("reshape", t, newshape=(batch_size, 1, heads, hd))
+            return b.call("transpose", t, axes=(0, 2, 1, 3))  # (B,H,1,hd)
+
+        qh, kh, vh = heads1(q), heads1(k), heads1(v)
+        kcat = b.call("dynamic_update_slice", kc[i], kh, zero, zero, pos,
+                      zero)
+        vcat = b.call("dynamic_update_slice", vc[i], vh, zero, zero, pos,
+                      zero)
+        new_k.append(kcat)
+        new_v.append(vcat)
+        scores = b.call("nn.batch_matmul", qh, kcat, transpose_b=True)
+        scale = b.const(np.float32(1.0 / np.sqrt(hd)))
+        scaled = b.call("multiply", scores, scale)           # (B,H,1,L)
+        masked = b.call("add", scaled, maskf)
+        att = b.call("nn.softmax", masked, axis=-1)
+        ctx = b.call("nn.batch_matmul", att, vcat)           # (B,H,1,hd)
+        ctx = b.call("transpose", ctx, axes=(0, 2, 1, 3))
+        ctx = b.call("reshape", ctx, newshape=(batch_size, 1, hidden))
+        att_o = dense(ctx, f"{pfx}_attn_o", hidden, hidden)
+        res1 = b.call("add", h, att_o)
+        ln2 = layer_norm(res1, f"{pfx}_ln2")
+        f1 = dense(ln2, f"{pfx}_ffn1", hidden, ffn_dim)
+        act = b.call("nn.gelu", f1)
+        f2 = dense(act, f"{pfx}_ffn2", ffn_dim, hidden)
+        h = b.call("add", res1, f2)
+
+    h = layer_norm(h, "ln_f")
+    logits = b.call("nn.matmul", h, const("lm_head"))        # (B,1,V)
+    logits = b.call("reshape", logits, newshape=(batch_size, vocab))
+    return infer_types(b.build([logits] + new_k + new_v))
+
+
+class GreedyDecoder:
+    """Greedy autoregressive generation over a decode-step graph.
+
+    Each call to step() is one execution of the SAME compiled program
+    (static shapes; the position is a scalar input) — the serving hot loop.
+    """
+
+    def __init__(self, step_graph: Graph, layers: int, backend: str = "jax"):
+        self.g = step_graph
+        self.layers = layers
+        self.backend = backend
+        if backend == "jax":
+            from ..runtime.executor import JaxExecutor
+
+            self._ex = JaxExecutor(step_graph)
+        else:
+            self._ex = None
+
+    def _run(self, feeds):
+        if self._ex is not None:
+            return self._ex.run(feeds)
+        from ..runtime.interpreter import run_graph
+
+        return run_graph(self.g, feeds)
+
+    def generate(self, prompt: np.ndarray, n_new: int):
+        """prompt (B, P) int32 -> (tokens (B, n_new) int32, logits list)."""
+        bsz = prompt.shape[0]
+        kv = self.g.inputs
+        cache_shapes = {n.name: n.shape for n in kv
+                        if n.name[0] in "kv" and n.name[1:].isdigit()}
+        caches = {nm: np.zeros(sh, np.float32)
+                  for nm, sh in cache_shapes.items()}
+        logits = None
+        step_logits = []
+        # prefill token-by-token through the same step program
+        for p in range(prompt.shape[1]):
+            feeds = {"token": prompt[:, p:p + 1], "pos": np.int32(p),
+                     **caches}
+            outs = self._run(feeds)
+            logits = np.asarray(outs[0])
+            for i in range(self.layers):
+                caches[f"k{i}"] = np.asarray(outs[1 + i])
+                caches[f"v{i}"] = np.asarray(outs[1 + self.layers + i])
+            step_logits.append(logits)
+        toks = []
+        cur = np.argmax(logits, axis=-1).astype(np.int32).reshape(bsz, 1)
+        for s in range(n_new):
+            toks.append(cur.copy())
+            if s == n_new - 1:
+                break
+            feeds = {"token": cur, "pos": np.int32(prompt.shape[1] + s),
+                     **caches}
+            outs = self._run(feeds)
+            logits = np.asarray(outs[0])
+            for i in range(self.layers):
+                caches[f"k{i}"] = np.asarray(outs[1 + i])
+                caches[f"v{i}"] = np.asarray(outs[1 + self.layers + i])
+            step_logits.append(logits)
+            cur = np.argmax(logits, axis=-1).astype(np.int32).reshape(bsz, 1)
+        return np.concatenate(toks, axis=1), step_logits

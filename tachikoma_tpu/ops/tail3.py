@@ -594,3 +594,70 @@ def _prop_jax(cls_prob, bbox_pred, im_info, *, node: Node):
                                   np.asarray(b, np.float32),
                                   np.asarray(m, np.float32), node),
         shape, cls_prob, bbox_pred, im_info)
+
+
+# -- dynamic slicing (runtime start indices) ---------------------------------
+# The role of the reference's dyn.strided_slice (`src/relay/op/dyn/`) and the
+# VM's runtime shape resolution, restricted to the static-SHAPE dynamic-START
+# form XLA supports natively (lax.dynamic_slice / dynamic_update_slice):
+# slice extents are attrs, start indices are scalar TENSOR inputs (clamped
+# like lax so the window always fits).  These are the primitives incremental
+# decoding builds KV-cache reads/writes from (models/transformer.py
+# gpt2_decode_step).
+
+@infer_rule("dynamic_slice")
+def _dyn_slice_rel(node: Node, ins):
+    (a, adt) = ins[0]
+    sizes = tuple(int(s) for s in node.attrs["sizes"])
+    assert len(sizes) == len(a), f"sizes rank {len(sizes)} != data rank {len(a)}"
+    assert len(ins) == 1 + len(a), "need one start scalar per dimension"
+    return sizes, adt
+
+
+@np_impl("dynamic_slice")
+def _dyn_slice_np(a, *starts, node: Node):
+    sizes = [int(s) for s in node.attrs["sizes"]]
+    idx = []
+    for d, (st, sz) in enumerate(zip(starts, sizes)):
+        s = int(np.clip(int(np.asarray(st).reshape(())), 0, a.shape[d] - sz))
+        idx.append(slice(s, s + sz))
+    return a[tuple(idx)]
+
+
+@jax_impl("dynamic_slice")
+def _dyn_slice_jax(a, *starts, node: Node):
+    from jax import lax
+
+    sizes = [int(s) for s in node.attrs["sizes"]]
+    return lax.dynamic_slice(a, [s.reshape(()) for s in
+                                 (_jnp().asarray(x) for x in starts)], sizes)
+
+
+@infer_rule("dynamic_update_slice")
+def _dyn_upd_rel(node: Node, ins):
+    (a, adt) = ins[0]
+    (u, udt) = ins[1]
+    assert len(u) == len(a), "update rank must match data rank"
+    assert udt == adt, f"dtype mismatch {udt} vs {adt}"
+    assert len(ins) == 2 + len(a), "need one start scalar per dimension"
+    return tuple(a), adt
+
+
+@np_impl("dynamic_update_slice")
+def _dyn_upd_np(a, u, *starts, node: Node):
+    out = a.copy()
+    idx = []
+    for d, st in enumerate(starts):
+        s = int(np.clip(int(np.asarray(st).reshape(())), 0,
+                        a.shape[d] - u.shape[d]))
+        idx.append(slice(s, s + u.shape[d]))
+    out[tuple(idx)] = u
+    return out
+
+
+@jax_impl("dynamic_update_slice")
+def _dyn_upd_jax(a, u, *starts, node: Node):
+    from jax import lax
+
+    return lax.dynamic_update_slice(
+        a, u, [s.reshape(()) for s in (_jnp().asarray(x) for x in starts)])

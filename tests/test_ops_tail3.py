@@ -284,3 +284,32 @@ def test_proposal(rng):
     assert (out[:, 2] >= 0).all() and (out[:, 4] <= 95).all()
     # batch index column
     assert (out[:, 0] == 0).all()
+
+
+def test_dynamic_slice_update(rng):
+    """dynamic_slice / dynamic_update_slice: runtime start indices with lax
+    clamping semantics, oracle == XLA."""
+    from tachikoma_tpu import GraphBuilder, infer_types, run_graph
+    from tachikoma_tpu.runtime.executor import run_graph_jax
+
+    b = GraphBuilder()
+    a = b.var("a", (4, 8), "int32")
+    u = b.var("u", (2, 8), "int32")
+    p = b.var("p", (), "int32")
+    z = b.const(np.int32(0))
+    upd = b.call("dynamic_update_slice", a, u, p, z)
+    sl = b.call("dynamic_slice", upd, p, z, sizes=(2, 8))
+    g = infer_types(b.build([upd, sl]))
+    av = rng.integers(0, 100, (4, 8)).astype(np.int32)
+    uv = rng.integers(0, 100, (2, 8)).astype(np.int32)
+    for pos in (0, 1, 2, 7):  # 7 clamps to 2
+        feeds = {"a": av, "u": uv, "p": np.int32(pos)}
+        o = run_graph(g, feeds)
+        j = run_graph_jax(g, feeds)
+        for x, y in zip(o, j):
+            assert (np.asarray(x) == np.asarray(y)).all(), f"pos {pos}"
+    o = run_graph(g, {"a": av, "u": uv, "p": np.int32(1)})
+    want = av.copy()
+    want[1:3] = uv
+    np.testing.assert_array_equal(o[0], want)
+    np.testing.assert_array_equal(o[1], want[1:3])
