@@ -552,3 +552,54 @@ def lstm(batch_size=1, seq_len=16, input_dim=64, hidden_dim=128, num_classes=10,
         h = b.call("multiply", o_g, b.call("tanh", c), name=f"h{t}")
     out = _dense(b, h, hidden_dim, num_classes, rng, "fc")
     return infer_types(b.build(b.call("nn.softmax", out, name="prob")))
+
+
+def _conv3(b, x, cin, cout, k, stride, pad, rng, name):
+    w = (rng.standard_normal((k, k, k, cin, cout)) * (k * k * k * cin) ** -0.5
+         ).astype(np.float32)
+    return b.call(
+        "nn.conv3d", x, b.const(w, name=f"{name}_w"),
+        strides=(stride, stride, stride), padding=(pad,) * 6, name=name)
+
+
+def _res_block3(b, x, cin, cout, stride, rng, name):
+    c1 = _conv3(b, x, cin, cout, 3, stride, 1, rng, f"{name}_conv1")
+    n1 = _bn(b, c1, cout, rng, f"{name}_bn1")
+    r1 = b.call("nn.relu", n1, name=f"{name}_relu1")
+    c2 = _conv3(b, r1, cout, cout, 3, 1, 1, rng, f"{name}_conv2")
+    n2 = _bn(b, c2, cout, rng, f"{name}_bn2")
+    if stride != 1 or cin != cout:
+        sc = _conv3(b, x, cin, cout, 1, stride, 0, rng, f"{name}_down")
+        sc = _bn(b, sc, cout, rng, f"{name}_bn_down")
+    else:
+        sc = x
+    s = b.call("add", n2, sc, name=f"{name}_add")
+    return b.call("nn.relu", s, name=f"{name}_out")
+
+
+def resnet_3d(num_layers=18, batch_size=1, frames=16, image_size=112,
+              num_classes=400, seed=0) -> Graph:
+    """3D ResNet for video (NDHWC; the reference's
+    `python/tvm/relay/testing/resnet_3d.py` — last missing zoo family).
+    ResNet3D-18 layout: 3x3x3 stem (video nets skip the 7x7 downsample),
+    4 stages of basic blocks with spatiotemporal stride-2 transitions."""
+    cfgs = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3]}
+    blocks = cfgs[num_layers]
+    rng = _rng(seed)
+    b = GraphBuilder(f"resnet3d{num_layers}")
+    x = b.var("data", (batch_size, frames, image_size, image_size, 3),
+              "float32")
+    c = _conv3(b, x, 3, 64, 3, 1, 1, rng, "conv0")
+    n = _bn(b, c, 64, rng, "bn0")
+    h = b.call("nn.relu", n, name="relu0")
+    channels = [64, 128, 256, 512]
+    cin = 64
+    for stage, (nblocks, cw) in enumerate(zip(blocks, channels)):
+        for i in range(nblocks):
+            stride = 2 if (stage > 0 and i == 0) else 1
+            h = _res_block3(b, h, cin, cw, stride, rng, f"s{stage}b{i}")
+            cin = cw
+    gap = b.call("mean", h, axis=(1, 2, 3), name="gap")
+    out = _dense(b, gap, cin, num_classes, rng, "fc")
+    sm = b.call("nn.softmax", out, name="prob")
+    return infer_types(b.build(sm))

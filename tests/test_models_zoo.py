@@ -77,3 +77,28 @@ def test_gpt2_executor_matches_oracle(rng):
     o = run_graph(g, {"input_ids": ids})[0]
     j = np.asarray(JaxExecutor(g).run({"input_ids": ids})[0])
     np.testing.assert_allclose(o, j, rtol=1e-3, atol=5e-3)
+
+
+def test_resnet_3d(rng):
+    """3D video ResNet (the reference zoo's resnet_3d): builds, infers,
+    float + quantized run with oracle==XLA on the integer graph."""
+    from tachikoma_tpu import run_graph
+    from tachikoma_tpu.models.vision import resnet_3d
+    from tachikoma_tpu.quantize.quantizer import quantize
+    from tachikoma_tpu.runtime.executor import run_graph_jax
+
+    g = resnet_3d(18, batch_size=1, frames=4, image_size=16, num_classes=10)
+    x = rng.standard_normal((1, 4, 16, 16, 3)).astype(np.float32)
+    o = run_graph(g, x)[0]
+    j = run_graph_jax(g, x)[0]
+    assert o.shape == (1, 10)
+    np.testing.assert_allclose(o, j, rtol=5e-4, atol=1e-5)
+    qg = quantize(g, [x])
+    qo = run_graph(qg, x)
+    qj = run_graph_jax(qg, x)
+    for a, c in zip(qo, qj):
+        a, c = np.asarray(a), np.asarray(c)
+        if a.dtype.kind in "iu":
+            assert (a == c).all()
+        else:
+            np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
