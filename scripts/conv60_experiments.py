@@ -50,8 +50,9 @@ def phase_a():
         macs = n * h * w * cout * k * k * cin
         for layout in (None, "t", "r", "w", "s"):
             for blocks in (None, (512, 128, 128), (1024, 128, 128),
-                           (2048, 128, 128), (512, 256, 128),
-                           (1024, 256, 128)):
+                           (2048, 128, 128), (4096, 128, 128),
+                           (512, 256, 128), (1024, 256, 128),
+                           (2048, 256, 128)):
                 def fn(a, _l=layout, _b=blocks):
                     return qconv2d_flat(a, wt, multiplier=m, shift=s,
                                         strides=(1, 1),
