@@ -158,6 +158,22 @@ def phase_c():
                   f"{tops(macs, t):.1f} TOPS useful "
                   f"({100*frac(tops(macs, t)):.1f}%)", flush=True)
 
+    # attribution: how much of stride-2 is the XLA phase-split pass?
+    from tachikoma_tpu.ops.pallas.conv_flat import _phase_stack
+
+    def split_only(a):
+        xs, _ = _phase_stack(a, 3, 3, 2, 2, (1, 1, 1, 1), 0)
+        return xs
+
+    def fb2(a, out):
+        return a.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
+
+    try:
+        t = per_iter_chain(split_only, x, fb2, repeats=2)
+        print(f"C s2 phase-split alone: {t*1e6:.1f} us", flush=True)
+    except Exception as e:
+        print(f"C s2 phase-split alone: FAIL {type(e).__name__}", flush=True)
+
     # BERT-shape dense (skinny M)
     for (M, K, N) in [(512, 768, 768), (512, 768, 3072), (512, 3072, 768),
                       (512, 768, 2304)]:
