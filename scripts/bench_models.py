@@ -35,27 +35,32 @@ def build(name):
         g = to_mixed_precision(resnet(50, batch_size=8, image_size=224))
         x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
         return g, x
-    elif name in ("vit", "vitl"):
+    elif name in ("vit", "vitl", "vitl_scan"):
         # ViT-L's unrolled 24-layer program exceeds the axon tunnel's
         # remote-compile request limit (HTTP 413): run SEGMENTED
         # (runtime/segmented.py), one small program per encoder block
         from tachikoma_tpu.models.transformer import vit_l16
 
+        from tachikoma_tpu.quantize.config import TRANSFORMER_INT8_SCAN
+
         g = vit_l16(batch_size=1, image_size=224)
         x = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
-        qg = quantize(g, [x], config=TRANSFORMER_INT8)
+        cfg = TRANSFORMER_INT8_SCAN if name == "vitl_scan" else TRANSFORMER_INT8
+        qg = quantize(g, [x], config=cfg)
     elif name == "vit_b":
         from tachikoma_tpu.models.transformer import vit_b16
 
         g = vit_b16(batch_size=8, image_size=224)
         x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
         qg = quantize(g, [x], config=TRANSFORMER_INT8)
-    elif name == "gpt2":
+    elif name in ("gpt2", "gpt2_scan"):
         from tachikoma_tpu.models.transformer import gpt2_small
+        from tachikoma_tpu.quantize.config import TRANSFORMER_INT8_SCAN
 
         g = gpt2_small(batch_size=1, seq_len=128)
         x = rng.integers(0, 50257, (1, 128)).astype(np.int32)
-        qg = quantize(g, [x], config=TRANSFORMER_INT8)
+        cfg = TRANSFORMER_INT8_SCAN if name == "gpt2_scan" else TRANSFORMER_INT8
+        qg = quantize(g, [x], config=cfg)
     elif name == "bert":
         g = bert(batch_size=4, seq_len=128)
         x = rng.integers(0, 30522, (4, 128)).astype(np.int32)
@@ -67,7 +72,7 @@ def build(name):
 
 # models whose unrolled one-program form exceeds the tunnel's remote
 # compile request cap (HTTP 413) — executed segmented instead
-SEGMENTED = {"vit", "vitl", "gpt2"}
+SEGMENTED = {"vit", "vitl", "gpt2", "vitl_scan", "gpt2_scan"}
 
 
 def bench(name):

@@ -150,6 +150,42 @@ class Calibrator:
             self.stats.setdefault(k, TensorStats()).update(np.asarray(v), bins)
         self._interp.run(inputs, intercept=hook)
 
+    def _pool_groups(self):
+        """scale_group tying: nodes whose names differ only in the grouped
+        part SHARE one pooled TensorStats (config.py scale_group)."""
+        import re
+
+        pat = re.compile(self.config.scale_group)
+        groups: dict[str, list[str]] = {}
+        for name in self.stats:
+            key = pat.sub("<G>", name)
+            groups.setdefault(key, []).append(name)
+        for key, members in groups.items():
+            if len(members) < 2:
+                continue
+            pooled = TensorStats()
+            pooled.min = min(self.stats[m].min for m in members)
+            pooled.max = max(self.stats[m].max for m in members)
+            pooled.absmax = max(self.stats[m].absmax for m in members)
+            hists = [self.stats[m] for m in members
+                     if self.stats[m].hist is not None]
+            if hists:
+                pooled.hist_range = max(h.hist_range for h in hists)
+                bins = len(hists[0].hist)
+                pooled.hist = np.zeros(bins, np.float64)
+                for h in hists:
+                    if h.hist_range == pooled.hist_range:
+                        pooled.hist += h.hist
+                    else:
+                        edges = np.linspace(0, h.hist_range, bins + 1)
+                        centers = (edges[:-1] + edges[1:]) / 2
+                        idx = np.minimum(
+                            (centers / pooled.hist_range * bins).astype(int),
+                            bins - 1)
+                        np.add.at(pooled.hist, idx, h.hist)
+            for m in members:
+                self.stats[m] = pooled
+
     def run(self, dataset: Iterable) -> CalibrationResult:
         """Two-pass calibration for histogram modes (kl/percentile): pass 1
         records exact ranges, pass 2 fills histograms with the FINAL range
@@ -163,6 +199,8 @@ class Calibrator:
             dataset = list(dataset)
             for batch in dataset:
                 self.collect(batch, bins=None)  # exact ranges only
+            if self.config.scale_group:
+                self._pool_groups()  # pooled ranges BEFORE histograms
             for st in self.stats.values():
                 st.hist_range = max(st.absmax, 1e-12)
             for batch in dataset:
@@ -170,6 +208,8 @@ class Calibrator:
         else:
             for batch in dataset:
                 self.collect(batch)
+            if self.config.scale_group:
+                self._pool_groups()
         return CalibrationResult(self.stats, self.config)
 
 

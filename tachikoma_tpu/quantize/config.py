@@ -41,6 +41,14 @@ class QConfig:
     # nn.layer_norm -> qnn.layer_norm (pinned integer semantics) instead of a
     # dequantized float island (ops/qnn.py integer layer norm)
     integer_layer_norm: bool = True
+    # scale tying for scan-compiled deep models: a regex matching the
+    # layer-varying part of node names (e.g. r"block\d+"); nodes/weights
+    # whose names differ only in that part share ONE pooled quantization
+    # scale, so structurally identical layers get IDENTICAL integer attrs
+    # and the segmented executor's lax.scan collapse applies to the
+    # QUANTIZED graph (runtime/segmented.py).  Slightly coarser scales
+    # (group max) in exchange for O(1) compiled programs at any depth.
+    scale_group: str | None = None
 
 
 # Preset for the BERT/ViT integer-attention trace path.
@@ -49,3 +57,14 @@ TRANSFORMER_INT8 = QConfig(
     lut_ops=frozenset({"nn.gelu", "tanh", "sigmoid", "nn.silu", "erf"}),
     float_ops=frozenset({"nn.log_softmax"}),
 )
+
+
+# TRANSFORMER_INT8 with layer-tied scales: structurally identical encoder/
+# decoder layers get IDENTICAL integer attrs, so the segmented executor
+# compiles deep quantized transformers as O(1) programs with a lax.scan
+# over stacked layer weights (runtime/segmented.py).  Group-max scales are
+# slightly coarser than per-layer calibration.
+import dataclasses as _dc
+
+TRANSFORMER_INT8_SCAN = _dc.replace(
+    TRANSFORMER_INT8, scale_group=r"(block|layer)\d+")

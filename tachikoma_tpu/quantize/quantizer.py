@@ -63,6 +63,7 @@ class Quantizer:
         self.cfg = config or calib.config
         self.b = GraphBuilder(self.g.name + "_int8")
         self.env: dict[str, QVal] = {}
+        self._wgroups: dict[str, np.ndarray] | None = None  # scale_group
 
     # -- representation coercions -------------------------------------------
 
@@ -129,17 +130,52 @@ class Quantizer:
     # -- weight/bias quantization -------------------------------------------
 
     def quantize_weight(self, arr: np.ndarray, per_channel: bool, name: str):
-        """Symmetric int8 weight quantization; channel = last axis (HWIO/KN)."""
+        """Symmetric int8 weight quantization; channel = last axis (HWIO/KN).
+
+        With cfg.scale_group, the absmax is pooled across same-shaped
+        weights whose names differ only in the grouped part, so sibling
+        layers share identical scale vectors (-> identical requantize
+        attrs -> scan-compilable segments)."""
         qmax = 127
         if per_channel and arr.ndim >= 2:
             red = tuple(range(arr.ndim - 1))
             absmax = np.maximum(np.abs(arr).max(axis=red), 1e-8)
         else:
             absmax = np.maximum(np.abs(arr).max(), 1e-8)
+        pooled = self._weight_group_absmax(name, arr, per_channel)
+        if pooled is not None:
+            absmax = np.maximum(pooled, 1e-8)
         scales = (absmax / qmax).astype(np.float64)
         q = np.clip(np.rint(arr / scales), -127, 127).astype(self.cfg.weight_dtype)
         wname = self.b.const(q, name=name + "_qw")
         return wname, scales
+
+    def _weight_group_absmax(self, name: str, arr: np.ndarray,
+                             per_channel: bool):
+        if not self.cfg.scale_group:
+            return None
+        if self._wgroups is None:
+            import re
+
+            pat = re.compile(self.cfg.scale_group)
+            groups: dict[tuple, list[str]] = {}
+            for pname, pv in self.g.params.items():
+                key = (pat.sub("<G>", pname), pv.shape)
+                groups.setdefault(key, []).append(pname)
+            self._wgroups = {}
+            for (key, shape), members in groups.items():
+                if len(members) < 2:
+                    continue
+                mats = [self.g.params[m] for m in members]
+                if per_channel and mats[0].ndim >= 2:
+                    red = tuple(range(mats[0].ndim - 1))
+                    am = np.max([np.abs(m).max(axis=red) for m in mats],
+                                axis=0)
+                else:
+                    am = max(float(np.abs(m).max()) for m in mats)
+                for m in members:
+                    self._wgroups[m] = am
+        return self._wgroups.get(name)
 
     # -- op handlers ---------------------------------------------------------
 

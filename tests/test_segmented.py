@@ -167,3 +167,40 @@ def test_segmented_trace_byte_identical(rng):
     assert blob_np == blob_jx
     assert blob_np == blob_sg, "segmented trace differs"
     assert verify_trace(blob_sg, qg)["mismatches"] == []
+
+
+def test_scale_tied_quantized_forms_scan(rng):
+    """TRANSFORMER_INT8_SCAN: tied activation+weight scales give sibling
+    layers identical integer attrs, so the QUANTIZED graph scan-collapses
+    (O(1) compiled programs at any depth) while staying bit-exact vs its
+    own oracle."""
+    from dataclasses import replace
+
+    from tachikoma_tpu.quantize.config import (TRANSFORMER_INT8,
+                                               TRANSFORMER_INT8_SCAN)
+    from tachikoma_tpu.runtime.fuse import fuse_qnn
+
+    g = gpt2(batch_size=1, seq_len=16, hidden=32, layers=6, heads=4,
+             ffn_dim=64, vocab=96, seed=1)
+    calib = [np.random.default_rng(0).integers(0, 96, (1, 16))
+             .astype(np.int32)]
+    fg = fuse_qnn(quantize(g, calib, config=TRANSFORMER_INT8_SCAN))
+    ex = SegmentedExecutor(fg, min_ops=16, max_ops=120)
+    assert ex._scan_fns, "tied quantized layers did not form a scan"
+    assert ex.n_programs < len(ex.segments)
+    o = run_graph(fg, calib[0])
+    s = ex.run(calib[0])
+    for a, c in zip(o, s):
+        a, c = np.asarray(a), np.asarray(c)
+        if a.dtype.kind in "iu":
+            assert (a == c).all()
+        else:
+            np.testing.assert_allclose(a, c, rtol=2e-5, atol=1e-5)
+    # untied baseline: per-layer attrs differ -> no sharing
+    fg0 = fuse_qnn(quantize(g, calib, config=TRANSFORMER_INT8))
+    ex0 = SegmentedExecutor(fg0, min_ops=16, max_ops=120)
+    assert not ex0._scan_fns
+    # accuracy: tied quantization stays close to per-layer quantization
+    lo_t = np.asarray(run_graph(fg, calib[0])[0], np.float64).ravel()
+    lo_u = np.asarray(run_graph(fg0, calib[0])[0], np.float64).ravel()
+    assert np.corrcoef(lo_t, lo_u)[0, 1] > 0.95
