@@ -70,3 +70,36 @@ def test_oracle_backend_agrees(model, rng):
     tj, _ = jx.generate(prompt, 3)
     tn, _ = np_.generate(prompt, 3)
     np.testing.assert_array_equal(tj, tn)
+
+
+def test_quantized_decode_step(model, rng):
+    """The decode-step graph quantizes like any other graph (cache
+    plumbing falls back to float; matmul/dense/softmax go integer), and
+    int8 greedy decoding agrees with the quantized full model's argmax."""
+    from tachikoma_tpu.quantize.config import TRANSFORMER_INT8
+    from tachikoma_tpu.quantize.quantizer import quantize
+    from tachikoma_tpu.runtime.interpreter import run_graph
+
+    full, step = model
+    prompt = rng.integers(0, VOCAB, (B, 6)).astype(np.int32)
+    caches = {f"{kv}{i}": np.zeros((B, HEADS, L, HID // HEADS), np.float32)
+              for kv in "kv" for i in range(LAYERS)}
+    calib = []
+    for p in range(4):
+        feeds = {"token": prompt[:, p:p + 1], "pos": np.int32(p), **caches}
+        calib.append(dict(feeds))
+        outs = run_graph(step, feeds)
+        for i in range(LAYERS):
+            caches[f"k{i}"] = np.asarray(outs[1 + i])
+            caches[f"v{i}"] = np.asarray(outs[1 + LAYERS + i])
+    qstep = quantize(step, calib, config=TRANSFORMER_INT8)
+    dec = GreedyDecoder(qstep, layers=LAYERS)
+    toks, _ = dec.generate(prompt, 3)
+    assert toks.shape == (B, 3)
+
+    padded = np.pad(prompt, ((0, 0), (0, L - 6)))
+    qfull = quantize(full, [{"input_ids": padded}],
+                     config=TRANSFORMER_INT8)
+    fl = np.asarray(run_graph(qfull, {"input_ids": padded})[0])
+    np.testing.assert_array_equal(toks[:, 0],
+                                  np.argmax(fl[:, 5, :], axis=-1))
