@@ -122,19 +122,24 @@ def requantize_np(
       3. add output zero point
       4. clip to out_dtype range, cast
     """
-    v = x.astype(np.int32)
+    wide = str(x.dtype) == "int64"  # W8A16 accumulators exceed int32
+    v = x.astype(np.int64 if wide else np.int32)
     if input_zero_point != 0:
-        v = v - np.int32(input_zero_point)
+        v = v - (np.int64 if wide else np.int32)(input_zero_point)
     in_scale = np.asarray(input_scale, dtype=np.float64)
     if in_scale.ndim == 0:
         if float(in_scale) != float(output_scale):
             m, s = fixed_point_multiplier_shift(float(in_scale) / float(output_scale))
-            v = q_multiply_shift_np(v, m, s, rounding)
+            v = (q_multiply_shift_wide_np(v, m, s, rounding) if wide
+                 else q_multiply_shift_np(v, m, s, rounding))
     else:
         mult = in_scale / float(output_scale)
         ms, ss = zip(*(fixed_point_multiplier_shift(float(d)) for d in mult))
         ax = axis if axis >= 0 else v.ndim + axis
-        v = q_multiply_shift_per_axis_np(v, np.array(ms), np.array(ss), ax, rounding)
+        v = (q_multiply_shift_wide_per_axis_np(
+                 v, np.array(ms), np.array(ss), ax, rounding) if wide
+             else q_multiply_shift_per_axis_np(
+                 v, np.array(ms), np.array(ss), ax, rounding))
     if output_zero_point != 0:
         v = v + np.int32(output_zero_point)
     lo, hi = np.iinfo(np.dtype(out_dtype)).min, np.iinfo(np.dtype(out_dtype)).max
@@ -236,27 +241,140 @@ def requantize_jnp(
 
     from .pallas.qms32 import q_multiply_shift_u32
 
-    v = x.astype(jnp.int32)
+    wide = str(x.dtype) == "int64"  # W8A16 accumulators exceed int32
+    v = x.astype(jnp.int64 if wide else jnp.int32)
     if input_zero_point != 0:
-        v = v - jnp.int32(input_zero_point)
+        v = v - (jnp.int64(input_zero_point) if wide
+                 else jnp.int32(input_zero_point))
     in_scale = np.asarray(input_scale, dtype=np.float64)
     if in_scale.ndim == 0:
         if float(in_scale) != float(output_scale):
             m, s = fixed_point_multiplier_shift(float(in_scale) / float(output_scale))
-            v = q_multiply_shift_u32(v, m, s, rounding)
+            v = (q_multiply_shift_wide_jnp(v, m, s, rounding) if wide
+                 else q_multiply_shift_u32(v, m, s, rounding))
     else:
         mult = in_scale / float(output_scale)
         ms, ss = zip(*(fixed_point_multiplier_shift(float(d)) for d in mult))
         ax = axis if axis >= 0 else v.ndim + axis
         bshape = [1] * v.ndim
         bshape[ax] = -1
-        v = q_multiply_shift_u32(
-            v,
-            np.array(ms, np.int32).reshape(bshape),
-            np.array(ss, np.int32).reshape(bshape),
-            rounding,
-        )
+        if wide:
+            v = q_multiply_shift_wide_jnp(
+                v, np.array(ms, np.int64).reshape(bshape),
+                np.array(ss, np.int64).reshape(bshape), rounding)
+        else:
+            v = q_multiply_shift_u32(
+                v,
+                np.array(ms, np.int32).reshape(bshape),
+                np.array(ss, np.int32).reshape(bshape),
+                rounding,
+            )
     if output_zero_point != 0:
         v = v + jnp.int32(output_zero_point)
     lo, hi = np.iinfo(np.dtype(out_dtype)).min, np.iinfo(np.dtype(out_dtype)).max
     return jnp.clip(v, jnp.int32(lo), jnp.int32(hi)).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Wide (int64-accumulator) fixed-point multiply — the W8A16 requantize core.
+# ---------------------------------------------------------------------------
+# int16 activations x int8 weights accumulate past int32 (k*32767*127 ≈
+# 2^22 * k), and (acc * m) overflows int64 outright.  The product is built
+# exactly in two 64-bit limbs (base 2^32), rounding is added into the limbs,
+# and the arithmetic shift reads the result out of the limb pair — exact
+# floor semantics for ANY int64 input (cross-checked against Python bignum
+# arithmetic in tests/test_fixed_point.py).
+
+_MASK32 = np.int64(0xFFFFFFFF)
+
+
+def _wide_mul_limbs(v, m):
+    """v (int64 array) * m (positive int64 scalar/array) -> (hi, lo32):
+    exact value = hi * 2^32 + lo32 with 0 <= lo32 < 2^32."""
+    x_hi = v >> np.int64(32)                  # arithmetic: carries sign
+    x_lo = v & _MASK32                        # 0 .. 2^32-1
+    p_lo = x_lo * m                           # < 2^63, nonneg
+    hi = x_hi * m + (p_lo >> np.int64(32))
+    lo = p_lo & _MASK32
+    return hi, lo
+
+
+def _wide_round_shift(hi, lo, total_right, rounding, neg, xp=np):
+    """floor((hi*2^32 + lo + R) / 2^total_right) with R the rounding bias.
+
+    total_right is always CONCRETE numpy (derived from static shifts);
+    hi/lo/neg may be traced — xp selects numpy vs jax.numpy for the
+    value-dependent where()s."""
+    t = total_right
+    # rounding bias 2^(t-1) (TONEAREST: minus 1 for negative values)
+    bias_lo = np.where(t - 1 < 32, np.int64(1) << np.minimum(
+        np.maximum(t - 1, 0), 31), np.int64(0))
+    bias_hi = np.where(t - 1 >= 32, np.int64(1) << np.maximum(t - 33, 0),
+                       np.int64(0))
+    if rounding == TONEAREST:
+        low_bias = t - 1 < 32
+        bias_lo = xp.where(xp.asarray(neg) & xp.asarray(low_bias),
+                           bias_lo - 1, bias_lo)
+        # t-1>=32: bias 2^(t-1) - 1 = (2^(t-33) limbs) - 1 ulp, applied
+        # below as a borrow-aware subtract from lo
+        sub1 = xp.asarray(neg) & xp.asarray(t - 1 >= 32)
+    else:
+        sub1 = xp.zeros(np.shape(hi), dtype=bool)
+    lo = lo + bias_lo
+    hi = hi + bias_hi + (lo >> np.int64(32))
+    lo = lo & _MASK32
+    lo = lo - xp.where(sub1, np.int64(1), np.int64(0))
+    hi = hi + (lo >> np.int64(32))            # borrow if lo went negative
+    lo = lo & _MASK32
+    out_hi = hi >> np.minimum(np.maximum(t - 32, 0), 63)
+    out_lt = (hi << np.minimum(np.maximum(32 - t, 0), 63)) | (
+        lo >> np.minimum(t, 63))
+    return xp.where(xp.asarray(t >= 32), out_hi, out_lt)
+
+
+def q_multiply_shift_wide_np(x, m: int, shift: int,
+                             rounding: str = UPWARD) -> np.ndarray:
+    """Exact (x * m * 2^shift) >> 31 with round-to-nearest for int64 x."""
+    left, right = _shifts(int(shift))
+    v = x.astype(np.int64)
+    if left:
+        v = v << np.int64(left)
+    hi, lo = _wide_mul_limbs(v, np.int64(int(m)))
+    t = np.int64(right + 31)
+    neg = v < 0
+    return _wide_round_shift(hi, lo, np.broadcast_to(t, hi.shape).copy(),
+                             rounding, neg)
+
+
+def q_multiply_shift_wide_per_axis_np(x, ms, shifts, axis: int,
+                                      rounding: str = UPWARD) -> np.ndarray:
+    ms = np.asarray(ms, np.int64)
+    shifts = np.asarray(shifts, np.int64)
+    bshape = [1] * x.ndim
+    bshape[axis] = -1
+    m_b = np.broadcast_to(ms.reshape(bshape), x.shape)
+    left = np.maximum(shifts, 0).reshape(bshape)
+    right = np.maximum(-shifts, 0).reshape(bshape)
+    v = x.astype(np.int64) << np.broadcast_to(left, x.shape)
+    hi, lo = _wide_mul_limbs(v, m_b)
+    t = np.broadcast_to(right + 31, x.shape).astype(np.int64).copy()
+    return _wide_round_shift(hi, lo, t, rounding, v < 0)
+
+
+def q_multiply_shift_wide_jnp(x, m, shift, rounding: str = UPWARD):
+    """JAX twin of the wide multiply (int64 emulated on TPU — a capability
+    path for W8A16, not a hot path).  Scalar or per-axis: m/shift may be
+    broadcast-shaped CONCRETE numpy arrays."""
+    import jax.numpy as jnp
+
+    ms = np.asarray(m, np.int64)
+    shifts = np.asarray(shift, np.int64)
+    left = np.maximum(shifts, 0)
+    right = np.maximum(-shifts, 0)
+    v = x.astype(jnp.int64)
+    if np.any(left):
+        v = v << jnp.asarray(np.broadcast_to(left, np.shape(x))
+                             if left.ndim else left)
+    hi, lo = _wide_mul_limbs(v, jnp.asarray(ms))
+    t = np.broadcast_to(right + 31, np.shape(x)).astype(np.int64)
+    return _wide_round_shift(hi, lo, t, rounding, v < 0, xp=jnp)

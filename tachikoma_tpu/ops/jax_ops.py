@@ -98,6 +98,26 @@ def _conv2d_jax(data, weight, *, node: Node):
 def _qconv2d_jax(data, weight, *, node: Node):
     izp = int(node.attrs.get("input_zero_point", 0))
     kzp = node.attrs.get("kernel_zero_point", 0)
+    if node.attrs.get("out_dtype") == "int64":
+        # W8A16: accumulate past int32 (int64 emulated — capability path)
+        d = data.astype(jnp.int64) - jnp.int64(izp)
+        w = weight.astype(jnp.int64)
+        if np.ndim(kzp) > 0:
+            w = w - jnp.asarray(np.asarray(kzp, np.int64).reshape(1, 1, 1, -1))
+        elif int(kzp) != 0:
+            w = w - jnp.int64(kzp)
+        from jax import lax as _lax
+
+        from .nn import _pad4 as _p4, _pair as _pr
+
+        pt, pl, pb, pr = _p4(node.attrs.get("padding", (0, 0, 0, 0)))
+        return _lax.conv_general_dilated(
+            d, w, window_strides=_pr(node.attrs.get("strides", (1, 1))),
+            padding=((pt, pb), (pl, pr)),
+            rhs_dilation=_pr(node.attrs.get("dilation", (1, 1))),
+            dimension_numbers=_DIMNUMS,
+            feature_group_count=int(node.attrs.get("groups", 1)),
+            preferred_element_type=jnp.int64)
     d = data.astype(jnp.int32) - jnp.int32(izp)
     w = weight.astype(jnp.int32)
     kzp_max = int(np.max(np.abs(kzp))) if np.ndim(kzp) > 0 else abs(int(kzp))
@@ -163,6 +183,14 @@ def _dense_jax(data, weight, *, node: Node):
 def _qdense_jax(data, weight, *, node: Node):
     izp = int(node.attrs.get("input_zero_point", 0))
     kzp = node.attrs.get("kernel_zero_point", 0)
+    if node.attrs.get("out_dtype") == "int64":
+        d = data.astype(jnp.int64) - jnp.int64(izp)
+        w = weight.astype(jnp.int64)
+        if np.ndim(kzp) > 0:
+            w = w - jnp.asarray(np.asarray(kzp, np.int64).reshape(1, -1))
+        elif int(kzp) != 0:
+            w = w - jnp.int64(kzp)
+        return jnp.matmul(d, w, preferred_element_type=jnp.int64)
     d = data.astype(jnp.int32) - jnp.int32(izp)
     w = weight.astype(jnp.int32)
     if np.ndim(kzp) > 0:

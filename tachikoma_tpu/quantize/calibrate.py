@@ -63,7 +63,8 @@ class CalibrationResult:
         """Derive (scale, zero_point) for a node's activation."""
         st = self.stats[name]
         cfg = self.config
-        qmax = 127 if cfg.act_dtype == "int8" else 255
+        info = np.iinfo(np.dtype(cfg.act_dtype))
+        qmax = info.max if info.min < 0 else info.max - info.min
         if cfg.calibrate_mode == "percentile" and st.hist is not None:
             cdf = np.cumsum(st.hist)
             total = cdf[-1]

@@ -68,3 +68,11 @@ import dataclasses as _dc
 
 TRANSFORMER_INT8_SCAN = _dc.replace(
     TRANSFORMER_INT8, scale_group=r"(block|layer)\d+")
+
+
+# 16-bit activations x 8-bit weights (the TFLite "16x8" mode; reference
+# qnn supports it via int64 accumulation, e.g. tflite.py conv out_dtype
+# int64 for int16).  Exact int64 requantize runs on the wide fixed-point
+# path (ops/fixed_point.py q_multiply_shift_wide_*); fusion/Pallas stay
+# int8-only, so W8A16 executes on the XLA path — an accuracy-first mode.
+W8A16 = QConfig(act_dtype="int16", accum_dtype="int64", bias_dtype="int64")

@@ -80,8 +80,9 @@ class Quantizer:
         if v.kind == "float" and orig is not None and orig.is_const:
             # constants quantize directly from their values (no calibration)
             arr = self.g.params[orig_name]
-            scale = max(float(np.abs(arr).max()) / 127.0, 1e-8)
-            q = np.clip(np.rint(arr / scale), -127, 127).astype(cfg.act_dtype)
+            lim = dt.qmax(cfg.act_dtype)
+            scale = max(float(np.abs(arr).max()) / lim, 1e-8)
+            q = np.clip(np.rint(arr / scale), -lim, lim).astype(cfg.act_dtype)
             name = self.b.const(q, name=orig_name + "_q")
             qv = QVal("quant", name, scale, 0, cfg.act_dtype)
             self.env[orig_name] = qv
@@ -212,9 +213,10 @@ class Quantizer:
         src = self.env[n.inputs[0]]
         bias = self.g.params.get(n.inputs[1])
         if src.kind == "accum" and bias is not None:
+            binfo = np.iinfo(np.dtype(self.cfg.bias_dtype))
             bq = np.clip(
                 np.rint(bias.astype(np.float64) / np.asarray(src.scale)),
-                np.iinfo(np.int32).min, np.iinfo(np.int32).max,
+                binfo.min, binfo.max,
             ).astype(self.cfg.bias_dtype)
             bname = self.b.const(bq, name=n.inputs[1] + "_qb")
             out = self.b.call("nn.bias_add", src.name, bname, name=n.name,
@@ -231,7 +233,7 @@ class Quantizer:
             out = self.b.call("clip", src.name, a_min=lo, a_max=hi, name=n.name)
             self.env[n.name] = QVal("quant", out, src.scale, src.zp, src.dtype)
         elif src.kind == "accum":
-            out = self.b.call("clip", src.name, a_min=0, a_max=dt.qmax("int32"), name=n.name)
+            out = self.b.call("clip", src.name, a_min=0, a_max=dt.qmax(self.cfg.accum_dtype), name=n.name)
             self.env[n.name] = QVal("accum", out, src.scale, src.zp, src.dtype, src.axis)
         else:
             self._float_fallback(n)

@@ -52,6 +52,10 @@ def fuse_qnn(graph: Graph) -> Graph:
     for n in g.nodes:
         if n.op not in _FUSABLE_HEAD:
             continue
+        # the fused epilogues are 32-bit fixed-point (qms32); W8A16 graphs
+        # (int64 accumulators) stay unfused on the XLA wide path
+        if n.attrs.get("out_dtype", "int32") != "int32":
+            continue
         cur = single_user(n.name)
         bias = None
         if cur is not None and cur.op == "nn.bias_add" and g[cur.inputs[1]].is_const:
