@@ -129,7 +129,8 @@ class Calibrator:
         self.graph = infer_types(graph)
         self.config = config
         self.stats: dict[str, TensorStats] = {}
-        self._interp = Interpreter(self.graph)
+        self._interp = None
+        self._seg = None
 
     def collect(self, inputs, bins: int | None | str = "auto") -> None:
         if bins == "auto":
@@ -149,7 +150,40 @@ class Calibrator:
             norm = dict(zip([n.name for n in self.graph.inputs], norm))
         for k, v in norm.items():
             self.stats.setdefault(k, TensorStats()).update(np.asarray(v), bins)
-        self._interp.run(inputs, intercept=hook)
+        if self.config.calibrate_backend == "xla-cpu":
+            self._collect_xla_cpu(inputs, hook)
+        else:
+            if self._interp is None:
+                self._interp = Interpreter(self.graph)
+            self._interp.run(inputs, intercept=hook)
+
+    def _collect_xla_cpu(self, inputs, hook):
+        """Segmented XLA capture on the host CPU backend: per-segment jit,
+        bounded memory via the streaming walk (runtime/segmented.py
+        run_stream); safe to call from a TPU-connected process (everything
+        pins to the cpu platform).  Compile cost amortizes over batches —
+        the numpy oracle stays the default for few-batch calibration."""
+        import jax
+
+        from ..runtime.executor import computational_nodes
+        from ..runtime.segmented import SegmentedExecutor, run_stream
+
+        cpu = jax.devices("cpu")[0]
+        if self._seg is None:
+            names = computational_nodes(self.graph)
+            with jax.default_device(cpu):
+                self._seg = SegmentedExecutor(
+                    self.graph, capture=names, device=cpu, scan=False)
+        norm = inputs
+        if isinstance(norm, np.ndarray):
+            norm = [norm]
+        if not isinstance(norm, Mapping):
+            norm = dict(zip([n.name for n in self.graph.inputs], norm))
+        feeds = {k: jax.device_put(np.asarray(v), cpu)
+                 for k, v in norm.items()}
+        with jax.default_device(cpu):
+            run_stream(self._seg, feeds,
+                       lambda nm, arr: hook(nm, None, None, arr))
 
     def _pool_groups(self):
         """scale_group tying: nodes whose names differ only in the grouped

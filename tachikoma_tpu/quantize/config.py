@@ -41,6 +41,12 @@ class QConfig:
     # nn.layer_norm -> qnn.layer_norm (pinned integer semantics) instead of a
     # dequantized float island (ops/qnn.py integer layer norm)
     integer_layer_norm: bool = True
+    # calibration executor: "oracle" (numpy interpreter, the exactness
+    # reference) or "xla-cpu" (segmented XLA capture pinned to the host
+    # CPU backend, bounded memory via the streaming walk; the reference
+    # likewise calibrates through its compiled graph executor,
+    # `relay/quantize/_calibrate.py` — amortizes over many batches)
+    calibrate_backend: str = "oracle"
     # scale tying for scan-compiled deep models: a regex matching the
     # layer-varying part of node names (e.g. r"block\d+"); nodes/weights
     # whose names differ only in that part share ONE pooled quantization

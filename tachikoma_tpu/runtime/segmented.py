@@ -395,3 +395,32 @@ class SegmentedExecutor:
         if missing:
             raise KeyError(f"graph inputs not provided: {missing}")
         return {k: inputs[k] for k in self._var_names}
+
+
+def run_stream(executor: "SegmentedExecutor", inputs, on_value):
+    """Execute segment-by-segment, calling on_value(name, np_array) for
+    every computational node and releasing values as soon as no later
+    segment needs them — bounded-memory full-graph capture (the
+    calibration walk; whole-graph capture materializes every intermediate
+    at once)."""
+    import numpy as np
+
+    ex = executor
+    feeds = ex._normalize(inputs)
+    env: dict = dict(feeds)
+    last_need: dict[str, int] = {}
+    for si, s in enumerate(ex.segments):
+        for nm in s.in_names:
+            last_need[nm] = si
+    for si, s in enumerate(ex.segments):
+        outs = ex._jit_cache[s.key](ex._seg_params[si],
+                                    [env[nm] for nm in s.in_names])
+        for nm, val in zip(s.out_names, outs):
+            env[nm] = val
+            on_value(nm, np.asarray(val))
+        # free values no later segment consumes (on_value has already
+        # seen them — this is what bounds memory)
+        for nm in list(env):
+            if last_need.get(nm, -1) <= si:
+                del env[nm]
+    return None

@@ -179,3 +179,33 @@ def test_two_pass_calibration_is_order_invariant(rng):
     p1 = calibrate(g, [small, big], cfg).scale_zp(g.outputs[0])
     p2 = calibrate(g, [big, small], cfg).scale_zp(g.outputs[0])
     assert p1 == p2
+
+
+def test_xla_cpu_calibration_backend(rng):
+    """Executor-based calibration (the reference's _calibrate.py runs the
+    compiled graph executor too): scales match the numpy oracle closely
+    and the resulting quantized graph keeps the exactness contract."""
+    from dataclasses import replace
+
+    from tachikoma_tpu.models.vision import lenet5
+    from tachikoma_tpu.quantize.calibrate import calibrate
+    from tachikoma_tpu.quantize.config import QConfig
+    from tachikoma_tpu.runtime.executor import run_graph_jax
+
+    g = lenet5(batch_size=2)
+    data = [rng.standard_normal((2, 28, 28, 1)).astype(np.float32)
+            for _ in range(2)]
+    c1 = calibrate(g, data, QConfig())
+    c2 = calibrate(g, data, replace(QConfig(), calibrate_backend="xla-cpu"))
+    for k in c1.stats:
+        s1, _ = c1.scale_zp(k)
+        s2, _ = c2.scale_zp(k)
+        assert abs(s1 - s2) / max(s1, 1e-12) < 1e-4, k
+    qg = quantize(g, data, replace(QConfig(),
+                                   calibrate_backend="xla-cpu"))
+    o = run_graph(qg, data[0])
+    j = run_graph_jax(qg, data[0])
+    for a, c in zip(o, j):
+        a, c = np.asarray(a), np.asarray(c)
+        if a.dtype.kind in "iu":
+            assert (a == c).all()
