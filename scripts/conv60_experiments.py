@@ -14,7 +14,6 @@ Writes every measurement to the tune DB; prints a summary table.
 """
 
 import sys
-import time
 
 import numpy as np
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ir.graph import Graph, GraphBuilder, Node
+from ..ir.graph import Graph, GraphBuilder
 from ..ir.infer import infer_types
 from .calibrate import CalibrationResult, calibrate
 from .config import QConfig

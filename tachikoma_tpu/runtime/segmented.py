@@ -37,7 +37,7 @@ import numpy as np
 
 from ..utils import dtypes as dt
 
-from ..ir.graph import CONST, TUPLE, TUPLE_GET_ITEM, VAR, Graph, Node
+from ..ir.graph import TUPLE, TUPLE_GET_ITEM, VAR, Graph, Node
 from ..ir.infer import infer_types
 from ..ir.registry import get_op
 

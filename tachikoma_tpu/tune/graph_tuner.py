@@ -26,8 +26,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-import numpy as np
-
 from ..ir.graph import Graph
 from .database import NO_ERROR, TuneDatabase, TuneRecord
 
@@ -67,7 +65,6 @@ def apply_variant(graph: Graph, fused: Graph, disabled: set[str]) -> Graph:
             elif n.is_const:
                 mapping[n.name] = b.const(full.params[n.name], name=n.name)
             elif n.op == "tk.conv2d_chain" and n.name in disabled:
-                from ..runtime.fuse import _chain_split_args  # noqa: F401
                 cur = mapping[n.inputs[0]]
                 arg = 1
                 for si, st in enumerate(n.attrs["stages"]):
