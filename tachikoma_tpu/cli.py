@@ -58,6 +58,20 @@ def _zoo(name: str, batch: int, image: int | None, seq: int | None):
         return transformer.vit_b16(batch_size=batch, image_size=image or 224)
     if name == "vit_l16":
         return transformer.vit_l16(batch_size=batch, image_size=image or 224)
+    if name == "gpt2":
+        return transformer.gpt2_small(batch_size=batch, seq_len=seq or 128)
+    if name in ("vgg16", "vgg19"):
+        return vision.vgg(int(name[3:]), batch_size=batch,
+                          image_size=image or 224)
+    if name == "squeezenet":
+        return vision.squeezenet(batch_size=batch, image_size=image or 224)
+    if name == "densenet":
+        return vision.densenet(batch_size=batch, image_size=image or 224)
+    if name == "resnet3d18":
+        return vision.resnet_3d(18, batch_size=batch,
+                                image_size=image or 112)
+    if name == "lstm":
+        return vision.lstm(batch_size=batch, seq_len=seq or 16)
     raise SystemExit(f"unknown zoo model {name!r} (see tachikoma_tpu.models)")
 
 
@@ -109,6 +123,12 @@ def cmd_run(args):
         from .runtime.interpreter import run_graph
 
         outs = run_graph(g, inputs)
+    elif args.segmented:
+        # graph-as-data execution for deep models (per-segment programs,
+        # structural sharing, scan-over-layers — runtime/segmented.py)
+        from .runtime.segmented import SegmentedExecutor
+
+        outs = SegmentedExecutor(g, fuse=not args.no_fuse).run(inputs)
     else:
         from .runtime.executor import JaxExecutor
 
@@ -266,6 +286,10 @@ def main(argv=None):
     r = sub.add_parser("run", help="execute a graph artifact")
     r.add_argument("graph")
     r.add_argument("--backend", default="jax", choices=["jax", "oracle"])
+    r.add_argument("--segmented", action="store_true",
+                   help="segmented executor (deep models: per-layer "
+                        "programs + scan; avoids oversized one-program "
+                        "compiles)")
     r.add_argument("--input", help=".npy/.npz input file (random if omitted)")
     r.add_argument("-o", "--output", help="save outputs to .npz")
     r.add_argument("--no-fuse", action="store_true")
@@ -274,7 +298,8 @@ def main(argv=None):
     t = sub.add_parser("trace", help="emit a tachikoma-standard trace binary")
     t.add_argument("graph")
     t.add_argument("-o", "--output", required=True)
-    t.add_argument("--backend", default="jax", choices=["jax", "oracle"])
+    t.add_argument("--backend", default="jax",
+                   choices=["jax", "jax-segmented", "oracle"])
     t.add_argument("--input", help=".npy/.npz input file")
     t.add_argument("--native", action="store_true", help="use the C++ writer")
     t.set_defaults(fn=cmd_trace)
