@@ -206,6 +206,49 @@ def cmd_profile(args):
         print(rep.json())
 
 
+def cmd_compile(args):
+    """Quantize (unless already integer) and bundle into a .tkmod artifact
+    (the `tvmc compile` analog; runtime/artifact.py)."""
+    from .runtime.artifact import save_artifact
+
+    if args.model.endswith((".json", ".onnx", ".tflite")):
+        g = _load_graph(args.model)
+    else:
+        g = _zoo(args.model, args.batch, args.image_size, args.seq_len)
+    has_int = any(n.dtype in ("int8", "uint8", "int16") for n in g.nodes
+                  if not n.is_var)
+    if not has_int and not args.no_quantize:
+        from .quantize.config import TRANSFORMER_INT8, QConfig
+        from .quantize.quantizer import quantize
+
+        batches = [_rand_inputs(g, seed=i) for i in range(args.calib_batches)]
+        cfg = TRANSFORMER_INT8 if args.transformer else QConfig()
+        g = quantize(g, batches, cfg)
+    tune_db = None
+    import os
+
+    default_db = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tune", "tophub_v5e.jsonl")
+    if os.path.exists(default_db):
+        tune_db = default_db
+    save_artifact(args.output, g, tune_db_path=tune_db,
+                  meta={"source": args.model})
+    print(f"wrote {args.output}: {len(g)} nodes, "
+          f"hash {g.structural_hash()[:16]}")
+
+
+def cmd_evaluate(args):
+    """Quantization quality report: per-layer SNR + output agreement
+    (quantize/evaluate.py)."""
+    from .quantize.evaluate import quantization_report
+
+    fg = _load_graph(args.float_graph)
+    qg = _load_graph(args.quant_graph)
+    inputs = _load_inputs(args, fg)
+    rep = quantization_report(fg, qg, inputs)
+    print(rep.table(worst=args.worst))
+
+
 def cmd_info(args):
     g = _load_graph(args.graph)
     from collections import Counter
@@ -324,6 +367,25 @@ def main(argv=None):
     pr.add_argument("--format", default="table", choices=["table", "csv", "json"])
     pr.add_argument("--no-fuse", action="store_true")
     pr.set_defaults(fn=cmd_profile)
+
+    c = sub.add_parser("compile", help="quantize + bundle into a .tkmod artifact")
+    c.add_argument("model", help="zoo name or model file (.json/.onnx/.tflite)")
+    c.add_argument("-o", "--output", required=True)
+    c.add_argument("--batch", type=int, default=1)
+    c.add_argument("--image-size", type=int)
+    c.add_argument("--seq-len", type=int)
+    c.add_argument("--calib-batches", type=int, default=2)
+    c.add_argument("--transformer", action="store_true")
+    c.add_argument("--no-quantize", action="store_true")
+    c.set_defaults(fn=cmd_compile)
+
+    e = sub.add_parser("evaluate",
+                       help="quantization quality report (per-layer SNR)")
+    e.add_argument("float_graph")
+    e.add_argument("quant_graph")
+    e.add_argument("--input")
+    e.add_argument("--worst", type=int, default=15)
+    e.set_defaults(fn=cmd_evaluate)
 
     i = sub.add_parser("info", help="describe a graph artifact")
     i.add_argument("graph")
