@@ -92,3 +92,30 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+@pytest.mark.slow
+def test_scaling_efficiency_harness():
+    """scripts/scaling_efficiency.py end-to-end over real jax.distributed
+    process groups (the BASELINE efficiency harness; CPU-mesh numbers are
+    correctness-shaped — the assertions are structural)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts",
+                                      "scaling_efficiency.py"),
+         "--procs", "1,2", "--steps", "4", "--batch", "8"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "PYTHONPATH": repo})
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "scaling_efficiency"
+    assert out["procs"] == [1, 2]
+    for key in ("weak_step_ms", "strong_step_ms", "weak_efficiency",
+                "strong_efficiency", "traces_per_sec"):
+        assert set(map(int, out[key])) == {1, 2}, key
+    assert all(v > 0 for v in out["weak_step_ms"].values())
+    assert out["trace_records"] > 0
