@@ -12,13 +12,17 @@ stage() {
   echo "=== $1 ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
 }
 
-for i in $(seq 1 60); do
-  if timeout 240 python -c "import jax; print(jax.devices())" >/tmp/tpu_probe.log 2>&1; then
+# GENTLE probing: a killed backend-init re-wedges the tunnel (round-2
+# lesson), so short-timeout probe loops can perpetuate the outage.  Probe
+# with a LONG timeout (first contact after a wedge can take minutes) and a
+# LONG cooldown between attempts.
+for i in $(seq 1 18); do
+  if timeout 1200 python -c "import jax; print(jax.devices())" >/tmp/tpu_probe.log 2>&1; then
     echo "TPU back at attempt $i: $(tail -1 /tmp/tpu_probe.log)" | tee -a "$LOG"
     break
   fi
-  echo "probe $i: down" | tee -a "$LOG"
-  sleep 240
+  echo "probe $i: down ($(date +%H:%M))" | tee -a "$LOG"
+  sleep 600
 done
 if ! grep -q "TPU" /tmp/tpu_probe.log 2>/dev/null; then
   echo "TPU never recovered" | tee -a "$LOG"; exit 1
