@@ -138,8 +138,28 @@ class GreedyDecoder:
 
         return run_graph(self.g, feeds)
 
-    def generate(self, prompt: np.ndarray, n_new: int):
-        """prompt (B, P) int32 -> (tokens (B, n_new) int32, logits list)."""
+    def _choose(self, logits: np.ndarray, temperature: float,
+                top_k: int | None, rng) -> np.ndarray:
+        if temperature <= 0:
+            return np.argmax(logits, axis=-1).astype(np.int32)
+        z = logits.astype(np.float64) / temperature
+        if top_k:
+            kth = np.partition(z, -top_k, axis=-1)[:, -top_k][:, None]
+            z = np.where(z < kth, -np.inf, z)
+        z = z - z.max(axis=-1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=-1, keepdims=True)
+        return np.array([rng.choice(p.shape[-1], p=row) for row in p],
+                        np.int32)
+
+    def generate(self, prompt: np.ndarray, n_new: int,
+                 temperature: float = 0.0, top_k: int | None = None,
+                 seed: int = 0):
+        """prompt (B, P) int32 -> (tokens (B, n_new) int32, logits list).
+
+        temperature=0 is greedy; otherwise top-k/temperature sampling with
+        a seeded host rng (deterministic serving)."""
+        rng = np.random.default_rng(seed)
         bsz = prompt.shape[0]
         kv = self.g.inputs
         cache_shapes = {n.name: n.shape for n in kv
@@ -159,7 +179,7 @@ class GreedyDecoder:
                 caches[f"v{i}"] = np.asarray(outs[1 + self.layers + i])
             step_logits.append(logits)
         toks = []
-        cur = np.argmax(logits, axis=-1).astype(np.int32).reshape(bsz, 1)
+        cur = self._choose(logits, temperature, top_k, rng).reshape(bsz, 1)
         for s in range(n_new):
             toks.append(cur.copy())
             if s == n_new - 1:
@@ -172,5 +192,6 @@ class GreedyDecoder:
                 caches[f"k{i}"] = np.asarray(outs[1 + i])
                 caches[f"v{i}"] = np.asarray(outs[1 + self.layers + i])
             step_logits.append(logits)
-            cur = np.argmax(logits, axis=-1).astype(np.int32).reshape(bsz, 1)
+            cur = self._choose(logits, temperature, top_k,
+                               rng).reshape(bsz, 1)
         return np.concatenate(toks, axis=1), step_logits

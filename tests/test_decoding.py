@@ -103,3 +103,14 @@ def test_quantized_decode_step(model, rng):
     fl = np.asarray(run_graph(qfull, {"input_ids": padded})[0])
     np.testing.assert_array_equal(toks[:, 0],
                                   np.argmax(fl[:, 5, :], axis=-1))
+
+
+def test_sampling_decode(model, rng):
+    full, step = model
+    prompt = rng.integers(0, VOCAB, (B, 3)).astype(np.int32)
+    dec = GreedyDecoder(step, layers=LAYERS)
+    t1, _ = dec.generate(prompt, 4, temperature=0.8, top_k=5, seed=11)
+    t2, _ = dec.generate(prompt, 4, temperature=0.8, top_k=5, seed=11)
+    np.testing.assert_array_equal(t1, t2)  # seeded sampling is deterministic
+    t3, _ = dec.generate(prompt, 4, temperature=0.8, top_k=5, seed=12)
+    assert t1.shape == t3.shape == (B, 4)
