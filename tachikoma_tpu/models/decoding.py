@@ -152,6 +152,24 @@ class GreedyDecoder:
         return np.array([rng.choice(p.shape[-1], p=row) for row in p],
                         np.int32)
 
+    def attach_prefill(self, full_graph: Graph):
+        """One-pass prefill: run the FULL causal graph on the prompt and
+        read the per-layer K/V head tensors out of its intermediate capture
+        (transformer.py names them block{i}_attn_{kh,vh}_t) — seeding the
+        caches in a single program execution instead of P step calls."""
+        from ..runtime.executor import JaxExecutor
+
+        names = []
+        for i in range(self.layers):
+            names += [f"block{i}_attn_kh_t", f"block{i}_attn_vh_t"]
+        missing = [nm for nm in names if nm not in full_graph]
+        if missing:
+            raise ValueError(f"full graph lacks K/V head nodes: {missing}")
+        self._prefill_len = full_graph.inputs[0].shape[1]
+        self._prefill = JaxExecutor(full_graph,
+                                    capture=[full_graph.outputs[0]] + names)
+        return self
+
     def generate(self, prompt: np.ndarray, n_new: int,
                  temperature: float = 0.0, top_k: int | None = None,
                  seed: int = 0):
@@ -168,24 +186,42 @@ class GreedyDecoder:
                   for nm, sh in cache_shapes.items()}
         logits = None
         step_logits = []
-        # prefill token-by-token through the same step program
-        for p in range(prompt.shape[1]):
-            feeds = {"token": prompt[:, p:p + 1], "pos": np.int32(p),
-                     **caches}
-            outs = self._run(feeds)
-            logits = np.asarray(outs[0])
+        P = prompt.shape[1]
+        if getattr(self, "_prefill", None) is not None:
+            # single-pass prefill through the full graph (right-padded;
+            # causal masking makes the padding positions irrelevant)
+            padded = np.zeros((bsz, self._prefill_len), np.int32)
+            padded[:, :P] = prompt
+            outs = self._prefill.run({self._prefill.graph.inputs[0].name:
+                                      padded})
+            full_logits = np.asarray(outs[0])
             for i in range(self.layers):
-                caches[f"k{i}"] = np.asarray(outs[1 + i])
-                caches[f"v{i}"] = np.asarray(outs[1 + self.layers + i])
-            step_logits.append(logits)
+                kh = np.asarray(outs[1 + 2 * i])       # (B,H,S,hd)
+                vh = np.asarray(outs[2 + 2 * i])
+                L = caches[f"k{i}"].shape[2]
+                caches[f"k{i}"][:, :, :min(P, L), :] = kh[:, :, :P][:, :, :L]
+                caches[f"v{i}"][:, :, :min(P, L), :] = vh[:, :, :P][:, :, :L]
+            for p in range(P):
+                step_logits.append(full_logits[:, p, :])
+            logits = full_logits[:, P - 1, :]
+        else:
+            # prefill token-by-token through the same step program
+            for p in range(P):
+                feeds = {"token": prompt[:, p:p + 1], "pos": np.int32(p),
+                         **caches}
+                outs = self._run(feeds)
+                logits = np.asarray(outs[0])
+                for i in range(self.layers):
+                    caches[f"k{i}"] = np.asarray(outs[1 + i])
+                    caches[f"v{i}"] = np.asarray(outs[1 + self.layers + i])
+                step_logits.append(logits)
         toks = []
         cur = self._choose(logits, temperature, top_k, rng).reshape(bsz, 1)
         for s in range(n_new):
             toks.append(cur.copy())
             if s == n_new - 1:
                 break
-            feeds = {"token": cur, "pos": np.int32(prompt.shape[1] + s),
-                     **caches}
+            feeds = {"token": cur, "pos": np.int32(P + s), **caches}
             outs = self._run(feeds)
             logits = np.asarray(outs[0])
             for i in range(self.layers):

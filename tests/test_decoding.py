@@ -114,3 +114,17 @@ def test_sampling_decode(model, rng):
     np.testing.assert_array_equal(t1, t2)  # seeded sampling is deterministic
     t3, _ = dec.generate(prompt, 4, temperature=0.8, top_k=5, seed=12)
     assert t1.shape == t3.shape == (B, 4)
+
+
+def test_full_graph_prefill_matches_stepwise(model, rng):
+    """One-pass prefill (full graph + K/V capture) produces the same
+    caches/tokens as token-by-token stepping."""
+    full, step = model
+    prompt = rng.integers(0, VOCAB, (B, 5)).astype(np.int32)
+    stepwise = GreedyDecoder(step, layers=LAYERS)
+    fast = GreedyDecoder(step, layers=LAYERS).attach_prefill(full)
+    t1, l1 = stepwise.generate(prompt, 4)
+    t2, l2 = fast.generate(prompt, 4)
+    np.testing.assert_array_equal(t1, t2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
