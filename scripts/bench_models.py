@@ -61,6 +61,16 @@ def build(name):
         x = rng.integers(0, 50257, (1, 128)).astype(np.int32)
         cfg = TRANSFORMER_INT8_SCAN if name == "gpt2_scan" else TRANSFORMER_INT8
         qg = quantize(g, [x], config=cfg)
+    elif name == "gpt2_decode":
+        # serving: KV-cache decode-step latency -> tokens/s (float graph;
+        # the step program is ONE compiled call per token)
+        from tachikoma_tpu.models.decoding import gpt2_decode_step
+        from tachikoma_tpu.models.transformer import gpt2_small
+
+        full = gpt2_small(batch_size=1, seq_len=128)
+        step = gpt2_decode_step(full, batch_size=1, max_len=128)
+        x = rng.integers(0, 50257, (1, 1)).astype(np.int32)
+        return ("decode", step), x
     elif name == "bert":
         g = bert(batch_size=4, seq_len=128)
         x = rng.integers(0, 30522, (4, 128)).astype(np.int32)
@@ -75,6 +85,36 @@ def build(name):
 SEGMENTED = {"vit", "vitl", "gpt2", "vitl_scan", "gpt2_scan"}
 
 
+def bench_decode(step, x):
+    """Steady-state decode-step latency with a REAL serving dependence:
+    the next token is the argmax of the previous logits (async dispatches
+    chain; one final fetch syncs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tachikoma_tpu.runtime.executor import JaxExecutor
+    from tachikoma_tpu.utils.timing import per_iter_host_chain
+
+    ex = JaxExecutor(step)
+    fn0, params = ex.make_jit_fn()
+    L = step.inputs[2].shape[2]
+    caches = {n.name: jax.device_put(np.zeros(n.shape, np.float32))
+              for n in step.inputs if n.name[0] in "kv"
+              and n.name[1:].isdigit()}
+    pos = jax.device_put(np.int32(L // 2))
+
+    def run_once(tok):
+        outs = fn0(params, {"token": tok, "pos": pos, **caches})
+        return outs[0]
+
+    fb = jax.jit(lambda tok, logits: jnp.argmax(
+        logits, axis=-1).astype(jnp.int32).reshape(1, 1))
+    per = per_iter_host_chain(run_once, jax.device_put(x), fb, repeats=3)
+    print(f"gpt2_decode: {per*1e3:.3f} ms/token = {1/per:.1f} tokens/s",
+          flush=True)
+    return per
+
+
 def bench(name):
     import jax
 
@@ -83,6 +123,8 @@ def bench(name):
 
     t0 = time.time()
     fg, x = build(name)
+    if isinstance(fg, tuple) and fg[0] == "decode":
+        return bench_decode(fg[1], x)
     print(f"{name}: built+quantized+fused in {time.time()-t0:.0f}s", flush=True)
 
     if x.dtype == np.int32:

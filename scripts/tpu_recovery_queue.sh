@@ -38,7 +38,7 @@ timeout 2700 python -u scripts/bench_models.py resnet50 mobilenet bert >>"$LOG" 
 sleep 30
 timeout 2700 python -u scripts/bench_models.py vit_b vitl gpt2 >>"$LOG" 2>&1
 sleep 30
-timeout 2700 python -u scripts/bench_models.py vitl_scan gpt2_scan >>"$LOG" 2>&1
+timeout 2700 python -u scripts/bench_models.py vitl_scan gpt2_scan gpt2_decode >>"$LOG" 2>&1
 sleep 30
 
 stage "bench.py (driver metric)"
