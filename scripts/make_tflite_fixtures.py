@@ -98,8 +98,41 @@ def convert(model, shape, name, seed=0):
           f"out shape {y.shape}")
 
 
+def convert_16x8(model, shape, name, seed=0):
+    """Full-integer 16x8 export (int16 activations, int8 weights)."""
+    import tensorflow as tf
+
+    rng = np.random.default_rng(seed)
+
+    def rep():
+        for _ in range(8):
+            yield [rng.standard_normal(shape).astype(np.float32)]
+
+    conv = tf.lite.TFLiteConverter.from_keras_model(model)
+    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+    conv.representative_dataset = rep
+    conv.target_spec.supported_ops = [
+        tf.lite.OpsSet
+        .EXPERIMENTAL_TFLITE_BUILTINS_ACTIVATIONS_INT16_WEIGHTS_INT8]
+    blob = conv.convert()
+    os.makedirs(FIX, exist_ok=True)
+    with open(os.path.join(FIX, f"{name}.tflite"), "wb") as f:
+        f.write(blob)
+    interp = tf.lite.Interpreter(model_content=blob)
+    interp.allocate_tensors()
+    (inp,), (out,) = interp.get_input_details(), interp.get_output_details()
+    x = rng.standard_normal(tuple(inp["shape"])).astype(np.float32)
+    interp.set_tensor(inp["index"], x)
+    interp.invoke()
+    y = interp.get_tensor(out["index"])
+    np.savez(os.path.join(FIX, f"{name}_io.npz"), x=x, y=y)
+    print(f"{name}: {len(blob)} bytes, in {inp['dtype']}, out {out['dtype']}")
+
+
 def main():
     which = sys.argv[1:] or ["small_cnn", "mobilenet_v2"]
+    if "small_cnn_16x8" in which:
+        convert_16x8(*small_cnn(), "small_cnn_16x8", seed=3)
     if "small_cnn" in which:
         convert(*small_cnn(), "small_cnn_int8")
     if "mobilenet_v2" in which:

@@ -239,12 +239,16 @@ class _TFLiteImporter:
             return
 
         kzp = w_q.zero_point
+        # 16x8 mode: int16 activations accumulate in int64
+        # (reference tflite.py convert_conv: out_dtype "int64" if the
+        # output tensor is int16)
+        acc_dtype = "int64" if out_dtype == "int16" else "int32"
         out = self.b.call(
             "qnn.conv2d", x, wn, strides=(stride_h, stride_w), padding=pad,
             dilation=(dil_h, dil_w), groups=groups,
             input_zero_point=in_q.scalar_zp,
             kernel_zero_point=(kzp if np.ndim(kzp) else int(kzp)),
-            out_dtype="int32")
+            out_dtype=acc_dtype)
         if len(ins) > 2 and int(ins[2]) >= 0:
             bias = self.const_value(int(ins[2]))
             out = self.b.call("nn.bias_add", out,
@@ -291,11 +295,12 @@ class _TFLiteImporter:
             return
 
         kzp = w_q.zero_point
+        acc_dtype = "int64" if out_dtype == "int16" else "int32"
         out = self.b.call("qnn.dense", x, wn,
                           input_zero_point=in_q.scalar_zp,
                           kernel_zero_point=(kzp if np.ndim(kzp)
                                              else int(kzp)),
-                          out_dtype="int32")
+                          out_dtype=acc_dtype)
         if len(ins) > 2 and int(ins[2]) >= 0:
             out = self.b.call(
                 "nn.bias_add", out,

@@ -152,3 +152,18 @@ def test_in_tree_reader_matches_tf_schema():
         np.testing.assert_array_equal(op.inputs(), top.InputsAsNumpy())
         np.testing.assert_array_equal(op.outputs(), top.OutputsAsNumpy())
         assert op.builtin_options_type() == top.BuiltinOptionsType()
+
+
+def test_16x8_mode_import():
+    """TFLite 16x8 (int16 activations, int8 weights): imports with int64
+    accumulators (reference convert_conv: out_dtype int64 for int16) and
+    matches the real TFLite interpreter within one int16 output quantum."""
+    g = from_tflite(os.path.join(FIX, "small_cnn_16x8.tflite"))
+    dts = {n.dtype for n in g.nodes if n.dtype}
+    assert "int16" in dts and "int64" in dts, dts
+    io = np.load(os.path.join(FIX, "small_cnn_16x8_io.npz"))
+    x, want = io["x"], io["y"]
+    got = run_graph(g, x)[0]
+    assert np.abs(got - want).max() <= 1.0 / (1 << 15) + 1e-9
+    j = run_graph_jax(g, x)[0]
+    np.testing.assert_allclose(got, j, rtol=1e-6, atol=1e-7)
