@@ -1028,7 +1028,8 @@ def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
                         taps: tuple, wph: int, bm: int, pad: int, n_k: int,
                         off_base: int, frame_out: bool, out_zp: int,
                         rounding: str, qmin: int, qmax: int,
-                        shift_values: tuple):
+                        shift_values: tuple, res_ref=None,
+                        res_add: tuple | None = None):
     """Base flat kernel + frame plumbing.
 
     Frame format: array row a holds frame row g = a - bm (a bm-row lead
@@ -1080,6 +1081,28 @@ def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
         if out_zp:
             v = v + jnp.int32(out_zp)
         v = jnp.clip(v, jnp.int32(qmin), jnp.int32(qmax))
+        if res_add is not None:
+            # fused qnn.add epilogue (the reference tachikoma runtime's
+            # conv "sum" post-op, tachikoma_json_runtime.cc:292-388):
+            # requantize BOTH sides to the add's output params exactly as
+            # ops/qnn.py _qadd_like, then add, subtract zo, clip
+            (l_skip, lm, ls, lzp, r_skip, rm, rs, rzp, zo, lo2, hi2,
+             add_rounding) = res_add
+            if l_skip:
+                ql = v
+            else:
+                ql = q_multiply_shift_select(
+                    v - jnp.int32(lzp), jnp.int32(lm), jnp.int32(ls),
+                    (int(ls),), add_rounding) + jnp.int32(zo)
+            r = res_ref[...].astype(jnp.int32)
+            if r_skip:
+                qr = r
+            else:
+                qr = q_multiply_shift_select(
+                    r - jnp.int32(rzp), jnp.int32(rm), jnp.int32(rs),
+                    (int(rs),), add_rounding) + jnp.int32(zo)
+            v = jnp.clip(ql + qr - jnp.int32(zo),
+                         jnp.int32(lo2), jnp.int32(hi2))
         if frame_out:
             v = jnp.where(vmask_ref[...] != 0, v, jnp.int32(out_zp))
         o_ref[...] = v.astype(o_ref.dtype)
@@ -1105,7 +1128,8 @@ def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
 def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
                            bm, bn, bk, wslack, off_base,
                            frame_out, out_zp, rounding, qmin, qmax,
-                           out_dtype, shift_values, interpret):
+                           out_dtype, shift_values, interpret,
+                           res_add: tuple | None = None):
     """One chain stage: x (fhx_in, cin_p) int8 -> out int8, either a frame
     (mp + 2*bm rows: out_zp lead margin + mp computed rows + unwritten
     tail) or a plain (mp, cout_p) block."""
@@ -1119,13 +1143,18 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
     grid_m = (mp + bm if frame_out else mp) // bm
     grid = (grid_m, cout_p // bn, n_k)
     taps = tuple((a, b) for a in range(khp) for b in range(kwp))
-    kernel = functools.partial(
+    base = functools.partial(
         _flat_conv_kernel_f,
         taps=taps, wph=wph, bm=bm, pad=wslack, n_k=n_k,
         off_base=off_base, frame_out=frame_out,
         out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
-        shift_values=shift_values,
+        shift_values=shift_values, res_add=res_add,
     )
+    if res_add is not None:
+        def kernel(x, w, b, m, sr, vm, res, o, acc):
+            base(x, w, b, m, sr, vm, o, acc, res_ref=res)
+    else:
+        kernel = base
     kw_extra = {}
     if not interpret:
         kw_extra["compiler_params"] = pltpu.CompilerParams(
@@ -1155,7 +1184,8 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
                 # array carries a bm-row lead so block i aligns with the
                 # shifted output rows
                 pl.BlockSpec((bm, bn), lambda i, j, k: (i, 0)),
-            ],
+            ] + ([pl.BlockSpec((bm, bn), lambda i, j, k: (i, j))]
+                 if res_add is not None else []),
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         ),
@@ -1186,7 +1216,8 @@ def chain_frame_geometry(n, h, w, stages, bm=512):
     return wph, hp, fh, mp, fhx0, slack0
 
 
-def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None):
+def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
+                       residual=None, res_params: dict | None = None):
     """Run a chain of stride-1, same-spatial-size, fused-requantize convs
     through frame-resident Pallas kernels.
 
@@ -1196,6 +1227,14 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None):
       rounding, qmin, qmax, padding (pt, pl, pb, pr) with SAME spatial
       output (OH == H, OW == W).
     Returns (N, H, W, COUT_last) int8.
+
+    residual/res_params: fused qnn.add epilogue on the LAST stage (the
+    reference's conv "sum" post-op): residual (N,H,W,COUT_last) int8 is
+    requantized and added in-register before the single int8 store —
+    the chain output never round-trips HBM.  res_params carries the
+    qnn.add attrs: lhs_scale/lhs_zero_point (the chain output's qparams),
+    rhs_scale/rhs_zero_point, output_scale/output_zero_point,
+    rounding, a_min, a_max.  Exact: bit-identical to chain -> qnn.add.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -1294,14 +1333,49 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None):
                  (256 if ci_p % 256 == 0 else 128))
         bn = max(d for d in (512, 256, 128)
                  if d <= min(bn_cap, co_p) and co_p % d == 0)
+        res_add = None
+        res_flat = None
+        if si == last and residual is not None:
+            rp = dict(res_params)
+            from .qms32 import plan_requantize as _plan
+
+            so = float(rp["output_scale"])
+            zo = int(rp.get("output_zero_point", 0))
+            sc = float(rp["lhs_scale"])
+            zc = int(rp.get("lhs_zero_point", 0))
+            sr = float(rp["rhs_scale"])
+            zr = int(rp.get("rhs_zero_point", 0))
+            l_skip = (sc == so and zc == zo)
+            r_skip = (sr == so and zr == zo)
+            lm, ls = (0, 0) if l_skip else _plan(sc, so)
+            rm, rs = (0, 0) if r_skip else _plan(sr, so)
+            info8 = (-128, 127)
+            lo2 = max(int(rp.get("a_min", info8[0])), info8[0])
+            hi2 = min(int(rp.get("a_max", info8[1])), info8[1])
+            res_add = (l_skip, int(lm), int(ls), zc, r_skip, int(rm),
+                       int(rs), zr, zo, lo2, hi2,
+                       rp.get("rounding", "UPWARD"))
+            # residual in the same flat geometry as the (plain) output
+            rpad = jnp.pad(
+                jnp.asarray(residual),
+                ((0, 0), (0, hp - h), (0, wph - wd), (0, co_p - co)),
+                constant_values=np.int8(zr))
+            res_flat = rpad.reshape(n * fh, co_p)
+            if res_flat.shape[0] < mp:
+                res_flat = jnp.pad(res_flat,
+                                   ((0, mp - res_flat.shape[0]), (0, 0)))
         fn = _build_flat_conv_frame(
             mp, cur_rows, ci_p, co_p, kh, kw_, wph, bm, bn, bk, wslack,
             off_base, out_frame, int(st.get("out_zp", 0)),
             st.get("rounding", "UPWARD"), int(st.get("qmin", -128)),
-            int(st.get("qmax", 127)), "int8", shift_values, interpret)
+            int(st.get("qmax", 127)), "int8", shift_values, interpret,
+            res_add=res_add)
         with _x32_tracing():
-            cur = fn(cur, wfull, b1, m1, s1,
-                     vmask_frame if out_frame else vmask_plain)
+            if res_add is not None:
+                cur = fn(cur, wfull, b1, m1, s1, vmask_plain, res_flat)
+            else:
+                cur = fn(cur, wfull, b1, m1, s1,
+                         vmask_frame if out_frame else vmask_plain)
         if si != last:
             cur_rows = mp + 2 * bm
             cur_lead = bm

@@ -81,7 +81,7 @@ def fuse_qnn(graph: Graph) -> Graph:
                 consumed.add(t.name)
 
     if not chains:
-        return fuse_conv_chains(g)
+        return fuse_chain_residual(fuse_conv_chains(g))
 
     b = GraphBuilder(g.name)
     mapping: dict[str, str] = {}
@@ -173,8 +173,8 @@ def fuse_qnn(graph: Graph) -> Graph:
             continue
         ins = [mapping[i] for i in n.inputs]
         mapping[n.name] = b.call(n.op, *ins, name=n.name, **dict(n.attrs))
-    return fuse_conv_chains(
-        infer_types(b.build([mapping[o] for o in g.outputs])))
+    return fuse_chain_residual(fuse_conv_chains(
+        infer_types(b.build([mapping[o] for o in g.outputs]))))
 
 
 # ---------------------------------------------------------------------------
@@ -560,8 +560,97 @@ def fuse_conv_chains(graph: Graph) -> Graph:
     return infer_types(b.build([mapping[o] for o in g.outputs]))
 
 
+def fuse_chain_residual(graph: Graph) -> Graph:
+    """Fold a residual qnn.add (+ optional clip) into the preceding
+    tk.conv2d_chain's last-stage epilogue (the reference's conv "sum"
+    post-op, `tachikoma_json_runtime.cc:292-388`): the chain output never
+    round-trips HBM before the add.  Exact: the fused epilogue reproduces
+    ops/qnn.py _qadd_like bit-for-bit (tests/test_conv_chain.py)."""
+    import os
+
+    if os.environ.get("TK_DISABLE_CHAINS"):
+        return graph
+    g = graph
+    users = g.users()
+    outs = set(g.outputs)
+
+    def single_user(name):
+        if name in outs:
+            return None
+        u = users.get(name, ())
+        return g[u[0]] if len(u) == 1 else None
+
+    # keyed by the ADD node (the fusion emits there: the residual operand
+    # can be topologically AFTER the chain, so the fused node must sit at
+    # the add's position, where both are available)
+    fused: dict[str, tuple] = {}
+    consumed: set[str] = set()
+    for n in g.nodes:
+        if n.op != "tk.conv2d_chain" or n.attrs.get("res_add"):
+            continue
+        add = single_user(n.name)
+        if add is None or add.op != "qnn.add":
+            continue
+        if add.attrs.get("out_dtype", "int8") != "int8":
+            continue
+        if add.inputs[0] == n.name:
+            res, lhs_keys = add.inputs[1], ("lhs", "rhs")
+        else:
+            res, lhs_keys = add.inputs[0], ("rhs", "lhs")
+        if res == n.name:
+            continue  # self-add
+        clip = single_user(add.name)
+        clip = clip if clip is not None and clip.op == "clip" else None
+        fused[add.name] = (n, clip, res, lhs_keys)
+        consumed.add(n.name)
+        if clip is not None:
+            consumed.add(clip.name)
+
+    if not fused:
+        return g
+
+    b = GraphBuilder(g.name)
+    mapping: dict[str, str] = {}
+    for n in g.nodes:
+        if n.is_var:
+            mapping[n.name] = b.var(n.name, n.shape, n.dtype)
+        elif n.is_const:
+            mapping[n.name] = b.const(g.params[n.name], name=n.name)
+    for n in g.nodes:
+        if n.name in mapping or n.name in consumed:
+            continue
+        if n.name in fused:
+            chain, clip, res, (ck, rk) = fused[n.name]
+            add = n
+            aa = dict(add.attrs)
+            ra = {
+                "lhs_scale": float(aa[f"{ck}_scale"]),
+                "lhs_zero_point": int(aa.get(f"{ck}_zero_point", 0)),
+                "rhs_scale": float(aa[f"{rk}_scale"]),
+                "rhs_zero_point": int(aa.get(f"{rk}_zero_point", 0)),
+                "output_scale": float(aa["output_scale"]),
+                "output_zero_point": int(aa.get("output_zero_point", 0)),
+                "rounding": aa.get("rounding", "UPWARD"),
+            }
+            if clip is not None:
+                ra["a_min"] = int(clip.attrs["a_min"])
+                ra["a_max"] = int(clip.attrs["a_max"])
+            tail = clip or add
+            ins = [mapping[i] for i in chain.inputs] + [mapping[res]]
+            attrs = dict(chain.attrs)
+            attrs["res_add"] = ra
+            out = b.call("tk.conv2d_chain", *ins, name=tail.name, **attrs)
+            for t in (chain, add, clip):
+                if t is not None:
+                    mapping[t.name] = out
+            continue
+        ins = [mapping[i] for i in n.inputs]
+        mapping[n.name] = b.call(n.op, *ins, name=n.name, **dict(n.attrs))
+    return infer_types(b.build([mapping[o] for o in g.outputs]))
+
+
 def _chain_split_args(node: Node, args):
-    """args -> (data, [(w, bias|None) per stage])."""
+    """args -> (data, [(w, bias|None) per stage], residual|None)."""
     data = args[0]
     rest = list(args[1:])
     out = []
@@ -569,7 +658,8 @@ def _chain_split_args(node: Node, args):
         w = rest.pop(0)
         bias = rest.pop(0) if st.get("has_bias") else None
         out.append((w, bias))
-    return data, out
+    residual = rest.pop(0) if node.attrs.get("res_add") else None
+    return data, out, residual
 
 
 def _chain_stage_node(st: dict, name: str) -> Node:
@@ -592,24 +682,51 @@ def _chain_stage_node(st: dict, name: str) -> Node:
 @infer_rule("tk.conv2d_chain")
 def _chain_rel(node, ins):
     (ds, _) = ins[0]
-    # weights appear in order; last stage's cout is the output channel count
-    w_idx = 0
+    # weights appear in order; last stage's cout is the output channel
+    # count; an optional trailing residual input (res_add attr) must match
     arg = 1
     cout = None
     for st in node.attrs["stages"]:
         cout = ins[arg][0][3]
         arg += 2 if st.get("has_bias") else 1
+    if node.attrs.get("res_add"):
+        (rs, rdt) = ins[arg]
+        assert tuple(rs) == (ds[0], ds[1], ds[2], cout),             f"residual shape {rs} != chain output"
     return (ds[0], ds[1], ds[2], cout), "int8"
+
+
+def _res_add_np(cur, residual, ra: dict):
+    """Exact qnn.add epilogue (ops/qnn.py _qadd_like semantics)."""
+    from ..ops.fixed_point import requantize_np
+
+    so = float(ra["output_scale"])
+    zo = int(ra.get("output_zero_point", 0))
+
+    def req(v, sc, zc):
+        if float(sc) == so and int(zc) == zo:
+            return v.astype(np.int32)
+        return requantize_np(v.astype(np.int32), float(sc), int(zc), so, zo,
+                             rounding=ra.get("rounding", "UPWARD"),
+                             out_dtype="int32")
+
+    ql = req(cur, ra["lhs_scale"], ra.get("lhs_zero_point", 0))
+    qr = req(residual, ra["rhs_scale"], ra.get("rhs_zero_point", 0))
+    lo = max(int(ra.get("a_min", -128)), -128)
+    hi = min(int(ra.get("a_max", 127)), 127)
+    return np.clip(ql + qr - np.int32(zo), lo, hi).astype(np.int8)
 
 
 @np_impl("tk.conv2d_chain")
 def _chain_np(*args, node: Node):
-    data, stages = _chain_split_args(node, args)
+    data, stages, residual = _chain_split_args(node, args)
     cur = data
     for st, (w, bias) in zip(node.attrs["stages"], stages):
         shadow = _chain_stage_node(st, node.name + "_st")
         sargs = (cur, w) if bias is None else (cur, w, bias)
         cur = get_op("tk.conv2d_rq").np_impl(*sargs, node=shadow)
+    if residual is not None:
+        cur = _res_add_np(np.asarray(cur), np.asarray(residual),
+                          dict(node.attrs["res_add"]))
     return cur
 
 
@@ -619,7 +736,8 @@ def _chain_jax(*args, node: Node):
 
     import jax
 
-    data, wb = _chain_split_args(node, args)
+    data, wb, residual = _chain_split_args(node, args)
+    ra = dict(node.attrs["res_add"]) if node.attrs.get("res_add") else None
     if jax.devices()[0].platform == "tpu" or os.environ.get("TK_FORCE_PALLAS"):
         from ..ops.pallas.conv_flat import chain_workload, qconv2d_flat_chain
         from ..tune.database import lookup_config
@@ -644,12 +762,34 @@ def _chain_jax(*args, node: Node):
                 qmax=min(int(st.get("a_max", info.max)), info.max),
                 padding=tuple(st["padding"]),
             ))
-        return qconv2d_flat_chain(data, stages, bm=bm, bn_cap=bn_cap)
+        return qconv2d_flat_chain(data, stages, bm=bm, bn_cap=bn_cap,
+                                  residual=residual, res_params=ra)
     cur = data
     for st, (w, bias) in zip(node.attrs["stages"], wb):
         shadow = _chain_stage_node(st, node.name + "_st")
         sargs = (cur, w) if bias is None else (cur, w, bias)
         cur = get_op("tk.conv2d_rq").jax_impl(*sargs, node=shadow)
+    if residual is not None:
+        import jax.numpy as jnp
+
+        from ..ops.fixed_point import requantize_jnp
+
+        so = float(ra["output_scale"])
+        zo = int(ra.get("output_zero_point", 0))
+
+        def req(v, sc, zc):
+            if float(sc) == so and int(zc) == zo:
+                return v.astype(jnp.int32)
+            return requantize_jnp(v.astype(jnp.int32), float(sc), int(zc),
+                                  so, zo,
+                                  rounding=ra.get("rounding", "UPWARD"),
+                                  out_dtype="int32")
+
+        ql = req(cur, ra["lhs_scale"], ra.get("lhs_zero_point", 0))
+        qr = req(residual, ra["rhs_scale"], ra.get("rhs_zero_point", 0))
+        lo = max(int(ra.get("a_min", -128)), -128)
+        hi = min(int(ra.get("a_max", 127)), 127)
+        cur = jnp.clip(ql + qr - jnp.int32(zo), lo, hi).astype(jnp.int8)
     return cur
 
 

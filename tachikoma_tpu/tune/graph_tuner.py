@@ -31,8 +31,11 @@ from .database import NO_ERROR, TuneDatabase, TuneRecord
 
 
 def chain_runs(fused: Graph) -> list[str]:
-    """Names of tk.conv2d_chain nodes in a fused graph (the decisions)."""
-    return [n.name for n in fused.nodes if n.op == "tk.conv2d_chain"]
+    """Names of tk.conv2d_chain nodes in a fused graph (the decisions).
+    Chains with a fused residual epilogue (res_add) are excluded — undoing
+    them would need the qnn.add re-materialized."""
+    return [n.name for n in fused.nodes
+            if n.op == "tk.conv2d_chain" and not n.attrs.get("res_add")]
 
 
 def apply_variant(graph: Graph, fused: Graph, disabled: set[str]) -> Graph:
@@ -64,7 +67,8 @@ def apply_variant(graph: Graph, fused: Graph, disabled: set[str]) -> Graph:
                 mapping[n.name] = b.var(n.name, n.shape, n.dtype)
             elif n.is_const:
                 mapping[n.name] = b.const(full.params[n.name], name=n.name)
-            elif n.op == "tk.conv2d_chain" and n.name in disabled:
+            elif (n.op == "tk.conv2d_chain" and n.name in disabled
+                  and not n.attrs.get("res_add")):
                 cur = mapping[n.inputs[0]]
                 arg = 1
                 for si, st in enumerate(n.attrs["stages"]):

@@ -175,3 +175,49 @@ def test_chain_graph_traces(rng):
     blob_jx = emit_trace(fg, calib[0], backend="jax")
     assert blob_np == blob_jx
     assert verify_trace(blob_np, fg)["mismatches"] == []
+
+
+def test_graph_level_residual_fusion(rng):
+    """Residual bottleneck: the qnn.add (+clip) after a chain folds into
+    the chain's last-stage epilogue (res_add); oracle == XLA == the
+    unfused graph, bit-exact."""
+    import os
+
+    from tachikoma_tpu import GraphBuilder, infer_types, run_graph
+    from tachikoma_tpu.quantize.quantizer import quantize
+    from tachikoma_tpu.runtime.executor import JaxExecutor
+    from tachikoma_tpu.runtime.fuse import fuse_qnn
+
+    b = GraphBuilder()
+    x = b.var("x", (2, 12, 12, 16), "float32")
+
+    def conv(src, cin, cout, name, relu=True):
+        w = b.const(rng.standard_normal((3, 3, cin, cout)).astype(np.float32)
+                    * 0.2, name + "_w")
+        c = b.call("nn.conv2d", src, w, padding=(1, 1, 1, 1), name=name)
+        return b.call("nn.relu", c) if relu else c
+
+    h1 = conv(conv(x, 16, 16, "c1"), 16, 16, "c2", relu=False)
+    res = b.call("add", h1, x, name="res")      # residual join
+    h2 = b.call("nn.relu", res)
+    g = infer_types(b.build(h2))
+    calib = [rng.standard_normal((2, 12, 12, 16)).astype(np.float32)
+             for _ in range(2)]
+    qg = quantize(g, calib)
+    fg = fuse_qnn(qg)
+    chains = [n for n in fg.nodes if n.op == "tk.conv2d_chain"]
+    assert chains and any(n.attrs.get("res_add") for n in chains), \
+        [n.op for n in fg.nodes]
+    assert not any(n.op == "qnn.add" for n in fg.nodes)
+
+    o = run_graph(fg, calib[0])
+    u = run_graph(qg, calib[0])
+    os.environ["TK_FORCE_PALLAS"] = "1"
+    try:
+        j = JaxExecutor(fg).run(calib[0])
+    finally:
+        os.environ.pop("TK_FORCE_PALLAS", None)
+    for a, w_, c in zip(o, u, j):
+        a, w_, c = np.asarray(a), np.asarray(w_), np.asarray(c)
+        assert (a == w_).all(), "fused residual chain != unfused oracle"
+        assert (a == c).all(), "oracle != Pallas path"
