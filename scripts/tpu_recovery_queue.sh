@@ -36,9 +36,13 @@ sleep 30
 stage "models e2e (incl. segmented vitl/gpt2)"
 timeout 2700 python -u scripts/bench_models.py resnet50 mobilenet bert >>"$LOG" 2>&1
 sleep 30
-timeout 2700 python -u scripts/bench_models.py vit_b vitl gpt2 >>"$LOG" 2>&1
+timeout 1800 python -u scripts/bench_models.py vit_b >>"$LOG" 2>&1
 sleep 30
-timeout 2700 python -u scripts/bench_models.py vitl_scan gpt2_scan gpt2_decode >>"$LOG" 2>&1
+timeout 2700 python -u scripts/bench_models.py vitl >>"$LOG" 2>&1
+sleep 30
+timeout 2700 python -u scripts/bench_models.py gpt2 gpt2_decode >>"$LOG" 2>&1
+sleep 30
+timeout 2700 python -u scripts/bench_models.py vitl_scan gpt2_scan >>"$LOG" 2>&1
 sleep 30
 
 stage "bench.py (driver metric)"
