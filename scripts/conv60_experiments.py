@@ -20,6 +20,19 @@ import numpy as np
 V5E_INT8_TOPS = 394.7
 
 
+def _db():
+    from tachikoma_tpu.tune.database import TuneDatabase
+
+    return TuneDatabase("tachikoma_tpu/tune/tophub_v5e.jsonl")
+
+
+def _record(db, workload, cfg, t, macs):
+    from tachikoma_tpu.tune.database import NO_ERROR, TuneRecord
+
+    db.add(TuneRecord(workload, cfg, t * 1e3, NO_ERROR,
+                      "", meta={"tops": round(tops(macs, t), 2)}))
+
+
 def tops(macs, t):
     return 2 * macs / t / 1e12
 
@@ -42,6 +55,9 @@ def phase_a():
     ]
     rng = np.random.default_rng(0)
     m, s = plan_requantize(0.0004, 0.05)
+    db = _db()
+    from tachikoma_tpu.ops.pallas.conv_flat import flat_conv_workload
+
     results = []
     for (n, h, w, cin, cout, k) in geoms:
         x = jnp.asarray(rng.integers(-127, 127, (n, h, w, cin)).astype(np.int8))
@@ -70,6 +86,13 @@ def phase_a():
                     continue
                 tp = tops(macs, t)
                 results.append((f"{h}x{w}x{cin}", layout, blocks, tp))
+                cfg = ({"blocks": list(blocks)} if blocks
+                       else {"kernel": "auto"})
+                if layout:
+                    cfg["layout"] = layout
+                _record(db, flat_conv_workload(n, h, w, cin, cout, k, k,
+                                               (1, 1), True, 1),
+                        cfg, t, macs)
                 print(f"A {n}x{h}x{w}x{cin}->{cout} k{k} layout={layout} "
                       f"blocks={blocks}: {t*1e6:.1f} us = {tp:.1f} TOPS "
                       f"({100*frac(tp):.1f}%)", flush=True)
@@ -174,6 +197,9 @@ def phase_c():
         print(f"C s2 phase-split alone: FAIL {type(e).__name__}", flush=True)
 
     # BERT-shape dense (skinny M)
+    db = _db()
+    from tachikoma_tpu.tune.tuner import matmul_workload
+
     for (M, K, N) in [(512, 768, 768), (512, 768, 3072), (512, 3072, 768),
                       (512, 768, 2304)]:
         A = jnp.asarray(rng.integers(-127, 127, (M, K)).astype(np.int8))
@@ -194,6 +220,10 @@ def phase_c():
                 print(f"C dense {M}x{K}x{N} blocks={blocks}: FAIL "
                       f"{type(e).__name__}", flush=True)
                 continue
+            _record(db, matmul_workload(M, K, N, True),
+                    ({"impl": "xla"} if blocks == "xla"
+                     else {"blocks": list(blocks)} if blocks
+                     else {"kernel": "auto"}), t, macs)
             print(f"C dense {M}x{K}x{N} blocks={blocks}: {t*1e6:.1f} us = "
                   f"{tops(macs, t):.1f} TOPS ({100*frac(tops(macs, t)):.1f}%)",
                   flush=True)
