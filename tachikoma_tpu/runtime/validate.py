@@ -88,6 +88,8 @@ def audit_int32_overflow(graph: Graph, inputs) -> list[OverflowFinding]:
         if op not in _ACCUM_OPS:
             return
         node = g[name]
+        if node.attrs.get("out_dtype", "int32") == "int64":
+            return  # W8A16: int64 accumulation is the design, not overflow
         # recompute in int64 with the same kernel semantics minus truncation
         od = get_op(op)
         wide = od.np_impl(*[a for a in args], node=node.with_(

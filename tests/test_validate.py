@@ -60,3 +60,18 @@ def test_viz_outputs(rng):
     assert dot.startswith("digraph") and '"conv1"' in dot and "->" in dot
     txt = render_text(g)
     assert "lenet5" in txt and "nn.conv2d" in txt
+
+
+def test_overflow_audit_accepts_w8a16(rng):
+    """int64 accumulators (the W8A16 design) must not be reported as
+    int32 overflows."""
+    from tachikoma_tpu import GraphBuilder, infer_types
+    from tachikoma_tpu.runtime.validate import audit_int32_overflow
+
+    b = GraphBuilder()
+    x = b.var("x", (2, 64), "int16")
+    w = b.const(rng.integers(-127, 127, (64, 32)).astype(np.int8), "w")
+    acc = b.call("qnn.dense", x, w, out_dtype="int64")
+    g = infer_types(b.build(acc))
+    xin = rng.integers(-30000, 30000, (2, 64)).astype(np.int16)
+    assert audit_int32_overflow(g, xin) == []
