@@ -167,3 +167,20 @@ def test_16x8_mode_import():
     assert np.abs(got - want).max() <= 1.0 / (1 << 15) + 1e-9
     j = run_graph_jax(g, x)[0]
     np.testing.assert_allclose(got, j, rtol=1e-6, atol=1e-7)
+
+
+def test_mobilenet_batch_statistical_parity():
+    """16 random inputs through the genuine TFLite interpreter: faithful
+    import matches within one quantum on EVERY logit, top-1 agrees on
+    every sample."""
+    g = from_tflite(os.path.join(FIX, "mobilenet_v2_int8.tflite"),
+                    integer_lut=False)
+    batch = np.load(os.path.join(FIX, "mobilenet_v2_int8_batch.npz"))
+    xs, ys = batch["x"], batch["y"]
+    agree = 0
+    for i in range(xs.shape[0]):
+        got = run_graph(g, xs[i:i + 1])[0]
+        diff = np.abs(got.astype(np.int32) - ys[i:i + 1].astype(np.int32))
+        assert diff.max() <= 1, f"sample {i}: max diff {diff.max()}"
+        agree += int(np.argmax(got) == np.argmax(ys[i]))
+    assert agree == xs.shape[0], f"top-1 agreement {agree}/16"
