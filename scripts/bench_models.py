@@ -71,6 +71,17 @@ def build(name):
         step = gpt2_decode_step(full, batch_size=1, max_len=128)
         x = rng.integers(0, 50257, (1, 1)).astype(np.int32)
         return ("decode", step), x
+    elif name == "bert_fp32":
+        g = bert(batch_size=4, seq_len=128)
+        x = rng.integers(0, 30522, (4, 128)).astype(np.int32)
+        return g, x
+    elif name == "bert_flash":
+        # fp32 BERT with the attention subgraph fused to the flash kernel
+        from tachikoma_tpu.ir.transforms import fuse_attention
+
+        g = fuse_attention(bert(batch_size=4, seq_len=128))
+        x = rng.integers(0, 30522, (4, 128)).astype(np.int32)
+        return g, x
     elif name == "bert":
         g = bert(batch_size=4, seq_len=128)
         x = rng.integers(0, 30522, (4, 128)).astype(np.int32)
