@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import re
+import zlib
 
 import numpy as np
 
@@ -56,9 +57,15 @@ def parse_workload(workload: str) -> dict[str, float]:
 
 _FEATURE_KEYS = [
     "M", "K", "N", "H", "W", "C", "O", "K2", "S", "S2", "n_stages",
-    "bm", "bn", "bk", "layout_t", "is_xla",
+    "bm", "bn", "bk", "layout_t", "layout_s", "kernel_auto", "is_xla",
     "bm_frac", "bn_frac", "bk_frac", "grid", "vmem_mb", "macs_log",
+    "cat0", "cat1", "cat2", "cat3",
 ]
+
+# config keys with dedicated features; anything else lands in the hashed
+# categorical buckets so NEW experiment dimensions (layout variants, chain
+# geometry knobs...) still separate candidates instead of aliasing them
+_KNOWN_CONFIG_KEYS = {"blocks", "bm", "layout", "kernel", "impl"}
 
 
 def _lg(x: float) -> float:
@@ -87,6 +94,13 @@ def featurize(workload: str, config: dict) -> np.ndarray:
         bm = config["bm"]
     f["bm"], f["bn"], f["bk"] = _lg(bm), _lg(bn), _lg(bk)
     f["layout_t"] = 1.0 if config.get("layout") == "t" else 0.0
+    f["layout_s"] = 1.0 if config.get("layout") == "s" else 0.0
+    f["kernel_auto"] = 1.0 if config.get("kernel") == "auto" else 0.0
+    for key in config:
+        if key not in _KNOWN_CONFIG_KEYS:
+            # stable across processes (builtin hash is seed-salted)
+            h = zlib.crc32(f"{key}={config[key]}".encode()) & 3
+            f[f"cat{h}"] = f.get(f"cat{h}", 0.0) + 1.0
     f["bm_frac"] = min(bm / M, 4.0) if M else 0.0
     f["bn_frac"] = min(bn / N, 4.0) if N else 0.0
     f["bk_frac"] = min(bk / Kdim, 4.0) if Kdim else 0.0
@@ -154,6 +168,29 @@ def rank_candidates(model: CostModel | None, workload: str,
     return list(np.argsort(model.predict(feats)))
 
 
+def explore_pick(measured_feats: list[np.ndarray],
+                 remaining_feats: list[np.ndarray]) -> int:
+    """Farthest-point exploration: the remaining candidate most different
+    (max min-distance in feature space) from everything measured so far.
+
+    Pure predicted-rank measurement is exploitation only — a config
+    dimension the first cluster never varies (e.g. a block size) is never
+    tried, so refitting cannot learn it (the reason autotvm's
+    model_based_tuner mixes diversity into its batch,
+    `autotvm/tuner/model_based_tuner.py` submodular point selection).
+    Deterministic, unlike epsilon-random."""
+    if not measured_feats:
+        return 0
+    M = np.asarray(measured_feats)
+    sd = M.std(axis=0) + 1e-9
+    best_i, best_d = 0, -1.0
+    for i, f in enumerate(remaining_feats):
+        d = np.min(np.sum(((M - f) / sd) ** 2, axis=1))
+        if d > best_d:
+            best_i, best_d = i, d
+    return best_i
+
+
 def model_search(workload: str, configs: list[dict], measure, db: TuneDatabase,
                  patience: int = 4, min_trials: int = 5,
                  improve_eps: float = 0.02, verbose: bool = False,
@@ -164,11 +201,25 @@ def model_search(workload: str, configs: list[dict], measure, db: TuneDatabase,
     db (meta_fn(time_s) -> meta dict, e.g. TOPS).  Returns
     (best_record, n_trials)."""
     model = fit_from_db(db)
-    order = rank_candidates(model, workload, configs)
+    # wide grids (30+ experimental variants) need proportionally more
+    # patience or the search quits inside the first cluster it tries
+    patience = max(patience, math.ceil(0.15 * len(configs)))
+    remaining = list(range(len(configs)))
+    all_feats = [featurize(workload, c) for c in configs]
+    measured_feats: list[np.ndarray] = []
     best = math.inf
     stall = 0
     trials = 0
-    for rank_i, ci in enumerate(order):
+    while remaining:
+        if trials % 4 == 2:  # every 3rd trial explores
+            pick = explore_pick(measured_feats,
+                                [all_feats[i] for i in remaining])
+        else:
+            order = rank_candidates(model, workload,
+                                    [configs[i] for i in remaining])
+            pick = order[0]
+        ci = remaining.pop(pick)
+        measured_feats.append(all_feats[ci])
         cfg = configs[ci]
         t, err, msg = measure(cfg)
         trials += 1
@@ -189,4 +240,8 @@ def model_search(workload: str, configs: list[dict], measure, db: TuneDatabase,
             stall += 1
         if trials >= min_trials and stall >= patience:
             break
+        # refine: the new record is in db, so the refit model has seen
+        # THIS workload's measurements and re-ranks the remaining grid
+        # (the model_based_tuner loop, autotvm/tuner/model_based_tuner.py)
+        model = fit_from_db(db)
     return db.best(workload), trials

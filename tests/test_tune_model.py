@@ -1,9 +1,11 @@
 """Model-based tuner search (the XGBoost-tuner role, scaled down).
 
-Validation data is the REAL on-chip record database
-(tune/tophub_v5e.jsonl, 275 v5e measurements): leave-one-workload-out,
-rank by the model, simulate the early-stop policy — the chosen config must
-be near-optimal while touching a fraction of the grid.
+Validation data is a FROZEN snapshot of the real on-chip record database
+(tests/fixtures/tophub_v5e_snapshot.jsonl, 398 v5e measurements —
+hermetic: the live tune/tophub_v5e.jsonl grows while measurement queues
+run): leave-one-workload-out, replay model_search's propose/measure/refine
+loop against the recorded times — the chosen config must be near-optimal
+while touching a fraction of the grid.
 """
 
 import numpy as np
@@ -14,7 +16,9 @@ from tachikoma_tpu.tune.model import (CostModel, featurize, fit_from_db,
                                       model_search, parse_workload,
                                       rank_candidates)
 
-DB_PATH = "tachikoma_tpu/tune/tophub_v5e.jsonl"
+import os
+DB_PATH = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "tophub_v5e_snapshot.jsonl")
 
 
 def test_parse_workload():
@@ -83,28 +87,23 @@ def test_leave_one_workload_out_half_grid():
         recs = list(seen.values())
         if len(recs) < 10:
             continue
-        feats, times_l = [], []
+        # scratch in-memory DB holding every OTHER workload's records,
+        # then drive the REAL search loop with a replay measure()
+        scratch = TuneDatabase()
         for wl2, rs in by_wl.items():
-            if wl2 == wl:
-                continue
-            for r in rs:
-                feats.append(featurize(r.workload, r.config))
-                times_l.append(r.time_ms)
-        m = CostModel()
-        m.fit(np.asarray(feats), np.asarray(times_l))
-        order = rank_candidates(m, wl, [r.config for r in recs])
+            if wl2 != wl:
+                for r in rs:
+                    scratch.add(r)
         times = np.asarray([r.time_ms for r in recs])
-        best, stall, trials = np.inf, 0, 0
-        for i in order:
-            trials += 1
-            if times[i] < best * 0.98:
-                best, stall = times[i], 0
-            else:
-                stall += 1
-            if trials >= 5 and stall >= 4:
-                break
+
+        def measure(cfg, _recs=recs, _times=times):
+            i = next(k for k, r in enumerate(_recs) if r.config == cfg)
+            return float(_times[i]) / 1e3, NO_ERROR, ""
+
+        best_rec, trials = model_search(
+            wl, [r.config for r in recs], measure, scratch)
         fracs.append(trials / len(recs))
-        regrets.append(best / times.min())
+        regrets.append(best_rec.time_ms / times.min())
     assert len(fracs) >= 8
     assert np.median(fracs) <= 0.6, f"median trial fraction {np.median(fracs)}"
     assert np.mean(regrets) <= 1.02, f"mean regret {np.mean(regrets)}"
