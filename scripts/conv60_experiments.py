@@ -63,11 +63,23 @@ def phase_a():
         x = jnp.asarray(rng.integers(-127, 127, (n, h, w, cin)).astype(np.int8))
         wt = rng.integers(-127, 127, (k, k, cin, cout)).astype(np.int8)
         macs = n * h * w * cout * k * k * cin
+        # reference output for correctness gating: the auto-picked kernel
+        # (certified bit-exact vs the numpy oracle by the CPU suite)
+        ref = np.asarray(qconv2d_flat(x, wt, multiplier=m, shift=s,
+                                      strides=(1, 1), padding=(1, 1, 1, 1)))
+        cout_p = -(-cout // 128) * 128
+        cands = [None] + [
+            (bm, bn, bk)
+            for bm in (512, 1024, 2048, 4096)
+            for bn in (128, 256)
+            for bk in (128, 256)
+            # only grids that tile the padded channel dims are runnable
+            # (a bn > cout_p grid has ZERO N cells: unwritten output)
+            if bn <= cout_p and cout_p % bn == 0
+            and bk <= cin and cin % bk == 0
+        ]
         for layout in (None, "t", "r", "w", "s"):
-            for blocks in (None, (512, 128, 128), (1024, 128, 128),
-                           (2048, 128, 128), (4096, 128, 128),
-                           (512, 256, 128), (1024, 256, 128),
-                           (2048, 256, 128)):
+            for blocks in cands:
                 def fn(a, _l=layout, _b=blocks):
                     return qconv2d_flat(a, wt, multiplier=m, shift=s,
                                         strides=(1, 1),
@@ -75,9 +87,17 @@ def phase_a():
                                         blocks=_b, layout=_l)
 
                 def feedback(a, out):
-                    return a.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
+                    # FULL-output dependence (a scalar tap lets XLA narrow
+                    # non-Pallas paths and fake impossible TOPS)
+                    return a ^ (out & 1)
 
                 try:
+                    got = np.asarray(fn(x))
+                    if not np.array_equal(got, ref):
+                        print(f"A {n}x{h}x{w}x{cin}->{cout} k{k} "
+                              f"layout={layout} blocks={blocks}: WRONG "
+                              f"RESULT (not recorded)", flush=True)
+                        continue
                     t = per_iter_chain(fn, x, feedback, repeats=2)
                 except Exception as e:
                     print(f"A {n}x{h}x{w}x{cin}->{cout} k{k} layout={layout} "
@@ -85,6 +105,11 @@ def phase_a():
                           flush=True)
                     continue
                 tp = tops(macs, t)
+                if frac(tp) > 1.0:
+                    print(f"A {n}x{h}x{w}x{cin}->{cout} k{k} layout={layout} "
+                          f"blocks={blocks}: IMPOSSIBLE {tp:.1f} TOPS "
+                          f"(not recorded)", flush=True)
+                    continue
                 results.append((f"{h}x{w}x{cin}", layout, blocks, tp))
                 cfg = ({"blocks": list(blocks)} if blocks
                        else {"kernel": "auto"})
@@ -130,7 +155,7 @@ def phase_b(best=None):
                 return qconv2d_flat_chain(a, stages)
 
             def feedback(a, out):
-                return a.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
+                return a ^ (out & 1)
 
             try:
                 t = per_iter_chain(fn, x, feedback, repeats=2) / depth
@@ -159,18 +184,25 @@ def phase_c():
     x = jnp.asarray(rng.integers(-127, 127, (n, h, w, cin)).astype(np.int8))
     wt = rng.integers(-127, 127, (k, k, cin, cout)).astype(np.int8)
     macs = n * 28 * 28 * cout * k * k * cin
+    ref_s2 = np.asarray(qconv2d_flat(x, wt, multiplier=m, shift=s,
+                                     strides=(2, 2), padding=(1, 1, 1, 1)))
     for layout in (None, "t"):
         for blocks in (None, (512, 128, 512), (1024, 128, 512),
-                       (2048, 128, 512), (1024, 256, 512)):
+                       (2048, 128, 512), (2048, 128, 256)):
             def fn(a, _l=layout, _b=blocks):
                 return qconv2d_flat(a, wt, multiplier=m, shift=s,
                                     strides=(2, 2), padding=(1, 1, 1, 1),
                                     blocks=_b, layout=_l)
 
             def feedback(a, out):
-                return a.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
+                # full-output dependence into the live input region
+                return a.at[:, :28, :28, :].add((out & 1))
 
             try:
+                if not np.array_equal(np.asarray(fn(x)), ref_s2):
+                    print(f"C s2 layout={layout} blocks={blocks}: WRONG "
+                          f"RESULT (not recorded)", flush=True)
+                    continue
                 t = per_iter_chain(fn, x, feedback, repeats=2)
             except Exception as e:
                 print(f"C s2 layout={layout} blocks={blocks}: FAIL "
@@ -205,6 +237,7 @@ def phase_c():
         A = jnp.asarray(rng.integers(-127, 127, (M, K)).astype(np.int8))
         B = rng.integers(-127, 127, (K, N)).astype(np.int8)
         macs = M * K * N
+        ref_mm = np.asarray(qmatmul_int8(A, B, multiplier=m, shift=s))
         for blocks in (None, (512, 256, 768), (512, 768, 768),
                        (256, 512, 768), (512, 512, 384), (512, 1024, 768),
                        "xla"):
@@ -212,9 +245,16 @@ def phase_c():
                 return qmatmul_int8(a, B, multiplier=m, shift=s, blocks=_b)
 
             def feedback(a, out):
-                return a.at[0, 0].add(out[0, 0].astype(jnp.int8))
+                # row-reduced full dependence (scalar taps let XLA narrow
+                # the non-Pallas impl rows)
+                return a.at[:, 0].add((out & 1).sum(axis=1).astype(jnp.int8))
 
             try:
+                if blocks is not None and not np.array_equal(
+                        np.asarray(fn(A)), ref_mm):
+                    print(f"C dense {M}x{K}x{N} blocks={blocks}: WRONG "
+                          f"RESULT (not recorded)", flush=True)
+                    continue
                 t = per_iter_chain(fn, A, feedback, repeats=2)
             except Exception as e:
                 print(f"C dense {M}x{K}x{N} blocks={blocks}: FAIL "

@@ -763,15 +763,32 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
     cin_p = _round_up(cin_s, 128)
     cout_p = _round_up(cout, 128)
 
+    def _blocks_valid(b):
+        bm_, bn_, bk_ = b
+        return (bm_ > 0 and bn_ > 0 and bk_ > 0
+                and bn_ <= cout_p and cout_p % bn_ == 0
+                and bk_ <= cin_p and cin_p % bk_ == 0)
+
     if blocks is None:
         from ...tune.database import lookup_config
 
         cfg = lookup_config(flat_conv_workload(
             n, h, wd, cin, cout, kh, kw, strides, fuse))
         if cfg and "blocks" in cfg:
-            blocks = tuple(cfg["blocks"])
-            if layout is None:
-                layout = cfg.get("layout")
+            cand = tuple(cfg["blocks"])
+            # a stale/foreign DB record must never select an unrunnable
+            # geometry — fall back to the auto pick instead
+            if _blocks_valid(cand):
+                blocks = cand
+                if layout is None:
+                    layout = cfg.get("layout")
+    elif not _blocks_valid(blocks):
+        # an N block that exceeds (or does not divide) the padded channel
+        # count yields a ZERO-cell grid: the output buffer is never
+        # written — garbage values at launch-overhead speed
+        raise ValueError(
+            f"conv blocks {blocks} invalid for padded geometry "
+            f"cout_p={cout_p}, cin_p={cin_p}: bn/bk must divide them")
     vmap_batch = False
     if blocks is not None:
         bm, bn, bk = blocks

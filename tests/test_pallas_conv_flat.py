@@ -136,3 +136,42 @@ def test_flat_conv_im2col_fallback(rng):
     want = oracle(x, w, None, 0.0004 + np.zeros(16), 0.05, 0,
                   (2, 2), (3, 3, 3, 3), 1, 5)
     np.testing.assert_array_equal(got, want)
+
+
+def test_flat_conv_rejects_untileable_blocks(rng):
+    """Explicit blocks whose N/K block exceeds (or does not divide) the
+    padded channel dims must raise — a bn > cout_p grid has ZERO N cells,
+    so the output buffer is never written (garbage at launch-overhead
+    speed; this poisoned on-chip tune records in round 3)."""
+    import pytest
+
+    x = rng.integers(-127, 127, (2, 10, 10, 128)).astype(np.int8)
+    w = rng.integers(-127, 127, (3, 3, 128, 128)).astype(np.int8)
+    m_arr, s_arr = plan_requantize(0.0004 + np.zeros(128), 0.05)
+    kw = dict(multiplier=m_arr, shift=s_arr, strides=(1, 1),
+              padding=(1, 1, 1, 1))
+    for bad in ((512, 256, 128), (512, 128, 256), (512, 96, 128),
+                (512, 128, 0)):
+        with pytest.raises(ValueError):
+            qconv2d_flat(x, w, blocks=bad, **kw)
+
+
+def test_flat_conv_ignores_invalid_db_config(rng, tmp_path, monkeypatch):
+    """A stale DB record with an untileable block geometry is skipped in
+    favour of the auto pick (execution must never trust a foreign DB)."""
+    from tachikoma_tpu.tune import database as tdb
+    from tachikoma_tpu.ops.pallas.conv_flat import flat_conv_workload
+
+    x = rng.integers(-127, 127, (2, 10, 10, 128)).astype(np.int8)
+    w = rng.integers(-127, 127, (3, 3, 128, 128)).astype(np.int8)
+    m_arr, s_arr = plan_requantize(0.0004 + np.zeros(128), 0.05)
+    kw = dict(multiplier=m_arr, shift=s_arr, strides=(1, 1),
+              padding=(1, 1, 1, 1))
+    want = np.asarray(qconv2d_flat(x, w, blocks=(512, 128, 128), **kw))
+
+    wl = flat_conv_workload(2, 10, 10, 128, 128, 3, 3, (1, 1), True)
+    monkeypatch.setattr(tdb, "lookup_config",
+                        lambda w_, **k: {"blocks": [512, 256, 128]}
+                        if w_ == wl else None)
+    got = np.asarray(qconv2d_flat(x, w, **kw))  # blocks=None -> DB path
+    np.testing.assert_array_equal(got, want)
