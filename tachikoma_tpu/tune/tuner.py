@@ -140,6 +140,17 @@ def tune_matmul(
 
     from .model import fit_from_db, model_search
 
+    if strategy == "evolve":
+        from .evolutionary import evolutionary_search
+
+        best, n = evolutionary_search(
+            workload, configs, measure, db, verbose=verbose,
+            meta_fn=lambda t: {"tops": round(2 * M * K * N / t / 1e12, 2)})
+        if verbose:
+            print(f"  {workload}: evolutionary search measured {n} configs",
+                  flush=True)
+        return best
+
     if strategy == "model" or (strategy == "auto"
                                and fit_from_db(db) is not None):
         best, trials = model_search(
