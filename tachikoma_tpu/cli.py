@@ -24,7 +24,14 @@ import sys
 import numpy as np
 
 
+MODEL_SUFFIXES = (".json", ".onnx", ".tflite", ".keras", ".h5", ".pb")
+
+
 def _load_graph(path: str):
+    """Frontend autodetection by suffix (the tvmc `frontends.py` role:
+    `/root/reference/python/tvm/driver/tvmc/frontends.py` guess_frontend)."""
+    import os
+
     if path.endswith(".onnx"):
         from .frontend.onnx import from_onnx
 
@@ -34,10 +41,34 @@ def _load_graph(path: str):
         from .frontend.tflite import from_tflite
 
         return from_tflite(path)
+    if path.endswith((".keras", ".h5")):
+        from .frontend.keras import from_keras
+
+        return from_keras(path)
+    if path.endswith(".pb") or os.path.isdir(path):
+        # frozen GraphDef / SavedModel directory
+        if os.path.isdir(path):
+            from .frontend.tensorflow import from_saved_model
+
+            return from_saved_model(path)
+        import tensorflow as tf
+
+        from .frontend.tensorflow import from_tf_graphdef
+
+        gd = tf.compat.v1.GraphDef()
+        with open(path, "rb") as f:
+            gd.ParseFromString(f.read())
+        return from_tf_graphdef(gd)
     from .ir.graph import Graph
 
     with open(path) as f:
         return Graph.from_json(f.read())
+
+
+def _is_model_file(name: str) -> bool:
+    import os
+
+    return name.endswith(MODEL_SUFFIXES) or os.path.isdir(name)
 
 
 def _zoo(name: str, batch: int, image: int | None, seq: int | None):
@@ -99,7 +130,7 @@ def cmd_quantize(args):
     from .quantize.config import TRANSFORMER_INT8, QConfig
     from .quantize.quantizer import quantize
 
-    if args.model.endswith((".json", ".onnx", ".tflite")):
+    if _is_model_file(args.model):
         g = _load_graph(args.model)
     else:
         g = _zoo(args.model, args.batch, args.image_size, args.seq_len)
@@ -211,7 +242,7 @@ def cmd_compile(args):
     (the `tvmc compile` analog; runtime/artifact.py)."""
     from .runtime.artifact import save_artifact
 
-    if args.model.endswith((".json", ".onnx", ".tflite")):
+    if _is_model_file(args.model):
         g = _load_graph(args.model)
     else:
         g = _zoo(args.model, args.batch, args.image_size, args.seq_len)
@@ -369,7 +400,7 @@ def main(argv=None):
     pr.set_defaults(fn=cmd_profile)
 
     c = sub.add_parser("compile", help="quantize + bundle into a .tkmod artifact")
-    c.add_argument("model", help="zoo name or model file (.json/.onnx/.tflite)")
+    c.add_argument("model", help="zoo name or model file (.json/.onnx/.tflite/.keras/.h5/.pb/SavedModel dir)")
     c.add_argument("-o", "--output", required=True)
     c.add_argument("--batch", type=int, default=1)
     c.add_argument("--image-size", type=int)

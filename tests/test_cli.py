@@ -82,3 +82,20 @@ def test_cli_tune_smoke(tmp_path, rng):
     dbpath = tmp_path / "db.jsonl"
     main(["tune", str(gpath), "--db", str(dbpath)])
     assert dbpath.exists() and dbpath.read_text().strip()
+
+
+def test_cli_keras_autodetect(tmp_path):
+    """CLI frontend autodetection (tvmc frontends.py role): a .keras file
+    runs through quantize and run subcommands."""
+    tf = pytest.importorskip("tensorflow")
+    L = tf.keras.layers
+    m = tf.keras.Sequential([
+        L.Input((8, 8, 3)), L.Conv2D(4, 3, padding="same", activation="relu"),
+        L.GlobalAveragePooling2D(), L.Dense(3, activation="softmax")])
+    path = str(tmp_path / "tiny.keras")
+    m.save(path)
+    r = run_cli("run", path, "--backend", "oracle")
+    assert r.returncode == 0
+    qpath = str(tmp_path / "tiny_q.json")
+    r = run_cli("quantize", path, "-o", qpath)
+    assert "nodes" in r.stdout
