@@ -990,15 +990,56 @@ def _lut_select(table_np: np.ndarray, idx):
         ent = (table_np[j::p] & mask).astype(np.uint32)
         packed[: len(ent)] |= ent << np.uint32(bits * j)
     g = (idx >> int(p).bit_length() - 1).astype(jnp.int32)  # idx // p
-    # initialize with the MODAL packed word and only select the rest: long
-    # constant runs (the exp table's underflow-to-zero tail, gelu's
-    # saturated tails) drop out of the chain entirely
+    # initialize with a cheap BASE and only select the words that differ:
+    #   modal constant — long constant runs (the exp table's
+    #     underflow-to-zero tail) drop out of the chain entirely;
+    #   identity (table[i] == i - 128, int8 tables) — gelu/silu/relu-ish
+    #     tables are EXACTLY x over their whole saturated positive tail,
+    #     which a constant can never match; the base word is reconstructed
+    #     arithmetically from the group index (a handful of VPU ops) and
+    #     every tail word drops out of the chain.
+    # Bit-identical either way: only matching words are skipped.
     vals, counts = np.unique(packed, return_counts=True)
     mode = int(vals[np.argmax(counts)])
-    w = jnp.full(idx.shape, np.uint32(mode), jnp.uint32)
-    for k in range(npk):
-        if int(packed[k]) != mode:
-            w = jnp.where(g == jnp.int32(k), jnp.uint32(int(packed[k])), w)
+    n_mode = int(counts.max())
+    if p == 4 and signed:
+        ident = np.arange(n, dtype=np.int64) - 128
+        ident_packed = np.zeros(npk, np.uint32)
+        for j in range(p):
+            ent = (ident[j::p] & mask).astype(np.uint32)
+            ident_packed[: len(ent)] |= ent << np.uint32(bits * j)
+        n_ident = int((packed == ident_packed).sum())
+    else:
+        n_ident = -1
+    if n_ident > n_mode:
+        base = ident_packed
+        b0 = (g * jnp.int32(4) - jnp.int32(128)).astype(jnp.uint32)
+        w = ((b0 & jnp.uint32(0xFF))
+             | ((b0 + jnp.uint32(1)) & jnp.uint32(0xFF)) << jnp.uint32(8)
+             | ((b0 + jnp.uint32(2)) & jnp.uint32(0xFF)) << jnp.uint32(16)
+             | ((b0 + jnp.uint32(3)) & jnp.uint32(0xFF)) << jnp.uint32(24))
+    else:
+        base = np.full(npk, np.uint32(mode))
+        w = jnp.full(idx.shape, np.uint32(mode), jnp.uint32)
+    # words differing from the base, grouped into maximal constant runs:
+    # a run of >= 3 equal words (e.g. the zero tail under the identity
+    # base) collapses to ONE range test instead of per-word selects
+    diff = [k for k in range(npk) if int(packed[k]) != int(base[k])]
+    runs: list[tuple[int, int, int]] = []
+    for k in diff:
+        if runs and runs[-1][1] == k - 1 and runs[-1][2] == int(packed[k]):
+            runs[-1] = (runs[-1][0], k, runs[-1][2])
+        else:
+            runs.append((k, k, int(packed[k])))
+    for k0, k1, val in runs:
+        if k0 == k1:
+            cond = g == jnp.int32(k0)
+        elif k1 - k0 >= 2:
+            cond = (g >= jnp.int32(k0)) & (g <= jnp.int32(k1))
+        else:
+            w = jnp.where(g == jnp.int32(k0), jnp.uint32(val), w)
+            cond = g == jnp.int32(k1)
+        w = jnp.where(cond, jnp.uint32(val), w)
     sh = ((idx & jnp.int32(p - 1)) * jnp.int32(bits)).astype(jnp.uint32)
     b = ((w >> sh) & jnp.uint32(mask)).astype(jnp.int32)
     if not signed:
