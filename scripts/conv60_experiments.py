@@ -87,9 +87,12 @@ def phase_a():
                                         blocks=_b, layout=_l)
 
                 def feedback(a, out):
-                    # FULL-output dependence (a scalar tap lets XLA narrow
-                    # non-Pallas paths and fake impossible TOPS)
-                    return a ^ (out & 1)
+                    # scalar tap: every candidate here is a Pallas call
+                    # (opaque to XLA, cannot be narrowed); a full-output
+                    # XOR costs an extra ~12us HBM pass per iteration and
+                    # taxes every reading (measured). Wrong-result/zero-
+                    # grid candidates are killed by the verification gate.
+                    return a.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
 
                 try:
                     got = np.asarray(fn(x))
@@ -155,7 +158,8 @@ def phase_b(best=None):
                 return qconv2d_flat_chain(a, stages)
 
             def feedback(a, out):
-                return a ^ (out & 1)
+                # Pallas chain: scalar tap is dependence enough (opaque)
+                return a.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
 
             try:
                 t = per_iter_chain(fn, x, feedback, repeats=2) / depth
@@ -195,8 +199,8 @@ def phase_c():
                                     blocks=_b, layout=_l)
 
             def feedback(a, out):
-                # full-output dependence into the live input region
-                return a.at[:, :28, :28, :].add((out & 1))
+                # Pallas-only candidates: scalar tap (see phase A note)
+                return a.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
 
             try:
                 if not np.array_equal(np.asarray(fn(x)), ref_s2):
@@ -244,10 +248,12 @@ def phase_c():
             def fn(a, _b=blocks):
                 return qmatmul_int8(a, B, multiplier=m, shift=s, blocks=_b)
 
-            def feedback(a, out):
-                # row-reduced full dependence (scalar taps let XLA narrow
-                # the non-Pallas impl rows)
-                return a.at[:, 0].add((out & 1).sum(axis=1).astype(jnp.int8))
+            def feedback(a, out, _b=blocks):
+                if _b == "xla":
+                    # XLA impl CAN be narrowed: row-reduced full dependence
+                    return a.at[:, 0].add((out & 1).sum(axis=1)
+                                          .astype(jnp.int8))
+                return a.at[0, 0].add(out[0, 0].astype(jnp.int8))
 
             try:
                 if blocks is not None and not np.array_equal(
