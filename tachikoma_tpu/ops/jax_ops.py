@@ -1048,19 +1048,32 @@ def _lut_select(table_np: np.ndarray, idx):
     return (b ^ half) - half  # sign-extend the packed lane
 
 
+def _exp_q15(scale: float, d):
+    """Factorized Q15 exp lookup — bit-identical to indexing
+    qnn.softmax_exp_table(scale)[d] (the table IS defined by these factors,
+    ops/qnn.py softmax_exp_factors): two 16-entry packed selects + one Q15
+    multiply instead of a 128-word select chain."""
+    from .qnn import LUT_EXP_BITS, LUT_SIZE, softmax_exp_factors
+
+    hi, lo = softmax_exp_factors(scale)
+    h = _lut_select(hi, d >> 4)
+    l = _lut_select(lo, d & jnp.int32(15))
+    p = (h * l + jnp.int32(1 << (LUT_EXP_BITS - 1))) >> LUT_EXP_BITS
+    return jnp.where(d == jnp.int32(LUT_SIZE - 1), jnp.int32(0), p)
+
+
 @jax_impl("qnn.softmax")
 def _qsoftmax_jax(x, *, node: Node):
     # All-int32 realization (identical values: p <= 2^15, so p*256 and the
     # row sums stay within int32 for seq <= 65536) — int64 is emulated and
     # slow on TPU, and gathers are replaced by a one-hot MXU matmul.
-    from .qnn import LUT_SIZE, SOFTMAX_OUT_ZP, softmax_exp_table
+    from .qnn import LUT_SIZE, SOFTMAX_OUT_ZP
 
     axis = int(node.attrs.get("axis", -1))
-    table = softmax_exp_table(float(node.attrs["input_scale"]))
     v = x.astype(jnp.int32)
     m = v.max(axis=axis, keepdims=True)
     d = jnp.clip(m - v, 0, LUT_SIZE - 1)
-    p = _lut_select(table, d)
+    p = _exp_q15(float(node.attrs["input_scale"]), d)
     ssum = p.sum(axis=axis, keepdims=True, dtype=jnp.int32)
     q = (p * jnp.int32(256) + ssum // jnp.int32(2)) // ssum
     out = jnp.clip(q + jnp.int32(SOFTMAX_OUT_ZP), jnp.int32(-128), jnp.int32(127))
@@ -1076,17 +1089,16 @@ def _qlut_jax(x, *, node: Node):
 
 @jax_impl("qnn.attention")
 def _qattn_jax(q, k, v, *, node: Node):
-    from .qnn import LUT_SIZE, softmax_exp_table
+    from .qnn import LUT_SIZE
 
     scores_scale = float(node.attrs["scores_scale"])
     out_scale = float(node.attrs["output_scale"])
     v_scale = float(node.attrs["v_scale"])
-    table = softmax_exp_table(scores_scale)
     s = jnp.matmul(q.astype(jnp.int32), jnp.swapaxes(k.astype(jnp.int32), -1, -2),
                    preferred_element_type=jnp.int32)
     m = s.max(axis=-1, keepdims=True)
     d = jnp.clip(m - s, 0, LUT_SIZE - 1)
-    p = _lut_select(table, d)
+    p = _exp_q15(scores_scale, d)
     ssum = p.sum(axis=-1, keepdims=True, dtype=jnp.int32)
     u = (p * jnp.int32(256) + ssum // jnp.int32(2)) // ssum
     ctx = jnp.matmul(u, v.astype(jnp.int32), preferred_element_type=jnp.int32)

@@ -348,14 +348,40 @@ SOFTMAX_OUT_SCALE = 1.0 / 256.0
 SOFTMAX_OUT_ZP = -128
 
 
+def softmax_exp_factors(input_scale: float) -> tuple[np.ndarray, np.ndarray]:
+    """Factorized Q15 exp: table[k] == (hi[k >> 4] * lo[k & 15] + 2^14) >> 15.
+
+    hi[j] ~ round(2^15 exp(-16 j s)), lo[i] ~ round(2^15 exp(-i s)).  hi is
+    additionally CLAMPED so hi[j+1] <= (hi[j] * lo[15] + 2^14) >> 15, which
+    makes the composed table monotone non-increasing BY CONSTRUCTION (raw
+    rounding can violate it by 1 ulp deep in the tail).  Two 16-entry
+    lookups + one Q15 multiply replace a 256-entry lookup — on TPU that is
+    ~6x fewer packed-select ops (XLA lowers big-table gathers to scalar
+    loads; see jax_ops._lut_select)."""
+    s = float(input_scale)
+    j = np.arange(16, dtype=np.float64)
+    lo = np.rint((1 << LUT_EXP_BITS) * np.exp(-j * s)).astype(np.int64)
+    hi = np.rint((1 << LUT_EXP_BITS) * np.exp(-16.0 * j * s)).astype(np.int64)
+    r = 1 << (LUT_EXP_BITS - 1)
+    for k in range(15):
+        cap = (hi[k] * lo[15] + r) >> LUT_EXP_BITS
+        if hi[k + 1] > cap:
+            hi[k + 1] = cap
+    return hi.astype(np.int32), lo.astype(np.int32)
+
+
 def softmax_exp_table(input_scale: float) -> np.ndarray:
-    """table[k] = round(2^15 * exp(-k * input_scale)), k = 0..254; the
-    saturation bucket table[255] is pinned to 0 so scores >= 255 quantization
-    steps below the row max contribute nothing (otherwise the clip at index
-    255 would give every far-away score a probability floor of exp(-255*s),
-    badly distorting concentrated distributions at small scales)."""
-    k = np.arange(LUT_SIZE, dtype=np.float64)
-    t = np.rint((1 << LUT_EXP_BITS) * np.exp(-k * float(input_scale))).astype(np.int32)
+    """table[k] = (hi[k >> 4] * lo[k & 15] + 2^14) >> 15 (within 1 ulp of
+    round(2^15 exp(-k s)), monotone non-increasing — softmax_exp_factors);
+    the saturation bucket table[255] is pinned to 0 so scores >= 255
+    quantization steps below the row max contribute nothing (otherwise the
+    clip at index 255 would give every far-away score a probability floor
+    of exp(-255*s), badly distorting concentrated distributions at small
+    scales)."""
+    hi, lo = softmax_exp_factors(input_scale)
+    k = np.arange(LUT_SIZE)
+    t = ((hi[k >> 4].astype(np.int64) * lo[k & 15]
+          + (1 << (LUT_EXP_BITS - 1))) >> LUT_EXP_BITS).astype(np.int32)
     t[LUT_SIZE - 1] = 0
     return t
 

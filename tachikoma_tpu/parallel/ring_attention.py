@@ -26,7 +26,7 @@ import functools
 
 import numpy as np
 
-from ..ops.qnn import LUT_SIZE, softmax_exp_table
+from ..ops.qnn import LUT_SIZE
 
 
 def _ring_steps(axis_name: str):
@@ -52,7 +52,7 @@ def ring_attention_int8_local(q, k, v, *, scores_scale: float, v_scale: float,
     from ..ops import jax_ops  # noqa: F401  (enables x64: exact int64 ops)
     from ..ops.fixed_point import requantize_jnp
 
-    table = jnp.asarray(softmax_exp_table(scores_scale))
+    from ..ops.jax_ops import _exp_q15
     nring = lax.psum(1, axis_name)
     perm = [(i, (i + 1) % nring) for i in range(nring)]
 
@@ -76,7 +76,9 @@ def ring_attention_int8_local(q, k, v, *, scores_scale: float, v_scale: float,
     def sumbody(carry, _):
         ssum, k_blk = carry
         d = jnp.clip(m - scores(k_blk), 0, LUT_SIZE - 1)
-        p = jnp.take(table, d, axis=0)
+        # factorized Q15 exp == softmax_exp_table[d] (jnp.take lowers to
+        # scalar gathers on TPU)
+        p = _exp_q15(scores_scale, d)
         ssum = ssum + p.sum(axis=-1, keepdims=True, dtype=jnp.int32)
         k_blk = lax.ppermute(k_blk, axis_name, perm)
         return (ssum, k_blk), None
@@ -89,7 +91,7 @@ def ring_attention_int8_local(q, k, v, *, scores_scale: float, v_scale: float,
     def ctxbody(carry, _):
         ctx, k_blk, v_blk = carry
         d = jnp.clip(m - scores(k_blk), 0, LUT_SIZE - 1)
-        p = jnp.take(table, d, axis=0).astype(jnp.int64)
+        p = _exp_q15(scores_scale, d).astype(jnp.int64)
         u = ((p * 256 + ssum64 // 2) // ssum64).astype(jnp.int32)
         ctx = ctx + jnp.matmul(u, v_blk.astype(jnp.int32),
                                preferred_element_type=jnp.int32)
