@@ -177,3 +177,18 @@ def test_tf_import_then_quantize():
     qout = run_graph(qg, data[0])[0]
     # int8 PTQ on a random-weight net: coarse agreement is the contract
     assert np.mean(np.argmax(fout, -1) == np.argmax(qout, -1)) >= 0.5
+
+
+@pytest.mark.parametrize("build", [
+    lambda L: [L.Input((7, 7, 4)), L.Conv2DTranspose(6, 3, strides=2, padding="same")],
+    lambda L: [L.Input((5,)), L.Dense(8, activation="elu"),
+               L.Dense(4, activation="selu")],
+    lambda L: [L.Input((6, 6, 3)), L.UpSampling2D(2)],
+    lambda L: [L.Input((9,)), L.Dense(6), L.LeakyReLU(0.1)],
+], ids=["conv_transpose", "elu_selu", "upsample", "leaky_relu"])
+def test_keras_layer_zoo(build):
+    m = tf.keras.Sequential(build(tf.keras.layers))
+    x = np.random.RandomState(0).randn(2, *m.input_shape[1:]).astype(np.float32)
+    g = from_keras(m, batch=2)
+    want = m(x, training=False).numpy()
+    _compare(g, {g.inputs[0].name: x}, want)
