@@ -86,6 +86,19 @@ def build(name):
         g = bert(batch_size=4, seq_len=128)
         x = rng.integers(0, 30522, (4, 128)).astype(np.int32)
         qg = quantize(g, [x], config=TRANSFORMER_INT8)
+    elif name == "keras_mnv2":
+        # imported-model path: keras.applications MobileNetV2 (random
+        # init, no downloads) -> TF graph -> import -> int8 -> fused ->
+        # TPU; exercises the full frontend-to-chip pipeline
+        import tensorflow as tf
+
+        from tachikoma_tpu.frontend.keras import from_keras
+
+        m = tf.keras.applications.MobileNetV2(input_shape=(224, 224, 3),
+                                              weights=None)
+        g = from_keras(m, batch=8)
+        x = rng.random((8, 224, 224, 3)).astype(np.float32)
+        qg = quantize(g, [{g.inputs[0].name: x}])
     else:
         raise SystemExit(f"unknown model {name}")
     return fuse_qnn(qg), x

@@ -37,6 +37,10 @@ stage "bert re-measure (factorized softmax + identity-base LUT)"
 timeout 1800 python -u scripts/bench_models.py bert >>"$LOG" 2>&1
 sleep 30
 
+stage "keras-imported MobileNetV2 int8 e2e"
+timeout 1800 python -u scripts/bench_models.py keras_mnv2 >>"$LOG" 2>&1
+sleep 30
+
 stage "bench.py (driver metric)"
 timeout 4800 python bench.py >>"$LOG" 2>&1
 
