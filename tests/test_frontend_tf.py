@@ -192,3 +192,21 @@ def test_keras_layer_zoo(build):
     g = from_keras(m, batch=2)
     want = m(x, training=False).numpy()
     _compare(g, {g.inputs[0].name: x}, want)
+
+
+def test_saved_model_roundtrip(tmp_path):
+    L = tf.keras.layers
+    m = tf.keras.Sequential([
+        L.Input((8, 8, 3)), L.Conv2D(4, 3, activation="relu"),
+        L.Flatten(), L.Dense(5)])
+    path = str(tmp_path / "sm")
+    tf.saved_model.save(
+        m, path,
+        signatures=tf.function(lambda x: m(x)).get_concrete_function(
+            tf.TensorSpec((1, 8, 8, 3), tf.float32)))
+    from tachikoma_tpu.frontend.tensorflow import from_saved_model
+
+    g = from_saved_model(path)
+    x = np.random.RandomState(0).randn(1, 8, 8, 3).astype(np.float32)
+    want = m(x, training=False).numpy()
+    _compare(g, {g.inputs[0].name: x}, want)
