@@ -1260,10 +1260,21 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
         interpret = _interpret_default()
     n, h, wd, cin = x.shape
     if bm is None:
-        # measured on v5e: smaller blocks at small spatial extents LOSE more
-        # to per-dot inefficiency than they save in lead/tail margin rows
-        # (auto-shrinking to 256/128 cost ResNet-50 ~1.2 ms e2e)
-        bm = 512
+        # tuned chain geometry first (tune_conv_chain records {bm[, bn]})
+        from ...tune.database import lookup_config
+
+        dims = [(st["w"].shape[0], st["w"].shape[2], st["w"].shape[3])
+                for st in stages]
+        cfg = lookup_config(chain_workload(n, h, wd, dims))
+        if cfg and "bm" in cfg:
+            bm = int(cfg["bm"])
+            if "bn" in cfg:
+                bn_cap = int(cfg["bn"])
+        else:
+            # measured on v5e: smaller blocks at small spatial extents LOSE
+            # more to per-dot inefficiency than they save in lead/tail margin
+            # rows (auto-shrinking to 256/128 cost ResNet-50 ~1.2 ms e2e)
+            bm = 512
     geo_stages = []
     for st in stages:
         kh, kw_, ci, co = st["w"].shape

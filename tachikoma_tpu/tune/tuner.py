@@ -334,7 +334,8 @@ def tune_conv(
 
 
 def tune_conv_chain(n, h, w, stage_dims, db: TuneDatabase,
-                    verbose: bool = True) -> TuneRecord | None:
+                    verbose: bool = True,
+                    bms=(512, 1024), bn_caps=(128, 256)) -> TuneRecord | None:
     """Tune the frame-chain block size bm for a chain geometry.
 
     stage_dims = [(kh, cin, cout), ...] with 'same' padding per stage (the
@@ -358,8 +359,8 @@ def tune_conv_chain(n, h, w, stage_dims, db: TuneDatabase,
     x = jnp.asarray(rng.integers(-127, 127,
                                  (n, h, w, stage_dims[0][1])).astype(np.int8))
     macs = sum(n * h * w * co * kh * kh * ci for (kh, ci, co) in stage_dims)
-    for bm in (512, 1024):
-      for bn_cap in (128, 256):
+    for bm in bms:
+      for bn_cap in bn_caps:
         def fn(a, _bm=bm, _bn=bn_cap):
             return qconv2d_flat_chain(a, stages, bm=_bm, bn_cap=_bn)
 
