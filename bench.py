@@ -222,6 +222,11 @@ def bench_conv_chain():
         totals[depth] = _per_iter(fn, x, feedback)
     per = (totals[6] - totals[3]) / 3          # interior per-conv
     per_d6 = totals[6] / 6                     # incl. entry/exit share
+    # tunnel variance guard: the differential of two noisy totals can
+    # collapse or explode on a bad run; it is only credible when it lands
+    # between half and 1x the depth-6 average (entry/exit are nonnegative)
+    if not (0.5 * per_d6 <= per <= per_d6):
+        per = per_d6
     macs = n * h * w * c * 9 * c
     return {"gops": 2 * macs / per / 1e9, "time_s": per,
             "gops_e2e_d6": 2 * macs / per_d6 / 1e9, "time_d6_s": per_d6}
