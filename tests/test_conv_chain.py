@@ -221,3 +221,38 @@ def test_graph_level_residual_fusion(rng):
         a, w_, c = np.asarray(a), np.asarray(w_), np.asarray(c)
         assert (a == w_).all(), "fused residual chain != unfused oracle"
         assert (a == c).all(), "oracle != Pallas path"
+
+
+def test_chain_bm_from_tune_db(rng):
+    """With no explicit bm, qconv2d_flat_chain picks the tuned {bm, bn} for
+    its chain geometry from the active dispatch database (and still computes
+    the exact result)."""
+    from tachikoma_tpu.ops.pallas.conv_flat import chain_workload
+    from tachikoma_tpu.tune.database import (NO_ERROR, TuneDatabase,
+                                             TuneRecord, apply_history_best)
+
+    stages = [_mkstage(rng, 3, 8, 8, 0.02, 0.03, 0, 0) for _ in range(2)]
+    x = rng.integers(-127, 127, (1, 10, 10, 8)).astype(np.int8)
+    want = _sequential(x, stages)
+
+    dims = [(3, 8, 8)] * 2
+    db = TuneDatabase()
+    db.add(TuneRecord(chain_workload(1, 10, 10, dims),
+                      {"bm": 256, "bn": 128}, 1.0, NO_ERROR, ""))
+
+    seen = {}
+    import tachikoma_tpu.ops.pallas.conv_flat as cf
+    orig = cf.chain_frame_geometry
+
+    def spy(n, h, w, st, bm=512):
+        seen["bm"] = bm
+        return orig(n, h, w, st, bm)
+
+    cf.chain_frame_geometry = spy
+    try:
+        with apply_history_best(db):
+            got = np.asarray(qconv2d_flat_chain(x, stages, interpret=True))
+    finally:
+        cf.chain_frame_geometry = orig
+    assert seen["bm"] == 256          # the DB record was honored
+    assert np.array_equal(got, want)  # and the result is still exact
