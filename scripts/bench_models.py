@@ -139,12 +139,41 @@ def bench_decode(step, x):
     return per
 
 
+def bench_decode_scan(n_new=64):
+    """On-device decode loop (generate_ondevice): prefill + n_new greedy
+    steps as ONE scanned program — the true serving tokens/s (the host-loop
+    step bench pays per-token dispatch RTT, which a tunneled device turns
+    into the dominant cost)."""
+    import time as _t
+
+    from tachikoma_tpu.models.decoding import GreedyDecoder, gpt2_decode_step
+    from tachikoma_tpu.models.transformer import gpt2_small
+
+    full = gpt2_small(batch_size=1, seq_len=128)
+    step = gpt2_decode_step(full, batch_size=1, max_len=128)
+    dec = GreedyDecoder(step, layers=12).attach_prefill(full)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 50257, (1, 8)).astype(np.int32)
+    dec.generate_ondevice(prompt, n_new)  # warm: compiles prefill + scan
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        toks = dec.generate_ondevice(prompt, n_new)
+        best = min(best, _t.perf_counter() - t0)
+    per = best / n_new  # includes prefill + one-time dispatch, amortized
+    print(f"gpt2_decode_scan: {per*1e3:.3f} ms/token = {1/per:.1f} tokens/s"
+          f"  ({n_new} tokens/dispatch, prefill included)", flush=True)
+    return per
+
+
 def bench(name):
     import jax
 
     from tachikoma_tpu.runtime.executor import JaxExecutor
     from tachikoma_tpu.utils.timing import per_iter_chain, per_iter_host_chain
 
+    if name == "gpt2_decode_scan":
+        return bench_decode_scan()
     t0 = time.time()
     fg, x = build(name)
     if isinstance(fg, tuple) and fg[0] == "decode":

@@ -231,3 +231,85 @@ class GreedyDecoder:
             cur = self._choose(logits, temperature, top_k,
                                rng).reshape(bsz, 1)
         return np.concatenate(toks, axis=1), step_logits
+
+    def generate_ondevice(self, prompt: np.ndarray, n_new: int,
+                          temperature: float = 0.0, top_k: int | None = None,
+                          seed: int = 0) -> np.ndarray:
+        """The whole decode loop as ONE device program: lax.scan over steps
+        with the caches as carry and sampling on-device.
+
+        The host-loop `generate` dispatches (and fetches) every step —
+        correct, but each token costs multiple serialized host round trips;
+        on a remote/tunneled device that RTT dominates by 20x+.  Here the
+        device runs all `n_new` steps autonomously and the host fetches one
+        (B, n_new) token array at the end.
+
+        Greedy (temperature=0) matches `generate` token-for-token
+        (tests/test_decoding.py); sampling uses a seeded jax PRNG
+        (deterministic, but a different stream than the host rng).
+        Returns tokens (B, n_new) int32."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        if self._ex is None:
+            raise ValueError("generate_ondevice requires the jax backend")
+        fn0, params = self._ex.make_jit_fn()
+        bsz, P = prompt.shape
+        L = self.layers
+        cache_shapes = {n.name: n.shape for n in self.g.inputs
+                        if n.name[0] in "kv" and n.name[1:].isdigit()}
+        caches = {nm: np.zeros(sh, np.float32)
+                  for nm, sh in cache_shapes.items()}
+        if getattr(self, "_prefill", None) is None:
+            raise ValueError("attach_prefill(...) first: on-device decode "
+                             "seeds the caches in one prefill pass")
+        padded = np.zeros((bsz, self._prefill_len), np.int32)
+        padded[:, :P] = prompt
+        outs = self._prefill.run_device(
+            {self._prefill.graph.inputs[0].name: padded})
+        for i in range(L):
+            Lc = caches[f"k{i}"].shape[2]
+            p_eff = min(P, Lc)
+            caches[f"k{i}"][:, :, :p_eff, :] = np.asarray(
+                outs[1 + 2 * i])[:, :, :p_eff, :]
+            caches[f"v{i}"][:, :, :p_eff, :] = np.asarray(
+                outs[2 + 2 * i])[:, :, :p_eff, :]
+        logits0 = jnp.asarray(outs[0])[:, P - 1, :]
+
+        def choose(logits, key):
+            if temperature <= 0:
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            z = logits.astype(jnp.float32) / jnp.float32(temperature)
+            if top_k:
+                kth = jax.lax.top_k(z, top_k)[0][:, -1:]
+                z = jnp.where(z < kth, -jnp.inf, z)
+            return jax.random.categorical(key, z, axis=-1).astype(jnp.int32)
+
+        cnames = sorted(caches)
+
+        def body(carry, s):
+            cvals, cur, key = carry
+            key, sub = jax.random.split(key)
+            feeds = dict(zip(cnames, cvals))
+            feeds["token"] = cur
+            feeds["pos"] = (jnp.int32(P) + s).astype(jnp.int32)
+            outs = fn0(params, feeds)
+            logits = outs[0]
+            byname = {f"k{i}": outs[1 + i] for i in range(L)}
+            byname.update({f"v{i}": outs[1 + L + i] for i in range(L)})
+            nxt = choose(logits, sub).reshape(bsz, 1)
+            return (tuple(byname[nm] for nm in cnames), nxt, key), cur
+
+        @jax.jit
+        def run(params, cvals, logits0, key):
+            key, sub = jax.random.split(key)
+            cur = choose(logits0, sub).reshape(bsz, 1)
+            (_, _, _), toks = lax.scan(
+                body, (cvals, cur, key), jnp.arange(n_new, dtype=jnp.int32),
+                length=n_new)
+            return jnp.swapaxes(toks[:, :, 0], 0, 1)  # (B, n_new)
+
+        key = jax.random.PRNGKey(seed)
+        cvals = tuple(jnp.asarray(caches[nm]) for nm in cnames)
+        return np.asarray(run(params, cvals, logits0, key)).astype(np.int32)

@@ -128,3 +128,27 @@ def test_full_graph_prefill_matches_stepwise(model, rng):
     np.testing.assert_array_equal(t1, t2)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_ondevice_scan_decode_matches_host_loop(model, rng):
+    """generate_ondevice (whole decode loop in ONE lax.scan program) emits
+    the same greedy tokens as the host-loop generate — the serving path's
+    single-dispatch form."""
+    full, step = model
+    prompt = rng.integers(0, VOCAB, (B, 5)).astype(np.int32)
+    host = GreedyDecoder(step, layers=LAYERS).attach_prefill(full)
+    dev = GreedyDecoder(step, layers=LAYERS).attach_prefill(full)
+    t1, _ = host.generate(prompt, 4)
+    t2 = dev.generate_ondevice(prompt, 4)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_ondevice_sampling_deterministic(model, rng):
+    full, step = model
+    prompt = rng.integers(0, VOCAB, (B, 3)).astype(np.int32)
+    dec = GreedyDecoder(step, layers=LAYERS).attach_prefill(full)
+    a = dec.generate_ondevice(prompt, 5, temperature=0.8, top_k=10, seed=3)
+    b = dec.generate_ondevice(prompt, 5, temperature=0.8, top_k=10, seed=3)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (B, 5)
+    assert (a >= 0).all() and (a < VOCAB).all()
