@@ -23,10 +23,14 @@ def main():
     fg, x = build("resnet50")
     names = [n.name for n in fg.nodes]
     cuts = []
-    for marker, label in [("pool0", "stem+pool"),
-                          ("s0b2_add", "stage1(56^2)"),
-                          ("s1b3_add", "stage2(28^2)"),
-                          ("s2b5_add", "stage3(14^2)"),
+    for marker, label in [("data_q", "quantize"),
+                          ("relu0_rq", "stem conv7x7"),
+                          ("pool0", "maxpool"),
+                          ("s0b2_out", "stage1(56^2)"),
+                          ("s1b0_out", "s1 downsample"),
+                          ("s1b3_out", "stage2(28^2)"),
+                          ("s2b5_out", "stage3(14^2)"),
+                          ("s3b2_out", "stage4(7^2)"),
                           (fg.outputs[0], "full")]:
         cand = [nm for nm in names if nm == marker or nm.startswith(marker)]
         if not cand:

@@ -121,6 +121,10 @@ def bench_decode(step, x):
 
     ex = JaxExecutor(step)
     fn0, params = ex.make_jit_fn()
+    # fn0 is the raw traceable graph function: calling it OUTSIDE a jit
+    # executes the graph eagerly, one op dispatch at a time (measured
+    # 537 ms/token over the tunnel).  Jit it for the dispatch loop.
+    jfn = jax.jit(fn0)
     L = step.inputs[2].shape[2]
     caches = {n.name: jax.device_put(np.zeros(n.shape, np.float32))
               for n in step.inputs if n.name[0] in "kv"
@@ -128,7 +132,7 @@ def bench_decode(step, x):
     pos = jax.device_put(np.int32(L // 2))
 
     def run_once(tok):
-        outs = fn0(params, {"token": tok, "pos": pos, **caches})
+        outs = jfn(params, {"token": tok, "pos": pos, **caches})
         return outs[0]
 
     fb = jax.jit(lambda tok, logits: jnp.argmax(

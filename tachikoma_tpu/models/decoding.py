@@ -313,3 +313,126 @@ class GreedyDecoder:
         key = jax.random.PRNGKey(seed)
         cvals = tuple(jnp.asarray(caches[nm]) for nm in cnames)
         return np.asarray(run(params, cvals, logits0, key)).astype(np.int32)
+
+
+def gpt2_generate_scanned(full: Graph, prompt: np.ndarray, n_new: int, *,
+                          max_len=128, hidden=768, layers=12, heads=12,
+                          ffn_dim=3072, vocab=50257, temperature: float = 0.0,
+                          top_k: int | None = None, seed: int = 0):
+    """O(1)-program on-device generation: prefill AND decode as ONE jitted
+    program whose transformer body is a lax.scan over STACKED layer weights
+    (program size = one layer, not `layers` — the unrolled step graph
+    exceeds remote-compile request caps exactly like the unrolled full
+    graph did; runtime/segmented.py solves this for inference graphs, this
+    is the decoding counterpart).
+
+    The outer scan runs P + n_new single-token steps (teacher-forced over
+    the prompt, then sampling); the inner scan runs the layers with the
+    per-layer KV caches as scanned-over/updated xs/ys.  Layer math mirrors
+    gpt2_decode_step op for op, so greedy tokens match GreedyDecoder's
+    host loop (tests/test_decoding.py).
+
+    Returns tokens (B, n_new) int32."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    P_ = full.params
+    hd = hidden // heads
+    bsz, plen = prompt.shape
+    assert plen + n_new <= max_len + 1, "prompt + generation exceeds max_len"
+
+    def stack(fmt):
+        return np.stack([P_[fmt.format(i)] for i in range(layers)])
+
+    stacked = {
+        "ln1_g": stack("block{}_ln1_g"), "ln1_b": stack("block{}_ln1_b"),
+        "ln2_g": stack("block{}_ln2_g"), "ln2_b": stack("block{}_ln2_b"),
+        "q_w": stack("block{}_attn_q_w"), "q_b": stack("block{}_attn_q_b"),
+        "k_w": stack("block{}_attn_k_w"), "k_b": stack("block{}_attn_k_b"),
+        "v_w": stack("block{}_attn_v_w"), "v_b": stack("block{}_attn_v_b"),
+        "o_w": stack("block{}_attn_o_w"), "o_b": stack("block{}_attn_o_b"),
+        "f1_w": stack("block{}_ffn1_w"), "f1_b": stack("block{}_ffn1_b"),
+        "f2_w": stack("block{}_ffn2_w"), "f2_b": stack("block{}_ffn2_b"),
+    }
+    tops = {k: P_[k] for k in ("wte", "wpe", "ln_f_g", "ln_f_b", "lm_head")}
+
+    def ln(x, g, b):
+        x = x.astype(jnp.float32)
+        mu = x.mean(axis=-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+        return (x - mu) / jnp.sqrt(var + jnp.float32(1e-12)) * g + b
+
+    def layer_step(h, xs, pos, maskf):
+        w, kc, vc = xs
+        ln1 = ln(h, w["ln1_g"], w["ln1_b"])
+        q = jnp.matmul(ln1, w["q_w"]) + w["q_b"]
+        k = jnp.matmul(ln1, w["k_w"]) + w["k_b"]
+        v = jnp.matmul(ln1, w["v_w"]) + w["v_b"]
+
+        def heads1(t):
+            return jnp.transpose(t.reshape(bsz, 1, heads, hd), (0, 2, 1, 3))
+
+        qh, kh, vh = heads1(q), heads1(k), heads1(v)
+        z = jnp.int32(0)
+        kcat = lax.dynamic_update_slice(kc, kh, (z, z, pos, z))
+        vcat = lax.dynamic_update_slice(vc, vh, (z, z, pos, z))
+        scores = jnp.matmul(qh, jnp.swapaxes(kcat, -1, -2),
+                            preferred_element_type=jnp.float32)
+        scaled = scores * jnp.float32(1.0 / np.sqrt(hd))
+        att = jax.nn.softmax(scaled + maskf, axis=-1)
+        ctx = jnp.matmul(att, vcat, preferred_element_type=jnp.float32)
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(bsz, 1, hidden)
+        res1 = h + (jnp.matmul(ctx, w["o_w"]) + w["o_b"])
+        ln2 = ln(res1, w["ln2_g"], w["ln2_b"])
+        f1 = jnp.matmul(ln2, w["f1_w"]) + w["f1_b"]
+        act = jax.nn.gelu(f1.astype(jnp.float32), approximate=False)
+        h2 = res1 + (jnp.matmul(act, w["f2_w"]) + w["f2_b"])
+        return h2, kcat, vcat
+
+    def choose(logits, key):
+        if temperature <= 0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        z = logits.astype(jnp.float32) / jnp.float32(temperature)
+        if top_k:
+            kth = lax.top_k(z, top_k)[0][:, -1:]
+            z = jnp.where(z < kth, -jnp.inf, z)
+        return jax.random.categorical(key, z, axis=-1).astype(jnp.int32)
+
+    ar = jnp.arange(max_len, dtype=jnp.int32)
+
+    @jax.jit
+    def run(stk, top, prm, key):
+        def token_step(carry, s):
+            kc, vc, cur, key = carry
+            key, sub = jax.random.split(key)
+            tok = jnp.where(s < plen, prm[:, jnp.minimum(s, plen - 1)],
+                            cur)                           # (B,)
+            pe = jnp.take(top["wpe"], s, axis=0).reshape(1, 1, hidden)
+            h = jnp.take(top["wte"], tok[:, None], axis=0) + pe
+            maskf = jnp.where(ar <= s, jnp.float32(0),
+                              jnp.float32(-30)).reshape(1, 1, 1, max_len)
+
+            def body(hc, xs):
+                w, kcl, vcl = xs
+                h2, kn, vn = layer_step(hc, (w, kcl, vcl), s, maskf)
+                return h2, (kn, vn)
+
+            h, (kc, vc) = lax.scan(body, h, (stk, kc, vc))
+            hf = ln(h, top["ln_f_g"], top["ln_f_b"])
+            logits = jnp.matmul(hf, top["lm_head"]).reshape(bsz, vocab)
+            nxt = choose(logits, sub)
+            return (kc, vc, nxt, key), nxt
+
+        kc = jnp.zeros((layers, bsz, heads, max_len, hd), jnp.float32)
+        vc = jnp.zeros_like(kc)
+        cur = jnp.zeros((bsz,), jnp.int32)
+        steps = jnp.arange(plen + n_new - 1, dtype=jnp.int32)
+        (_, _, _, _), toks = lax.scan(token_step, (kc, vc, cur, key), steps)
+        return jnp.swapaxes(toks[plen - 1:], 0, 1)  # (B, n_new)
+
+    stacked_j = {k: jnp.asarray(v) for k, v in stacked.items()}
+    tops_j = {k: jnp.asarray(v) for k, v in tops.items()}
+    key = jax.random.PRNGKey(seed)
+    out = run(stacked_j, tops_j, jnp.asarray(prompt.astype(np.int32)), key)
+    return np.asarray(out).astype(np.int32)

@@ -17,6 +17,8 @@ behavior does not depend on the x64 default-dtype change.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
@@ -1048,6 +1050,113 @@ def _lut_select(table_np: np.ndarray, idx):
     return (b ^ half) - half  # sign-extend the packed lane
 
 
+def _div_exact_f32(num, den):
+    """floor(num / den) for int32 num in [0, 2^24), den in [1, 2^23) —
+    computed as an f32 reciprocal MULTIPLY plus one integer fixup round.
+
+    XLA's int32 vector division dominates the integer softmax on TPU
+    (measured: 52 of 63 us at the BERT scores shape); f32 divides are also
+    multi-cycle, so the reciprocal is taken once per row and applied as a
+    multiply.  Exactness: num < 2^24 is exactly representable in f32; the
+    candidate floor(num * rcp) is within +/-1 of the true quotient for
+    these ranges (relative f32 error ~2^-23 on quotients < 2^24), and the
+    fixup round computes the exact remainder in int32 and corrects both
+    directions.  Bit-identical to `num // den` (oracle parity)."""
+    rcp = jnp.float32(1.0) / den.astype(jnp.float32)
+    q = jnp.floor(num.astype(jnp.float32) * rcp).astype(jnp.int32)
+    r = num - q * den
+    q = jnp.where(r < 0, q - 1, q)
+    r = jnp.where(r < 0, r + den, r)
+    return jnp.where(r >= den, q + 1, q)
+
+
+@functools.lru_cache(maxsize=None)
+def _lut_poly_plan(table_bytes: bytes):
+    """Fit an exhaustively-verified polynomial realization of an int8->int8
+    table: constant lead tail + (identity | constant) high tail + a
+    degree-9 Chebyshev fit of the curved core in the NORMALIZED domain
+    (a raw-index Horner is f32-catastrophic: x^9 at x=255), with fixup
+    selects for every core point that rounds wrong OR lands within 0.02 of
+    a rounding boundary (so <=1-ulp backend FMA differences can never flip
+    a value; measured CPU-vs-TPU Horner deviation is ~8e-6).
+
+    Returns (coefs_f32, sc, off, lo_end, c_lo, hi_start, hi_ident, c_hi,
+    fixups) or None when the table has no poly-friendly shape (falls back
+    to the packed select chain)."""
+    t64 = np.frombuffer(table_bytes, np.int8).astype(np.int64)
+    if t64.shape[0] != 256:
+        return None
+    qv = np.arange(-128, 128)
+    lo_end = 1
+    while lo_end < 256 and t64[lo_end] == t64[0]:
+        lo_end += 1
+    hi_id = 256
+    while hi_id > 0 and t64[hi_id - 1] == qv[hi_id - 1]:
+        hi_id -= 1
+    hi_ct = 256
+    while hi_ct > 1 and t64[hi_ct - 1] == t64[255]:
+        hi_ct -= 1
+    hi_ident = (256 - hi_id) >= (256 - hi_ct)
+    hi_start = hi_id if hi_ident else hi_ct
+    core = np.arange(min(lo_end, hi_start), hi_start)
+    if len(core) < 2 or len(core) > 240:
+        # no saturated structure to exploit — the packed chain wins
+        return None
+    a0, a1 = float(core[0]), float(core[-1])
+    if a1 == a0:
+        return None
+    xn = (2 * core - (a0 + a1)) / (a1 - a0)
+    cheb = np.polynomial.chebyshev.Chebyshev.fit(
+        xn, t64[core].astype(np.float64), deg=min(9, len(core) - 1),
+        domain=[-1, 1])
+    coefs = np.array(np.polynomial.chebyshev.cheb2poly(cheb.coef),
+                     np.float32)
+    sc = np.float32(2.0 / (a1 - a0))
+    off = np.float32((a0 + a1) / (a1 - a0))
+    # exhaustive verification in f32 with the same Horner order
+    t = core.astype(np.float32) * sc - off
+    acc = np.full(core.shape, coefs[-1], np.float32)
+    for c in coefs[:-1][::-1]:
+        acc = acc * t + c
+    rc = np.rint(acc).astype(np.int64)
+    frac = np.abs(acc.astype(np.float64) - np.floor(acc) - 0.5)
+    fixups = tuple((int(k), int(t64[k])) for k in
+                   core[(rc != t64[core]) | (frac < 0.02)])
+    if len(fixups) > 16:
+        return None  # fit too poor to beat the packed chain
+    return (tuple(float(c) for c in coefs), float(sc), float(off),
+            int(lo_end), int(t64[0]), int(hi_start), bool(hi_ident),
+            int(t64[255]), fixups)
+
+
+def _lut_apply_int8(table_np: np.ndarray, x_int8):
+    """int8 -> int8 table application: polynomial-hybrid when the table has
+    saturated tails and a smooth core (gelu/silu/sigmoid/tanh — ~2x faster
+    than the packed select chain on v5e, bit-identical by exhaustive
+    256-point verification), else the packed select chain."""
+    table_np = np.asarray(table_np, np.int8)
+    plan = _lut_poly_plan(table_np.tobytes()) if table_np.shape[0] == 256 \
+        else None
+    xi = x_int8.astype(jnp.int32)
+    idx = xi + jnp.int32(128)
+    if plan is None:
+        return _lut_select(table_np, idx).astype(jnp.int8)
+    (coefs, sc, off, lo_end, c_lo, hi_start, hi_ident, c_hi, fixups) = plan
+    t = idx.astype(jnp.float32) * jnp.float32(sc) - jnp.float32(off)
+    acc = jnp.float32(coefs[-1])
+    for c in coefs[-2::-1]:
+        acc = acc * t + jnp.float32(c)
+    v = jnp.round(acc).astype(jnp.int32)
+    if hi_ident:
+        v = jnp.where(idx >= jnp.int32(hi_start), xi, v)
+    else:
+        v = jnp.where(idx >= jnp.int32(hi_start), jnp.int32(c_hi), v)
+    v = jnp.where(idx < jnp.int32(lo_end), jnp.int32(c_lo), v)
+    for k, val in fixups:
+        v = jnp.where(idx == jnp.int32(k), jnp.int32(val), v)
+    return jnp.clip(v, -128, 127).astype(jnp.int8)
+
+
 def _exp_q15(scale: float, d):
     """Factorized Q15 exp lookup — bit-identical to indexing
     qnn.softmax_exp_table(scale)[d] (the table IS defined by these factors,
@@ -1075,7 +1184,9 @@ def _qsoftmax_jax(x, *, node: Node):
     d = jnp.clip(m - v, 0, LUT_SIZE - 1)
     p = _exp_q15(float(node.attrs["input_scale"]), d)
     ssum = p.sum(axis=axis, keepdims=True, dtype=jnp.int32)
-    q = (p * jnp.int32(256) + ssum // jnp.int32(2)) // ssum
+    # exact f32-reciprocal division: XLA's int32 vector divide was 82% of
+    # this op's time on v5e (bounds: num <= 2^23 + 2^21, den <= 2^22)
+    q = _div_exact_f32(p * jnp.int32(256) + ssum // jnp.int32(2), ssum)
     out = jnp.clip(q + jnp.int32(SOFTMAX_OUT_ZP), jnp.int32(-128), jnp.int32(127))
     return out.astype(_jdt(node.attrs.get("out_dtype", "int8")))
 
@@ -1083,8 +1194,7 @@ def _qsoftmax_jax(x, *, node: Node):
 @jax_impl("qnn.lut")
 def _qlut_jax(x, *, node: Node):
     table = np.asarray(node.attrs["table"], dtype=np.int8)
-    idx = x.astype(jnp.int32) + jnp.int32(128)
-    return _lut_select(table, idx).astype(jnp.int8)
+    return _lut_apply_int8(table, x)
 
 
 @jax_impl("qnn.attention")
@@ -1100,7 +1210,7 @@ def _qattn_jax(q, k, v, *, node: Node):
     d = jnp.clip(m - s, 0, LUT_SIZE - 1)
     p = _exp_q15(scores_scale, d)
     ssum = p.sum(axis=-1, keepdims=True, dtype=jnp.int32)
-    u = (p * jnp.int32(256) + ssum // jnp.int32(2)) // ssum
+    u = _div_exact_f32(p * jnp.int32(256) + ssum // jnp.int32(2), ssum)
     ctx = jnp.matmul(u, v.astype(jnp.int32), preferred_element_type=jnp.int32)
     return requantize_jnp(
         ctx, v_scale / 256.0, 0, out_scale, 0,

@@ -152,3 +152,19 @@ def test_ondevice_sampling_deterministic(model, rng):
     np.testing.assert_array_equal(a, b)
     assert a.shape == (B, 5)
     assert (a >= 0).all() and (a < VOCAB).all()
+
+
+def test_scanned_generation_matches_host_loop(model, rng):
+    """gpt2_generate_scanned (scan-over-layers x scan-over-positions, ONE
+    small program) emits the same greedy tokens as the host-loop decoder —
+    the O(1)-program serving form for remote-compile-capped environments."""
+    from tachikoma_tpu.models.decoding import gpt2_generate_scanned
+
+    full, step = model
+    prompt = rng.integers(0, VOCAB, (B, 5)).astype(np.int32)
+    host = GreedyDecoder(step, layers=LAYERS).attach_prefill(full)
+    t1, _ = host.generate(prompt, 4)
+    t2 = gpt2_generate_scanned(full, prompt, 4, max_len=L, hidden=HID,
+                               layers=LAYERS, heads=HEADS, ffn_dim=FFN,
+                               vocab=VOCAB)
+    np.testing.assert_array_equal(t1, t2)

