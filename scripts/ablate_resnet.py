@@ -22,16 +22,19 @@ def main():
     print("device:", jax.devices()[0].device_kind, flush=True)
     fg, x = build("resnet50")
     names = [n.name for n in fg.nodes]
+    default = [("data_q", "quantize"),
+               ("relu0_rq", "stem conv7x7"),
+               ("pool0", "maxpool"),
+               ("s0b2_out", "stage1(56^2)"),
+               ("s1b0_out", "s1 downsample"),
+               ("s1b3_out", "stage2(28^2)"),
+               ("s2b5_out", "stage3(14^2)"),
+               ("s3b2_out", "stage4(7^2)"),
+               (fg.outputs[0], "full")]
+    markers = ([(m, m) for m in sys.argv[1:]] + [(fg.outputs[0], "full")]
+               if len(sys.argv) > 1 else default)
     cuts = []
-    for marker, label in [("data_q", "quantize"),
-                          ("relu0_rq", "stem conv7x7"),
-                          ("pool0", "maxpool"),
-                          ("s0b2_out", "stage1(56^2)"),
-                          ("s1b0_out", "s1 downsample"),
-                          ("s1b3_out", "stage2(28^2)"),
-                          ("s2b5_out", "stage3(14^2)"),
-                          ("s3b2_out", "stage4(7^2)"),
-                          (fg.outputs[0], "full")]:
+    for marker, label in markers:
         cand = [nm for nm in names if nm == marker or nm.startswith(marker)]
         if not cand:
             print(f"marker {marker} not found", flush=True)

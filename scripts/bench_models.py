@@ -150,19 +150,21 @@ def bench_decode_scan(n_new=64):
     into the dominant cost)."""
     import time as _t
 
-    from tachikoma_tpu.models.decoding import GreedyDecoder, gpt2_decode_step
+    from tachikoma_tpu.models.decoding import gpt2_generate_scanned
     from tachikoma_tpu.models.transformer import gpt2_small
 
     full = gpt2_small(batch_size=1, seq_len=128)
-    step = gpt2_decode_step(full, batch_size=1, max_len=128)
-    dec = GreedyDecoder(step, layers=12).attach_prefill(full)
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, 50257, (1, 8)).astype(np.int32)
-    dec.generate_ondevice(prompt, n_new)  # warm: compiles prefill + scan
+
+    def gen():
+        return gpt2_generate_scanned(full, prompt, n_new, max_len=128)
+
+    gen()  # warm: compiles the one scanned program
     best = float("inf")
     for _ in range(3):
         t0 = _t.perf_counter()
-        toks = dec.generate_ondevice(prompt, n_new)
+        toks = gen()
         best = min(best, _t.perf_counter() - t0)
     per = best / n_new  # includes prefill + one-time dispatch, amortized
     print(f"gpt2_decode_scan: {per*1e3:.3f} ms/token = {1/per:.1f} tokens/s"

@@ -64,7 +64,37 @@ def main():
 
         return fn
 
+    def xla_f32(a):
+        """XLA f32 conv with EXACT integer semantics: every product is an
+        integer <= 127*127 and the 147-term dot stays < 2^24, so f32
+        accumulation is exact; XLA:TPU's conv emitter handles cin=3 stems
+        with its own space-to-depth.  Epilogue = the exact fixed-point
+        requantize on the recovered int32 accumulator."""
+        from jax import lax
+
+        from tachikoma_tpu.ops.fixed_point import requantize_jnp
+
+        acc = lax.conv_general_dilated(
+            a.astype(jnp.float32), jnp.asarray(wt, jnp.float32),
+            window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        acc = acc.astype(jnp.int32) + jnp.asarray(bias, jnp.int32)
+        return requantize_jnp(acc, 0.0004, 0, 0.05, 0, rounding="UPWARD",
+                              out_dtype="int8")
+
+    try:
+        got = np.asarray(jax.jit(xla_f32)(jnp.asarray(x)))
+        print("xla f32 conv:", "EXACT" if np.array_equal(got, ref)
+              else "MISMATCH!!", flush=True)
+        xla_ok = np.array_equal(got, ref)
+    except Exception as e:
+        print(f"xla f32 conv: FAIL {type(e).__name__}: {str(e)[:140]}",
+              flush=True)
+        xla_ok = False
+
     variants = {"production": prod}
+    if xla_ok:
+        variants["xla f32 conv"] = xla_f32
     for cpad in (3, 4, 8):
         f = im2col_padded(cpad)
         try:

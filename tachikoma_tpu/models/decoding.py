@@ -342,6 +342,25 @@ def gpt2_generate_scanned(full: Graph, prompt: np.ndarray, n_new: int, *,
     bsz, plen = prompt.shape
     assert plen + n_new <= max_len + 1, "prompt + generation exceeds max_len"
 
+    # one compiled program per (geometry, sampling) config, cached on the
+    # graph: rebuilding the jitted closure per call would re-trace (and
+    # re-upload the compile request) every generation
+    ckey = (bsz, plen, n_new, max_len, hidden, layers, heads, ffn_dim,
+            vocab, float(temperature), top_k)
+    cache = getattr(full, "_scan_gen_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            full._scan_gen_cache = cache
+        except AttributeError:
+            pass
+    if ckey in cache:
+        run, stacked_j, tops_j = cache[ckey]
+        key = jax.random.PRNGKey(seed)
+        out = run(stacked_j, tops_j, jnp.asarray(prompt.astype(np.int32)),
+                  key)
+        return np.asarray(out).astype(np.int32)
+
     def stack(fmt):
         return np.stack([P_[fmt.format(i)] for i in range(layers)])
 
@@ -433,6 +452,7 @@ def gpt2_generate_scanned(full: Graph, prompt: np.ndarray, n_new: int, *,
 
     stacked_j = {k: jnp.asarray(v) for k, v in stacked.items()}
     tops_j = {k: jnp.asarray(v) for k, v in tops.items()}
+    cache[ckey] = (run, stacked_j, tops_j)
     key = jax.random.PRNGKey(seed)
     out = run(stacked_j, tops_j, jnp.asarray(prompt.astype(np.int32)), key)
     return np.asarray(out).astype(np.int32)

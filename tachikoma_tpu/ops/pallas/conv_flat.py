@@ -688,6 +688,23 @@ def qconv2d_flat(
             x, w, bias_arr, multiplier, shift, strides, padding,
             input_zero_point, out_zp, rounding, out_dtype, qmin, qmax, fuse)
 
+    if (groups == 1 and sh * sw * cin < 64 and kh * kw * cin <= 1040
+            and fuse and n * h * wd >= 65536):
+        # small-channel stems (e.g. ResNet 7x7 s2 cin=3): the polyphase flat
+        # kernel pads cin_s to the 128-lane MXU minimum (>=2x, 10.7x for the
+        # stem) and the C=3 phase-stack transposes are XLA-pathological —
+        # measured 1.0 ms for the stem where XLA's own conv emitter (which
+        # handles tiny-cin via its internal space-to-depth) does it in
+        # 0.40 ms.  EXACT integer semantics: int8 operands are exactly
+        # representable even in bf16 (|x| <= 127 < 2^8), the MXU accumulates
+        # in f32, and every partial sum is an integer < 2^24
+        # (kh*kw*cin*127^2 <= 1040*16129 < 2^24), so the f32 accumulator is
+        # the exact int32 accumulator.  Verified == on v5e and CPU
+        # (scripts/probe_stem.py, tests/test_pallas_conv_flat.py).
+        return _conv_f32_exact(
+            x, w, bias_arr, multiplier, shift, strides, padding,
+            input_zero_point, out_zp, rounding, out_dtype, qmin, qmax)
+
     if groups == 1:
         return _conv_mxu(
             x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
@@ -700,6 +717,42 @@ def qconv2d_flat(
             x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
             input_zero_point, out_zp, rounding, out_dtype, qmin, qmax, interp)
     raise NotImplementedError("flat conv supports groups==1 or depthwise")
+
+
+def _conv_f32_exact(x, w, bias_arr, multiplier, shift, strides, padding,
+                    izp, out_zp, rounding, out_dtype, qmin, qmax):
+    """XLA f32 conv with exact integer semantics + exact fixed-point
+    requantize (see the dispatch comment in qconv2d_flat for the exactness
+    argument and measurements)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..fixed_point import (q_multiply_shift_jnp,
+                               q_multiply_shift_per_axis_jnp)
+
+    pt, pl_, pb, pr = padding
+    if any(padding):
+        x = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+                    constant_values=np.int8(izp))
+    acc = lax.conv_general_dilated(
+        x.astype(jnp.float32), jnp.asarray(w, jnp.float32),
+        window_strides=strides, padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    acc = acc.astype(jnp.int32) + bias_arr.astype(jnp.int32)
+    m_np = np.atleast_1d(np.asarray(multiplier, np.int64))
+    s_np = np.atleast_1d(np.asarray(shift, np.int64))
+    if m_np.size > 1 or s_np.size > 1:
+        cout = acc.shape[-1]
+        v = q_multiply_shift_per_axis_jnp(
+            acc, np.broadcast_to(m_np, (cout,)),
+            np.broadcast_to(s_np, (cout,)), axis=-1, rounding=rounding)
+    else:
+        v = q_multiply_shift_jnp(acc, int(m_np[0]), int(s_np[0]),
+                                 rounding=rounding)
+    if out_zp:
+        v = v + jnp.int32(out_zp)
+    v = jnp.clip(v, jnp.int32(qmin), jnp.int32(qmax))
+    return v.astype(jnp.dtype(out_dtype))
 
 
 def _conv1x1_matmul(x, w, bias_arr, m_arr, s_arr, strides, padding,

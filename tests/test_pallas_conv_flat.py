@@ -175,3 +175,40 @@ def test_flat_conv_ignores_invalid_db_config(rng, tmp_path, monkeypatch):
                         if w_ == wl else None)
     got = np.asarray(qconv2d_flat(x, w, **kw))  # blocks=None -> DB path
     np.testing.assert_array_equal(got, want)
+
+
+def test_stem_f32_route_exact(rng):
+    """Big-image small-cin convs (the ResNet 7x7 s2 stem regime) route to
+    the XLA f32 conv with the exact fixed-point epilogue — bit-identical to
+    the numpy oracle (int8 operands are exact in bf16 and every partial sum
+    is an integer < 2^24, so the f32 accumulator IS the int32 accumulator)."""
+    import jax.numpy as jnp
+
+    from tachikoma_tpu.ir.graph import Node
+    from tachikoma_tpu.ir.registry import get_op
+    from tachikoma_tpu.ops.fixed_point import requantize_np
+    from tachikoma_tpu.ops.pallas.conv_flat import qconv2d_flat
+    from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
+
+    n, h, w, cin, cout, k = 2, 192, 192, 3, 8, 7
+    x = rng.integers(-127, 127, (n, h, w, cin)).astype(np.int8)
+    wt = rng.integers(-127, 127, (k, k, cin, cout)).astype(np.int8)
+    bias = rng.integers(-500, 500, (cout,)).astype(np.int32)
+    m, s = plan_requantize(0.0004, 0.05)
+
+    got = np.asarray(qconv2d_flat(
+        jnp.asarray(x), wt, bias=bias, multiplier=m, shift=s,
+        strides=(2, 2), padding=(3, 3, 3, 3), input_zero_point=3))
+
+    # independent oracle: qnn.conv2d np impl + exact fixed-point requantize
+    node = Node("c", "qnn.conv2d", ("x", "w"),
+                {"strides": (2, 2), "padding": (3, 3, 3, 3),
+                 "input_zero_point": 3, "kernel_zero_point": 0,
+                 "out_dtype": "int32", "data_layout": "NHWC",
+                 "kernel_layout": "HWIO"})
+    acc = get_op("qnn.conv2d").np_impl(x, wt, node=node) + bias
+    from tachikoma_tpu.ops.fixed_point import q_multiply_shift_np
+
+    want = np.clip(q_multiply_shift_np(acc, int(m), int(s), "UPWARD"),
+                   -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(got, want)
