@@ -544,14 +544,21 @@ def _phase_weights(w, sh, sw):
 
 def _pick_conv_blocks(mp, cin_p, cout_p, khp, kwp, fhx):
     """(bm, bn, bk) under the VMEM budget; prefer wide N for tap-slice
-    amortization, large K blocks for reduction locality."""
+    amortization, large K blocks for reduction locality, and LARGE M blocks
+    at big spatial extents (the round-3 sweep measured bm=1024/4096 ~20%
+    ahead of 512 at the 56^2 geometry: fewer grid cells amortize the
+    per-cell byte-phase window extraction)."""
+    # ...but only single-K-block shapes (cin_p <= 128): the same sweep put
+    # bm=512/bk=256 ahead at 28^2x256 (deep-K reduction locality wins there)
+    bms = (4096, 2048, 1024, 512, 256, 128) \
+        if (mp >= 16384 and cin_p <= 128) else (512, 256, 128)
     for bk in (min(cin_p, 512), 256, 128):
         if bk > cin_p or cin_p % bk:
             continue
         for bn in (512, 256, 128):
             if bn > cout_p or cout_p % bn:
                 continue
-            for bm in (512, 256, 128):
+            for bm in bms:
                 if bm > mp or mp % bm:
                     continue
                 vm = (2 * fhx * bk                       # flat image (dbuf)

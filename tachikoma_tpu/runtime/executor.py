@@ -95,7 +95,11 @@ class JaxExecutor:
     def make_jit_fn(self):
         """(fn, params) where fn(params, inputs_dict) -> list of outputs.
 
-        Exposed for the driver's compile check and for sharding wrappers."""
+        fn is the raw TRACEABLE graph function (for jit/grad/shard_map
+        composition) — calling it OUTSIDE a jit executes the graph eagerly,
+        one op dispatch at a time (measured 500x slower over a tunneled
+        device).  For a dispatch loop, wrap it: `jax.jit(fn)` (or use
+        run_device, which dispatches the pre-jitted program)."""
         return self._run_fn, self._params
 
     def run(self, inputs) -> list[np.ndarray]:
