@@ -1051,17 +1051,26 @@ def _lut_select(table_np: np.ndarray, idx):
 
 
 def _div_exact_f32(num, den):
-    """floor(num / den) for int32 num in [0, 2^24), den in [1, 2^23) —
-    computed as an f32 reciprocal MULTIPLY plus one integer fixup round.
+    """floor(num / den) for int32 num >= 0, den >= 1 — an f32 reciprocal
+    MULTIPLY plus one integer fixup round.
 
     XLA's int32 vector division dominates the integer softmax on TPU
     (measured: 52 of 63 us at the BERT scores shape); f32 divides are also
     multi-cycle, so the reciprocal is taken once per row and applied as a
-    multiply.  Exactness: num < 2^24 is exactly representable in f32; the
-    candidate floor(num * rcp) is within +/-1 of the true quotient for
-    these ranges (relative f32 error ~2^-23 on quotients < 2^24), and the
-    fixup round computes the exact remainder in int32 and corrects both
-    directions.  Bit-identical to `num // den` (oracle parity)."""
+    multiply.
+
+    Exactness guarantee (the one callers must actually satisfy): the
+    result is bit-identical to `num // den` whenever
+      (a) the TRUE quotient Q = num // den satisfies Q < 2^20, and
+      (b) num and (Q+1)*den fit in int32 (so the remainder fixup is exact).
+    Proof sketch: rounding num and 1/den to f32 and the product each carry
+    relative error <= 2^-24, so the candidate c = num_f32 * rcp has
+    |c - num/den| <= ~3*2^-24 * Q < 1 for Q < 2^20; hence
+    floor(c) is within +/-1 of Q, and the int32 remainder round corrects
+    both directions.  num itself MAY exceed 2^24 (its f32 rounding error is
+    covered by the relative-error budget) — qnn.softmax reaches
+    num <= len*2^15 + 2^23 for long axes but its quotient is <= 321, well
+    inside the bound."""
     rcp = jnp.float32(1.0) / den.astype(jnp.float32)
     q = jnp.floor(num.astype(jnp.float32) * rcp).astype(jnp.int32)
     r = num - q * den

@@ -695,7 +695,7 @@ def qconv2d_flat(
             x, w, bias_arr, multiplier, shift, strides, padding,
             input_zero_point, out_zp, rounding, out_dtype, qmin, qmax, fuse)
 
-    if (groups == 1 and sh * sw * cin < 64 and kh * kw * cin <= 1040
+    if (groups == 1 and sh * sw * cin < 64 and kh * kw * cin <= 1024
             and fuse and n * h * wd >= 65536):
         # small-channel stems (e.g. ResNet 7x7 s2 cin=3): the polyphase flat
         # kernel pads cin_s to the 128-lane MXU minimum (>=2x, 10.7x for the
@@ -703,10 +703,13 @@ def qconv2d_flat(
         # measured 1.0 ms for the stem where XLA's own conv emitter (which
         # handles tiny-cin via its internal space-to-depth) does it in
         # 0.40 ms.  EXACT integer semantics: int8 operands are exactly
-        # representable even in bf16 (|x| <= 127 < 2^8), the MXU accumulates
-        # in f32, and every partial sum is an integer < 2^24
-        # (kh*kw*cin*127^2 <= 1040*16129 < 2^24), so the f32 accumulator is
-        # the exact int32 accumulator.  Verified == on v5e and CPU
+        # representable even in bf16 (|x| <= 128 < 2^8), the MXU accumulates
+        # in f32, and every partial sum is an integer <= 2^24: int8 reaches
+        # -128 (izp is folded into bias, the conv sees raw x), so the bound
+        # is kh*kw*cin*128^2 <= 1024*16384 = 2^24, exactly representable in
+        # f32.  Gate therefore requires kh*kw*cin <= 1024 (= 2^24/128^2).
+        # The f32 accumulator is the exact int32 accumulator.  Verified ==
+        # on v5e and CPU, including a +/-128-saturated case
         # (scripts/probe_stem.py, tests/test_pallas_conv_flat.py).
         return _conv_f32_exact(
             x, w, bias_arr, multiplier, shift, strides, padding,

@@ -212,3 +212,40 @@ def test_stem_f32_route_exact(rng):
     want = np.clip(q_multiply_shift_np(acc, int(m), int(s), "UPWARD"),
                    -128, 127).astype(np.int8)
     np.testing.assert_array_equal(got, want)
+
+
+def test_stem_f32_route_exact_saturated(rng):
+    """Worst-case accumulation on the f32 stem route: x and w saturated to
+    -128/+127 so partial sums reach the kh*kw*cin*128^2 bound.  The gate
+    requires kh*kw*cin <= 1024 = 2^24/128^2 (int8 reaches -128; izp is in
+    the bias, the conv sees raw x), so the f32 accumulator stays exact even
+    at full saturation."""
+    import jax.numpy as jnp
+
+    from tachikoma_tpu.ir.graph import Node
+    from tachikoma_tpu.ir.registry import get_op
+    from tachikoma_tpu.ops.fixed_point import q_multiply_shift_np
+    from tachikoma_tpu.ops.pallas.conv_flat import qconv2d_flat
+    from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
+
+    # gate: sh*sw*cin = 20 < 64; kh*kw*cin = 7*7*20 = 980 <= 1024 (near the
+    # bound); n*h*w = 73728 >= 65536 -> takes the f32 route
+    n, h, w, cin, cout, k = 2, 192, 192, 20, 8, 7
+    x = np.where(rng.random((n, h, w, cin)) < 0.5, -128, 127).astype(np.int8)
+    wt = np.where(rng.random((k, k, cin, cout)) < 0.5, -128, 127).astype(np.int8)
+    bias = rng.integers(-500, 500, (cout,)).astype(np.int32)
+    m, s = plan_requantize(0.000004, 0.05)
+
+    got = np.asarray(qconv2d_flat(
+        jnp.asarray(x), wt, bias=bias, multiplier=m, shift=s,
+        strides=(1, 1), padding=(3, 3, 3, 3), input_zero_point=-128))
+
+    node = Node("c", "qnn.conv2d", ("x", "w"),
+                {"strides": (1, 1), "padding": (3, 3, 3, 3),
+                 "input_zero_point": -128, "kernel_zero_point": 0,
+                 "out_dtype": "int32", "data_layout": "NHWC",
+                 "kernel_layout": "HWIO"})
+    acc = get_op("qnn.conv2d").np_impl(x, wt, node=node) + bias
+    want = np.clip(q_multiply_shift_np(acc, int(m), int(s), "UPWARD"),
+                   -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(got, want)
