@@ -50,7 +50,7 @@ COOLDOWN = int(os.environ.get("TK_BENCH_COOLDOWN", "150"))
 DEADLINE = 80 * 60  # overall wall-clock cap for the whole harness
 
 _ALL_SUBBENCHES = ("conv", "conv_kernel", "matmul", "chain", "resnet50",
-                   "trace")
+                   "resnet50_b32", "trace")
 # TK_BENCH_ONLY=conv,chain restricts the run (smoke tests / reruns)
 SUBBENCH_KEYS = tuple(
     k for k in _ALL_SUBBENCHES
@@ -66,16 +66,19 @@ def log(msg):
 # payload: the only code that touches the TPU (run as a subprocess)
 # ---------------------------------------------------------------------------
 
-def _per_iter(fn, x0, feedback, repeats=3):
-    from tachikoma_tpu.utils.timing import per_iter_chain
+def _per_iter_stats(fn, x0, feedback, samples=5):
+    """(median_s, iqr_s) per-iteration time over >= `samples` interleaved
+    repeats inside ONE process (utils/timing.py per_iter_chain_samples).
 
-    # chain + value-fetch protocol (utils/timing.py): dispatches pipeline
-    # over the tunnel and only a d2h fetch is a true sync.  Best of two
-    # independent measurements: tunnel contention produces occasional 2x
-    # outliers (the reference's time_evaluator likewise reports min over
-    # repeats, `python/tvm/runtime/module.py:273`).
-    return min(per_iter_chain(fn, x0, feedback, repeats=repeats)
-               for _ in range(2))
+    The chain + value-fetch protocol: dispatches pipeline over the tunnel
+    and only a d2h fetch is a true sync.  The tunnel drifts ±15% run-to-run
+    with occasional 2x outliers, so the official capture is the MEDIAN with
+    the IQR reported alongside (the reference's time_evaluator
+    number/repeat protocol, `python/tvm/runtime/module.py:273`)."""
+    from tachikoma_tpu.utils.timing import median_iqr, per_iter_chain_samples
+
+    xs = per_iter_chain_samples(fn, x0, feedback, samples=samples)
+    return median_iqr(xs)
 
 
 def bench_int8_conv_pallas():
@@ -107,9 +110,9 @@ def bench_int8_conv_pallas():
     def feedback(a, out):
         return a.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
 
-    per = _per_iter(fn, x, feedback)
+    per, iqr = _per_iter_stats(fn, x, feedback)
     macs = n * h * w * cout * k * k * cin
-    return {"gops": 2 * macs / per / 1e9, "time_s": per}
+    return {"gops": 2 * macs / per / 1e9, "time_s": per, "iqr_s": iqr}
 
 
 def bench_int8_conv_kernel():
@@ -158,9 +161,9 @@ def bench_int8_conv_kernel():
     def feedback(a, out):
         return a.at[0, 0].add(out[0, 0])
 
-    per = _per_iter(fn, jnp.asarray(xf), feedback)
+    per, iqr = _per_iter_stats(fn, jnp.asarray(xf), feedback)
     macs = n * h * w * cout * k * k * cin
-    return {"gops": 2 * macs / per / 1e9, "time_s": per}
+    return {"gops": 2 * macs / per / 1e9, "time_s": per, "iqr_s": iqr}
 
 
 def bench_int8_matmul_pallas():
@@ -181,8 +184,8 @@ def bench_int8_matmul_pallas():
     def feedback(a, out):
         return a.at[0, 0].add(out[0, 0].astype(jnp.int8))
 
-    per = _per_iter(lambda a: raw(a, B), A, feedback)
-    return {"gops": 2 * M * K * N / per / 1e9, "time_s": per}
+    per, iqr = _per_iter_stats(lambda a: raw(a, B), A, feedback)
+    return {"gops": 2 * M * K * N / per / 1e9, "time_s": per, "iqr_s": iqr}
 
 
 def bench_conv_chain():
@@ -212,39 +215,45 @@ def bench_conv_chain():
     def feedback(a, out):
         return a.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
 
-    totals = {}
+    from tachikoma_tpu.utils.timing import (median_iqr,
+                                            per_iter_chain_samples_multi)
+
+    fns = {}
     for depth in (3, 6):
         st = stages6[:depth]
-
-        def fn(a, _st=st):
-            return qconv2d_flat_chain(a, _st)
-
-        totals[depth] = _per_iter(fn, x, feedback)
-    per = (totals[6] - totals[3]) / 3          # interior per-conv
-    per_d6 = totals[6] / 6                     # incl. entry/exit share
+        fns[depth] = lambda a, _st=st: qconv2d_flat_chain(a, _st)
+    # INTERLEAVED sampling: each sample pass measures d3 then d6, so tunnel
+    # drift cancels in the per-sample differential
+    samp = per_iter_chain_samples_multi(fns, x, feedback, samples=5)
+    diffs = [(t6 - t3) / 3 for t3, t6 in zip(samp[3], samp[6])]
+    per, iqr = median_iqr(diffs)               # interior per-conv
+    per_d6, iqr_d6 = median_iqr([t / 6 for t in samp[6]])
     # tunnel variance guard: the differential of two noisy totals can
     # collapse or explode on a bad run; it is only credible when it lands
     # between half and 1x the depth-6 average (entry/exit are nonnegative)
     if not (0.5 * per_d6 <= per <= per_d6):
-        per = per_d6
+        per, iqr = per_d6, iqr_d6
     macs = n * h * w * c * 9 * c
-    return {"gops": 2 * macs / per / 1e9, "time_s": per,
+    return {"gops": 2 * macs / per / 1e9, "time_s": per, "iqr_s": iqr,
             "gops_e2e_d6": 2 * macs / per_d6 / 1e9, "time_d6_s": per_d6}
 
 
-def bench_resnet50_e2e():
-    """Quantized+fused ResNet-50 b8 end-to-end latency."""
+def _bench_resnet50_batch(batch):
+    """Quantized+fused ResNet-50 end-to-end latency at a given batch, plus
+    the static graph op count for MFU reporting."""
     import jax.numpy as jnp
 
     from tachikoma_tpu.models.vision import resnet
     from tachikoma_tpu.quantize.quantizer import quantize
     from tachikoma_tpu.runtime.executor import JaxExecutor
+    from tachikoma_tpu.runtime.profiler import graph_flops
 
-    log("bench: building + quantizing ResNet-50 b8 ...")
-    g = resnet(50, batch_size=8, image_size=224)
+    log(f"bench: building + quantizing ResNet-50 b{batch} ...")
+    g = resnet(50, batch_size=batch, image_size=224)
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
+    x = rng.standard_normal((batch, 224, 224, 3)).astype(np.float32)
     qg = quantize(g, [x])
+    flops = graph_flops(qg)
     ex = JaxExecutor(qg, fuse=True)
     fn0, params = ex.make_jit_fn()
     vname = ex.graph.inputs[0].name
@@ -255,8 +264,18 @@ def bench_resnet50_e2e():
     def feedback(a, out):
         return a.at[0, 0, 0, 0].add(out[0, 0].astype(np.float32))
 
-    per = _per_iter(fn, jnp.asarray(x), feedback)
-    return {"time_s": per}
+    per, iqr = _per_iter_stats(fn, jnp.asarray(x), feedback)
+    return {"time_s": per, "iqr_s": iqr, "flops": flops, "batch": batch}
+
+
+def bench_resnet50_e2e():
+    return _bench_resnet50_batch(8)
+
+
+def bench_resnet50_b32():
+    """Throughput-oriented batch: MFU is what larger batches buy on a
+    394-TOPS part (round-3 verdict item 3)."""
+    return _bench_resnet50_batch(32)
 
 
 def bench_trace_gen():
@@ -278,14 +297,15 @@ def bench_trace_gen():
     n_records = em.emit_to(data[0], path)  # native zero-copy writer
     trace_bytes = os.path.getsize(path)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         em.emit_to(data[0], path)
         times.append(time.perf_counter() - t0)
-    t = min(times)
+    from tachikoma_tpu.utils.timing import median_iqr
+    t, iqr = median_iqr(times)
     os.unlink(path)
     return {"traces_per_sec": n_records / t, "records": n_records,
-            "bytes": trace_bytes, "time_s": t}
+            "bytes": trace_bytes, "time_s": t, "iqr_s": iqr}
 
 
 _SUBBENCHES = {
@@ -294,6 +314,7 @@ _SUBBENCHES = {
     "matmul": bench_int8_matmul_pallas,
     "chain": bench_conv_chain,
     "resnet50": bench_resnet50_e2e,
+    "resnet50_b32": bench_resnet50_b32,
     "trace": bench_trace_gen,
 }
 
@@ -386,6 +407,7 @@ def _emit(state):
     mm = state.get("matmul") or {}
     chain = state.get("chain") or {}
     r50 = state.get("resnet50") or {}
+    r50b32 = state.get("resnet50_b32") or {}
     tr = state.get("trace") or {}
     platform = state.get("platform", "none")
     on_tpu = platform == "tpu"
@@ -398,6 +420,16 @@ def _emit(state):
         return gops(d) / roofline_gops if on_tpu else 0.0
 
     r50_t = float(r50.get("time_s", 0.0) or 0.0)
+    r50b32_t = float(r50b32.get("time_s", 0.0) or 0.0)
+
+    def iqr_ms(d):
+        return round(float(d.get("iqr_s", 0.0) or 0.0) * 1000, 4)
+
+    def mfu(d):
+        # effective TOPS / MXU int8 peak from the static graph op count
+        t = float(d.get("time_s", 0.0) or 0.0)
+        f = float(d.get("flops", 0.0) or 0.0)
+        return round(f / t / 1e9 / roofline_gops, 4) if (t and on_tpu) else 0.0
     result = {
         "metric": "int8_conv_gops",
         "value": round(gops(conv), 2),
@@ -422,8 +454,20 @@ def _emit(state):
             "int8_conv_chain_roofline_frac": round(frac(chain), 4),
             "int8_conv_chain_d6_gops": round(
                 float(chain.get("gops_e2e_d6", 0.0) or 0.0), 2),
+            "conv_time_iqr_ms": iqr_ms(conv),
+            "conv_kernel_time_iqr_ms": iqr_ms(ck),
+            "matmul_time_iqr_ms": iqr_ms(mm),
+            "chain_time_iqr_ms": iqr_ms(chain),
             "resnet50_e2e_ms_b8": round(r50_t * 1000, 3),
+            "resnet50_e2e_iqr_ms_b8": iqr_ms(r50),
             "resnet50_img_per_sec": round(8 / r50_t, 1) if r50_t else 0.0,
+            "resnet50_mfu_frac_b8": mfu(r50),
+            "resnet50_e2e_ms_b32": round(r50b32_t * 1000, 3),
+            "resnet50_e2e_iqr_ms_b32": iqr_ms(r50b32),
+            "resnet50_img_per_sec_b32":
+                round(32 / r50b32_t, 1) if r50b32_t else 0.0,
+            "resnet50_mfu_frac_b32": mfu(r50b32),
+            "trace_time_iqr_ms": iqr_ms(tr),
             "resnet50_traces_per_sec":
                 round(float(tr.get("traces_per_sec", 0.0) or 0.0), 2),
             "resnet50_trace_records": int(tr.get("records", 0) or 0),

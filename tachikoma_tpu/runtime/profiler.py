@@ -105,6 +105,23 @@ class Report:
         )
 
 
+def graph_flops(graph: Graph) -> int:
+    """Static total op count of a graph (2*MACs for matmul-family ops) from
+    the per-op flops registry — the denominator for e2e MFU reporting.
+    Requires inferred shapes (runs infer_types if any are missing)."""
+    g = graph
+    if any(n.shape is None and n.dtype != "tuple" for n in g.nodes):
+        g = infer_types(g)
+    total = 0
+    for n in g.nodes:
+        if n.op in (VAR, CONST, TUPLE, TUPLE_GET_ITEM):
+            continue
+        in_types = [(tuple(g[i].shape or ()), g[i].dtype or "float32")
+                    for i in n.inputs]
+        total += _op_flops(n, in_types)
+    return total
+
+
 def _op_flops(node, in_types) -> int:
     od = get_op(node.op)
     if od.flops is not None:

@@ -137,6 +137,101 @@ def per_iter_host_chain(run_once, x0, feedback, repeats: int = 3,
         n *= 4
 
 
+def per_iter_chain_samples(fn, x0, feedback, scan_len: int = 64,
+                           samples: int = 5, target_s: float = 0.08,
+                           max_n: int = 1024) -> list[float]:
+    """Distribution-disciplined variant of per_iter_chain: returns a LIST of
+    `samples` independent per-iteration estimates taken back-to-back inside
+    ONE process, each pairing a fresh 1-dispatch baseline with a fresh
+    (1+n)-dispatch chain.  Tunnel drift (measured ±15% run-to-run with 2x
+    outliers) then lands in the reported spread instead of silently biasing
+    a single capture; callers report median + IQR via `median_iqr` (the
+    reference's time_evaluator number/repeat protocol likewise reports
+    per-repeat statistics, `python/tvm/runtime/module.py:273`)."""
+    import numpy as np
+
+    c = scan_loop(fn, feedback, x0, scan_len)
+
+    def T(n):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = c(x)
+        np.asarray(x)  # true sync: full value fetch
+        return time.perf_counter() - t0
+
+    np.asarray(c(x0))  # warm (first real execution)
+    # escalate the chain length ONCE until the differential clears target_s
+    t1 = min(T(1), T(1))
+    n = 4
+    while True:
+        t2 = T(1 + n)
+        if t2 - t1 >= target_s or n >= max_n:
+            break
+        n *= 4
+
+    out = []
+    for _ in range(max(1, samples)):
+        a = T(1)          # fresh interleaved baseline per sample
+        b = T(1 + n)
+        per = (b - a) / (n * scan_len)
+        out.append(per if per > 0 else b / ((1 + n) * scan_len))
+    return out
+
+
+def per_iter_chain_samples_multi(fns: dict, x0, feedback,
+                                 scan_len: int = 64, samples: int = 5,
+                                 target_s: float = 0.08,
+                                 max_n: int = 1024) -> dict:
+    """Interleaved multi-variant sampling: one round-robin pass per sample
+    over every variant in `fns` (name -> fn), so slow tunnel drift hits all
+    variants equally and their DIFFERENCES stay clean (the repo's standard
+    decision methodology, promoted here into a reusable protocol).  Returns
+    {name: [per_iter_samples...]}."""
+    import numpy as np
+
+    compiled, chain_n = {}, {}
+    for name, fn in fns.items():
+        c = scan_loop(fn, feedback, x0, scan_len)
+        np.asarray(c(x0))  # warm
+
+        def T(n, _c=c):
+            x = x0
+            t0 = time.perf_counter()
+            for _ in range(n):
+                x = _c(x)
+            np.asarray(x)
+            return time.perf_counter() - t0
+
+        t1 = min(T(1), T(1))
+        n = 4
+        while True:
+            t2 = T(1 + n)
+            if t2 - t1 >= target_s or n >= max_n:
+                break
+            n *= 4
+        compiled[name], chain_n[name] = T, n
+
+    out = {name: [] for name in fns}
+    for _ in range(max(1, samples)):
+        for name in fns:  # round-robin: every variant sampled each pass
+            T, n = compiled[name], chain_n[name]
+            a, b = T(1), T(1 + n)
+            per = (b - a) / (n * scan_len)
+            out[name].append(per if per > 0
+                             else b / ((1 + n) * scan_len))
+    return out
+
+
+def median_iqr(xs) -> tuple[float, float]:
+    """(median, interquartile range) of a sample list."""
+    import numpy as np
+
+    arr = np.asarray(sorted(xs), dtype=np.float64)
+    return (float(np.median(arr)),
+            float(np.percentile(arr, 75) - np.percentile(arr, 25)))
+
+
 def per_iter_chain(fn, x0, feedback, scan_len: int = 64, repeats: int = 3,
                    target_s: float = 0.08) -> float:
     """Per-iteration kernel time: chain n async dispatches of ONE compiled

@@ -33,7 +33,8 @@ def test_crashed_first_attempt_still_emits_json(tmp_path):
     assert out["metric"] == "int8_conv_gops"
     assert out["value"] > 0
     assert set(out["extra"]["completed"]) == {
-        "conv", "conv_kernel", "matmul", "chain", "resnet50", "trace"}
+        "conv", "conv_kernel", "matmul", "chain", "resnet50",
+        "resnet50_b32", "trace"}
     assert "simulated crash" in r.stderr
     assert "payload attempt 2" in r.stderr
 
