@@ -198,17 +198,6 @@ class _Importer:
 
     # -- driver --------------------------------------------------------------
     def run(self) -> Graph:
-        torch = self.torch
-        nnm = torch.nn
-
-        MODULE_MAP: dict[type, Callable] = {
-            nnm.Conv2d: self.conv2d,
-            nnm.Linear: self.linear,
-            nnm.BatchNorm2d: self.batch_norm,
-            nnm.LayerNorm: self.layer_norm,
-            nnm.Embedding: self.embedding,
-        }
-
         for fxn in self.gm.graph.nodes:
             if fxn.op == "placeholder":
                 shape, dtype = self.example_inputs[fxn.name]
@@ -216,69 +205,9 @@ class _Importer:
                 name = self.b.var(var_name, shape, dtype)
                 self.set(fxn, name, "torch")
             elif fxn.op == "get_attr":
-                val = self.gm
-                for part in fxn.target.split("."):
-                    val = getattr(val, part)
-                cn = self.b.const(_to_np(val), name=fxn.name)
-                self.set(fxn, cn, "torch")
+                self.get_attr(fxn)
             elif fxn.op == "call_module":
-                mod = self.modules[fxn.target]
-                h = MODULE_MAP.get(type(mod))
-                if h is not None:
-                    h(fxn, mod)
-                elif isinstance(mod, nnm.ReLU):
-                    self._same_layout_unary(fxn, "nn.relu")
-                elif isinstance(mod, nnm.ReLU6):
-                    self._same_layout_unary(fxn, "clip", a_min=0.0, a_max=6.0)
-                elif isinstance(mod, nnm.Hardtanh):
-                    self._same_layout_unary(fxn, "clip", a_min=mod.min_val, a_max=mod.max_val)
-                elif isinstance(mod, nnm.GELU):
-                    self._same_layout_unary(
-                        fxn, "nn.gelu",
-                        approximate="tanh" if mod.approximate == "tanh" else "none",
-                    )
-                elif isinstance(mod, nnm.SiLU):
-                    self._same_layout_unary(fxn, "nn.silu")
-                elif isinstance(mod, nnm.Sigmoid):
-                    self._same_layout_unary(fxn, "sigmoid")
-                elif isinstance(mod, nnm.Tanh):
-                    self._same_layout_unary(fxn, "tanh")
-                elif isinstance(mod, nnm.Softmax):
-                    x = self.as_torch(fxn.args[0])
-                    out = self.b.call("nn.softmax", x, axis=mod.dim, name=fxn.name)
-                    self.set(fxn, out, "torch")
-                elif isinstance(mod, (nnm.Dropout, nnm.Identity)):
-                    self.set(fxn, *self.env[fxn.args[0]])
-                elif isinstance(mod, nnm.MaxPool2d):
-                    self.pool2d(fxn, mod, "max")
-                elif isinstance(mod, nnm.AvgPool2d):
-                    self.pool2d(fxn, mod, "avg")
-                elif isinstance(mod, nnm.AdaptiveAvgPool2d):
-                    self.adaptive_avg_pool2d(fxn, mod.output_size)
-                elif isinstance(mod, nnm.Flatten):
-                    x = self.as_torch(fxn.args[0])
-                    assert mod.start_dim == 1 and mod.end_dim == -1
-                    out = self.b.call("nn.batch_flatten", x, name=fxn.name)
-                    self.set(fxn, out, "torch")
-                elif isinstance(mod, nnm.Hardswish):
-                    name, layout = self.env[fxn.args[0]]
-                    c3 = self.b.const(np.float32(3.0))
-                    c6 = self.b.const(np.float32(6.0))
-                    s = self.b.call("add", name, c3)
-                    s = self.b.call("clip", s, a_min=0.0, a_max=6.0)
-                    s = self.b.call("multiply", name, s)
-                    out = self.b.call("divide", s, c6, name=fxn.name)
-                    self.set(fxn, out, layout)
-                elif isinstance(mod, nnm.Hardsigmoid):
-                    name, layout = self.env[fxn.args[0]]
-                    c3 = self.b.const(np.float32(3.0))
-                    c6 = self.b.const(np.float32(6.0))
-                    s = self.b.call("add", name, c3)
-                    s = self.b.call("clip", s, a_min=0.0, a_max=6.0)
-                    out = self.b.call("divide", s, c6, name=fxn.name)
-                    self.set(fxn, out, layout)
-                else:
-                    raise NotImplementedError(f"module {type(mod).__name__} ({fxn.target})")
+                self.call_module(fxn, self.modules[fxn.target])
             elif fxn.op == "call_function" or fxn.op == "call_method":
                 self.call_function(fxn)
             elif fxn.op == "output":
@@ -290,6 +219,81 @@ class _Importer:
                 out_names = [self.as_torch(o) for o in outs if hasattr(o, "op")]
                 return infer_types(self.b.build(out_names))
         raise RuntimeError("fx graph had no output node")
+
+    def get_attr(self, fxn):
+        val = self.gm
+        for part in fxn.target.split("."):
+            val = getattr(val, part)
+        cn = self.b.const(_to_np(val), name=fxn.name)
+        self.set(fxn, cn, "torch")
+
+    def call_module(self, fxn, mod):
+        torch = self.torch
+        nnm = torch.nn
+
+        MODULE_MAP: dict[type, Callable] = {
+            nnm.Conv2d: self.conv2d,
+            nnm.Linear: self.linear,
+            nnm.BatchNorm2d: self.batch_norm,
+            nnm.LayerNorm: self.layer_norm,
+            nnm.Embedding: self.embedding,
+        }
+        h = MODULE_MAP.get(type(mod))
+        if h is not None:
+            h(fxn, mod)
+        elif isinstance(mod, nnm.ReLU):
+            self._same_layout_unary(fxn, "nn.relu")
+        elif isinstance(mod, nnm.ReLU6):
+            self._same_layout_unary(fxn, "clip", a_min=0.0, a_max=6.0)
+        elif isinstance(mod, nnm.Hardtanh):
+            self._same_layout_unary(fxn, "clip", a_min=mod.min_val, a_max=mod.max_val)
+        elif isinstance(mod, nnm.GELU):
+            self._same_layout_unary(
+                fxn, "nn.gelu",
+                approximate="tanh" if mod.approximate == "tanh" else "none",
+            )
+        elif isinstance(mod, nnm.SiLU):
+            self._same_layout_unary(fxn, "nn.silu")
+        elif isinstance(mod, nnm.Sigmoid):
+            self._same_layout_unary(fxn, "sigmoid")
+        elif isinstance(mod, nnm.Tanh):
+            self._same_layout_unary(fxn, "tanh")
+        elif isinstance(mod, nnm.Softmax):
+            x = self.as_torch(fxn.args[0])
+            out = self.b.call("nn.softmax", x, axis=mod.dim, name=fxn.name)
+            self.set(fxn, out, "torch")
+        elif isinstance(mod, (nnm.Dropout, nnm.Identity)):
+            self.set(fxn, *self.env[fxn.args[0]])
+        elif isinstance(mod, nnm.MaxPool2d):
+            self.pool2d(fxn, mod, "max")
+        elif isinstance(mod, nnm.AvgPool2d):
+            self.pool2d(fxn, mod, "avg")
+        elif isinstance(mod, nnm.AdaptiveAvgPool2d):
+            self.adaptive_avg_pool2d(fxn, mod.output_size)
+        elif isinstance(mod, nnm.Flatten):
+            x = self.as_torch(fxn.args[0])
+            assert mod.start_dim == 1 and mod.end_dim == -1
+            out = self.b.call("nn.batch_flatten", x, name=fxn.name)
+            self.set(fxn, out, "torch")
+        elif isinstance(mod, nnm.Hardswish):
+            name, layout = self.env[fxn.args[0]]
+            c3 = self.b.const(np.float32(3.0))
+            c6 = self.b.const(np.float32(6.0))
+            s = self.b.call("add", name, c3)
+            s = self.b.call("clip", s, a_min=0.0, a_max=6.0)
+            s = self.b.call("multiply", name, s)
+            out = self.b.call("divide", s, c6, name=fxn.name)
+            self.set(fxn, out, layout)
+        elif isinstance(mod, nnm.Hardsigmoid):
+            name, layout = self.env[fxn.args[0]]
+            c3 = self.b.const(np.float32(3.0))
+            c6 = self.b.const(np.float32(6.0))
+            s = self.b.call("add", name, c3)
+            s = self.b.call("clip", s, a_min=0.0, a_max=6.0)
+            out = self.b.call("divide", s, c6, name=fxn.name)
+            self.set(fxn, out, layout)
+        else:
+            raise NotImplementedError(f"module {type(mod).__name__} ({fxn.target})")
 
     def call_function(self, fxn):
         import operator

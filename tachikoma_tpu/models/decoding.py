@@ -264,6 +264,16 @@ class GreedyDecoder:
         if getattr(self, "_prefill", None) is None:
             raise ValueError("attach_prefill(...) first: on-device decode "
                              "seeds the caches in one prefill pass")
+        # validate up front: a prompt longer than the attached prefill (or
+        # the cache) would silently truncate the seeded cache and then die
+        # in an opaque numpy broadcast error below
+        min_cache = min(sh[2] for sh in cache_shapes.values()) \
+            if cache_shapes else 0
+        if P > self._prefill_len or P > min_cache:
+            raise ValueError(
+                f"prompt length {P} exceeds the attached prefill length "
+                f"({self._prefill_len}) or KV-cache length ({min_cache}); "
+                f"re-attach a prefill built for at least {P} positions")
         padded = np.zeros((bsz, self._prefill_len), np.int32)
         padded[:, :P] = prompt
         outs = self._prefill.run_device(
@@ -345,8 +355,13 @@ def gpt2_generate_scanned(full: Graph, prompt: np.ndarray, n_new: int, *,
     # one compiled program per (geometry, sampling) config, cached on the
     # graph: rebuilding the jitted closure per call would re-trace (and
     # re-upload the compile request) every generation
+    # params identity token: the stacked device weights are cached on the
+    # graph, so a REPLACED param array after the first call must invalidate
+    # the entry (in-place mutation of an existing ndarray is still on the
+    # caller: freeze params after first use)
+    params_token = tuple(sorted(id(v) for v in P_.values()))
     ckey = (bsz, plen, n_new, max_len, hidden, layers, heads, ffn_dim,
-            vocab, float(temperature), top_k)
+            vocab, float(temperature), top_k, params_token)
     cache = getattr(full, "_scan_gen_cache", None)
     if cache is None:
         cache = {}

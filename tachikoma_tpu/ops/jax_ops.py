@@ -1138,19 +1138,12 @@ def _lut_poly_plan(table_bytes: bytes):
             int(t64[255]), fixups)
 
 
-def _lut_apply_int8(table_np: np.ndarray, x_int8):
-    """int8 -> int8 table application: polynomial-hybrid when the table has
-    saturated tails and a smooth core (gelu/silu/sigmoid/tanh — ~2x faster
-    than the packed select chain on v5e, bit-identical by exhaustive
-    256-point verification), else the packed select chain."""
-    table_np = np.asarray(table_np, np.int8)
-    plan = _lut_poly_plan(table_np.tobytes()) if table_np.shape[0] == 256 \
-        else None
+def _lut_poly_eval(plan, x_int8):
+    """Evaluate a `_lut_poly_plan` on int8 inputs (shared by the fast path
+    and the on-device self-check below)."""
+    (coefs, sc, off, lo_end, c_lo, hi_start, hi_ident, c_hi, fixups) = plan
     xi = x_int8.astype(jnp.int32)
     idx = xi + jnp.int32(128)
-    if plan is None:
-        return _lut_select(table_np, idx).astype(jnp.int8)
-    (coefs, sc, off, lo_end, c_lo, hi_start, hi_ident, c_hi, fixups) = plan
     t = idx.astype(jnp.float32) * jnp.float32(sc) - jnp.float32(off)
     acc = jnp.float32(coefs[-1])
     for c in coefs[-2::-1]:
@@ -1164,6 +1157,53 @@ def _lut_apply_int8(table_np: np.ndarray, x_int8):
     for k, val in fixups:
         v = jnp.where(idx == jnp.int32(k), jnp.int32(val), v)
     return jnp.clip(v, -128, 127).astype(jnp.int8)
+
+
+_POLY_PLAN_BACKEND_OK: dict = {}
+
+
+def _poly_plan_backend_check(table_bytes: bytes, plan) -> bool:
+    """One-time per-(table, backend) 256-point self-check, run on the
+    ACTUAL backend at trace time.  The plan's bit-exactness rests on an
+    empirical rounding-boundary margin (0.02 vs the ~8e-6 cross-backend
+    Horner/FMA deviation measured on CPU and v5e); a backend whose FMA
+    deviates beyond that margin must fall back to the packed select chain
+    rather than silently break the == contract.  Memoized; costs one tiny
+    256-element compile per distinct table."""
+    import jax
+
+    key = (table_bytes, jax.default_backend())
+    ok = _POLY_PLAN_BACKEND_OK.get(key)
+    if ok is None:
+        t64 = np.frombuffer(table_bytes, np.int8)
+        xs = np.arange(-128, 128, dtype=np.int8)
+        # the check may run while TRACING a caller's jit: escape the trace
+        # so the 256-point probe executes eagerly on the real backend
+        with jax.ensure_compile_time_eval():
+            got = np.asarray(jax.jit(
+                lambda v: _lut_poly_eval(plan, v))(jnp.asarray(xs)))
+        ok = bool(np.array_equal(got, t64))
+        _POLY_PLAN_BACKEND_OK[key] = ok
+    return ok
+
+
+def _lut_apply_int8(table_np: np.ndarray, x_int8):
+    """int8 -> int8 table application: polynomial-hybrid when the table has
+    saturated tails and a smooth core (gelu/silu/sigmoid/tanh — ~2x faster
+    than the packed select chain on v5e, bit-identical by exhaustive
+    256-point verification at plan time AND re-verified once on the live
+    backend), else the packed select chain."""
+    table_np = np.asarray(table_np, np.int8)
+    plan = _lut_poly_plan(table_np.tobytes()) if table_np.shape[0] == 256 \
+        else None
+    if plan is not None and not _poly_plan_backend_check(
+            table_np.tobytes(), plan):
+        plan = None
+    xi = x_int8.astype(jnp.int32)
+    idx = xi + jnp.int32(128)
+    if plan is None:
+        return _lut_select(table_np, idx).astype(jnp.int8)
+    return _lut_poly_eval(plan, x_int8)
 
 
 def _exp_q15(scale: float, d):

@@ -137,6 +137,25 @@ def per_iter_host_chain(run_once, x0, feedback, repeats: int = 3,
         n *= 4
 
 
+def _small_sync(x):
+    """True remote-execution sync with a TINY d2h fetch: a jitted 1-element
+    slice DEPENDS on the full chain, so fetching its value awaits the chain
+    — without pulling the whole carried array through the ~29 MB/s tunnel
+    (a multi-MB np.asarray sync has 100s-of-ms fetch variance that swamps
+    the timing differential; observed 100x-wrong medians on 33 MB carries)."""
+    import jax
+    import numpy as np
+
+    fn = _small_sync._cache.get(id(type(x)))
+    if fn is None:
+        fn = jax.jit(lambda v: v.reshape(-1)[:1])
+        _small_sync._cache[id(type(x))] = fn
+    return np.asarray(fn(x))
+
+
+_small_sync._cache = {}
+
+
 def per_iter_chain_samples(fn, x0, feedback, scan_len: int = 64,
                            samples: int = 5, target_s: float = 0.08,
                            max_n: int = 1024) -> list[float]:
@@ -148,8 +167,6 @@ def per_iter_chain_samples(fn, x0, feedback, scan_len: int = 64,
     a single capture; callers report median + IQR via `median_iqr` (the
     reference's time_evaluator number/repeat protocol likewise reports
     per-repeat statistics, `python/tvm/runtime/module.py:273`)."""
-    import numpy as np
-
     c = scan_loop(fn, feedback, x0, scan_len)
 
     def T(n):
@@ -157,10 +174,10 @@ def per_iter_chain_samples(fn, x0, feedback, scan_len: int = 64,
         t0 = time.perf_counter()
         for _ in range(n):
             x = c(x)
-        np.asarray(x)  # true sync: full value fetch
+        _small_sync(x)  # true sync via a 1-element dependent fetch
         return time.perf_counter() - t0
 
-    np.asarray(c(x0))  # warm (first real execution)
+    _small_sync(c(x0))  # warm (first real execution)
     # escalate the chain length ONCE until the differential clears target_s
     t1 = min(T(1), T(1))
     n = 4
@@ -193,14 +210,14 @@ def per_iter_chain_samples_multi(fns: dict, x0, feedback,
     compiled, chain_n = {}, {}
     for name, fn in fns.items():
         c = scan_loop(fn, feedback, x0, scan_len)
-        np.asarray(c(x0))  # warm
+        _small_sync(c(x0))  # warm
 
         def T(n, _c=c):
             x = x0
             t0 = time.perf_counter()
             for _ in range(n):
                 x = _c(x)
-            np.asarray(x)
+            _small_sync(x)  # true sync via a 1-element dependent fetch
             return time.perf_counter() - t0
 
         t1 = min(T(1), T(1))
