@@ -24,7 +24,8 @@ import sys
 import numpy as np
 
 
-MODEL_SUFFIXES = (".json", ".onnx", ".tflite", ".keras", ".h5", ".pb")
+MODEL_SUFFIXES = (".json", ".onnx", ".tflite", ".keras", ".h5", ".pb",
+                  ".pt", ".pth")
 
 
 def _load_graph(path: str):
@@ -45,6 +46,45 @@ def _load_graph(path: str):
         from .frontend.keras import from_keras
 
         return from_keras(path)
+    if path.endswith((".pt", ".pth")):
+        # torch.save'd nn.Module / fx GraphModule.  Quantized (torch.ao
+        # converted) models import via the prequantized path; float models
+        # via the fx frontend.  Input shape: a (model, shape) tuple in the
+        # file, or TK_TORCH_INPUT_SHAPE="1,3,224,224".
+        import torch
+
+        obj = torch.load(path, weights_only=False, map_location="cpu")
+        shape = None
+        if isinstance(obj, (tuple, list)) and len(obj) == 2:
+            obj, shape = obj
+        if shape is None:
+            env = os.environ.get("TK_TORCH_INPUT_SHAPE")
+            if not env:
+                raise SystemExit(
+                    "torch import needs an input shape: save a (model, "
+                    "shape) tuple or set TK_TORCH_INPUT_SHAPE=1,3,224,224")
+            shape = tuple(int(v) for v in env.split(","))
+        # quantized-module detection; torch's pickle round-trip of intrinsic
+        # quantized modules is broken in some versions (module iteration
+        # raises), so fall back to scanning the fx graph's call targets —
+        # in-memory converted models import via the API either way
+        try:
+            quantized = any(
+                type(m).__module__.startswith(
+                    ("torch.ao.nn.quantized",
+                     "torch.ao.nn.intrinsic.quantized"))
+                for m in dict(obj.named_modules()).values())
+        except Exception:
+            quantized = hasattr(obj, "graph") and any(
+                "quantiz" in str(getattr(n, "target", ""))
+                for n in obj.graph.nodes)
+        if quantized:
+            from .frontend.torch_quantized import import_torch_quantized
+
+            return import_torch_quantized(obj, {"x": tuple(shape)})
+        from .frontend.torch_fx import from_torch
+
+        return from_torch(obj, {"x": tuple(shape)})
     if path.endswith(".pb") or os.path.isdir(path):
         # frozen GraphDef / SavedModel directory
         if os.path.isdir(path):

@@ -317,26 +317,26 @@ class Quantizer:
         self.env[n.name] = QVal("quant", out, src.scale, src.zp, src.dtype)
 
     def _global_avg_pool(self, n: Node):
+        # the integer mean rounds identically in the raw quantized domain
+        # for any zero point (q_out = round(mean(q_in)) carries <= 0.5 LSB
+        # error whether or not zp is 0), so scale AND zp pass through
         src = self.env[n.inputs[0]]
         if src.kind != "quant":
             src = self.to_quant(n.inputs[0])
-        if src.zp == 0:
-            out = self.b.call("nn.global_avg_pool2d", src.name, name=n.name, **dict(n.attrs))
-            self.env[n.name] = QVal("quant", out, src.scale, 0, src.dtype)
-        else:
-            self._float_fallback(n)
+        out = self.b.call("nn.global_avg_pool2d", src.name, name=n.name, **dict(n.attrs))
+        self.env[n.name] = QVal("quant", out, src.scale, src.zp, src.dtype)
 
     def _adaptive_avg_pool(self, n: Node):
-        # adaptive pool to (1,1) == global avg pool
+        # adaptive pool to (1,1) == global avg pool (zp passes through, see
+        # _global_avg_pool)
         src = self.env[n.inputs[0]]
         from ..ops.nn import _pair
 
         if _pair(n.attrs["output_size"]) == (1, 1) and src.kind != "float":
             src = self.to_quant(n.inputs[0])
-            if src.zp == 0:
-                out = self.b.call("nn.adaptive_avg_pool2d", src.name, name=n.name, **dict(n.attrs))
-                self.env[n.name] = QVal("quant", out, src.scale, 0, src.dtype)
-                return
+            out = self.b.call("nn.adaptive_avg_pool2d", src.name, name=n.name, **dict(n.attrs))
+            self.env[n.name] = QVal("quant", out, src.scale, src.zp, src.dtype)
+            return
         self._float_fallback(n)
 
     def _passthrough(self, n: Node):
