@@ -143,6 +143,13 @@ def _zoo(name: str, batch: int, image: int | None, seq: int | None):
                                 image_size=image or 112)
     if name == "lstm":
         return vision.lstm(batch_size=batch, seq_len=seq or 16)
+    if name == "digits_cnn":
+        import os
+
+        fx = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "fixtures",
+            "digits_cnn.npz")
+        return vision.digits_cnn(fx, batch_size=batch)
     raise SystemExit(f"unknown zoo model {name!r} (see tachikoma_tpu.models)")
 
 
@@ -309,11 +316,41 @@ def cmd_compile(args):
 
 
 def cmd_evaluate(args):
-    """Quantization quality report: per-layer SNR + output agreement
-    (quantize/evaluate.py)."""
+    """Quantization quality reports.
+
+    Default: per-layer SNR + output agreement on one input batch
+    (quantize/evaluate.py).  With --dataset: dataset-scale top-1/top-5
+    accuracy + float-vs-int8 agreement (quantize/accuracy.py, the mrt
+    `Trace.eval` analog) — per calibration mode when no quantized graph is
+    given."""
+    import os
+
+    def load(path):
+        if path and not os.path.exists(path) and "." not in path:
+            return _zoo(path, args.batch, None, None)
+        return _load_graph(path)
+
+    fg = load(args.float_graph)
+    if args.dataset:
+        from .quantize.accuracy import (compare_calibrations, eval_topk,
+                                        table)
+        from .quantize.dataset import get_dataset
+
+        ds = get_dataset(args.dataset, tuple(fg.inputs[0].shape),
+                         samples=args.samples)
+        if args.quant_graph:
+            rep = eval_topk(fg, load(args.quant_graph), ds,
+                            executor=args.executor, limit=args.samples)
+            print(rep.row())
+        else:
+            reps = compare_calibrations(
+                fg, ds, modes=args.modes.split(","),
+                calib_samples=args.calib_samples, executor=args.executor,
+                limit=args.samples)
+            print(table(reps))
+        return
     from .quantize.evaluate import quantization_report
 
-    fg = _load_graph(args.float_graph)
     qg = _load_graph(args.quant_graph)
     inputs = _load_inputs(args, fg)
     rep = quantization_report(fg, qg, inputs)
@@ -451,11 +488,22 @@ def main(argv=None):
     c.set_defaults(fn=cmd_compile)
 
     e = sub.add_parser("evaluate",
-                       help="quantization quality report (per-layer SNR)")
-    e.add_argument("float_graph")
-    e.add_argument("quant_graph")
+                       help="quantization quality: per-layer SNR, or "
+                            "dataset-scale accuracy with --dataset")
+    e.add_argument("float_graph", help="graph file or zoo name")
+    e.add_argument("quant_graph", nargs="?")
     e.add_argument("--input")
     e.add_argument("--worst", type=int, default=15)
+    e.add_argument("--dataset",
+                   help="'digits' | 'synthetic' | path.npz: run the "
+                        "accuracy harness instead of the SNR report")
+    e.add_argument("--modes", default="max,percentile,kl",
+                   help="calibration modes compared when no quantized "
+                        "graph is given")
+    e.add_argument("--samples", type=int, default=200)
+    e.add_argument("--calib-samples", type=int, default=32)
+    e.add_argument("--batch", type=int, default=32)
+    e.add_argument("--executor", default="jax", choices=("jax", "oracle"))
     e.set_defaults(fn=cmd_evaluate)
 
     i = sub.add_parser("info", help="describe a graph artifact")

@@ -6,6 +6,7 @@ from .transformer import (bert, bert_base, gpt2, gpt2_small, vit,
 from .vision import (
     dcgan_generator,
     densenet,
+    digits_cnn,
     dqn,
     inception_v3_stem,
     lenet5,

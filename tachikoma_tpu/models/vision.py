@@ -85,6 +85,49 @@ def lenet5(batch_size=1, num_classes=10, seed=0) -> Graph:
     return infer_types(b.build(out))
 
 
+def digits_cnn(weights, batch_size: int = 32) -> Graph:
+    """8x8 digits CNN with REAL trained weights (the dataset-accuracy
+    harness's labeled model — mrt `Trace.eval` analog, `mrt/api.py:98`).
+
+    `weights`: path to an .npz (scripts/make_digits_fixture.py: a torch
+    state_dict trained on sklearn's bundled digits set) or a dict of its
+    arrays.  Torch layouts are converted: conv OIHW -> HWIO, the classifier
+    re-indexed from torch's CHW flatten order to this graph's NHWC flatten.
+    """
+    if isinstance(weights, (str, bytes)):
+        weights = dict(np.load(weights))
+    b = GraphBuilder("digits_cnn")
+    x = b.var("data", (batch_size, 8, 8, 1), "float32")
+
+    def conv(x, key, name):
+        w = np.ascontiguousarray(
+            weights[f"{key}.weight"].transpose(2, 3, 1, 0))  # OIHW -> HWIO
+        y = b.call("nn.conv2d", x, b.const(w, name=f"{name}_w"),
+                   strides=(1, 1), padding=(1, 1, 1, 1), name=name)
+        return b.call("nn.bias_add", y,
+                      b.const(weights[f"{key}.bias"], name=f"{name}_b"),
+                      name=f"{name}_biased")
+
+    h = conv(x, "0", "conv1")
+    h = b.call("nn.relu", h, name="relu1")
+    h = b.call("nn.max_pool2d", h, pool_size=(2, 2), strides=(2, 2),
+               name="pool1")
+    h = conv(h, "3", "conv2")
+    h = b.call("nn.relu", h, name="relu2")
+    h = b.call("nn.max_pool2d", h, pool_size=(2, 2), strides=(2, 2),
+               name="pool2")
+    h = b.call("nn.batch_flatten", h, name="flat")
+    # torch flattens (C=16, H=2, W=2) as c*4 + hw; NHWC flattens as hw*16 + c
+    wt = weights["7.weight"]                       # (10, 64) torch (out, in)
+    idx = np.arange(64)
+    remap = (idx % 16) * 4 + idx // 16             # ours -> torch input index
+    wd = np.ascontiguousarray(wt[:, remap].T)      # (64, 10) ours (in, out)
+    h = b.call("nn.dense", h, b.const(wd, name="fc_w"), name="fc")
+    h = b.call("nn.bias_add", h, b.const(weights["7.bias"], name="fc_b"),
+               name="fc_biased")
+    return infer_types(b.build(h))
+
+
 def _res_block(b, x, cin, cout, stride, rng, name):
     c1 = _conv(b, x, cin, cout, 3, stride, 1, rng, f"{name}_conv1")
     n1 = _bn(b, c1, cout, rng, f"{name}_bn1")
