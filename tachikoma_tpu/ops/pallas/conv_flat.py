@@ -67,12 +67,13 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 def _flat_conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
                       taps: tuple, wph: int, bm: int, pad: int, n_k: int,
                       fuse: bool, out_zp: int, rounding: str, qmin: int,
-                      qmax: int, shift_values: tuple):
+                      qmax: int, shift_values: tuple,
+                      rq_mode: str | None = None):
     import jax.numpy as jnp
     from jax import lax
     from jax.experimental import pallas as pl
 
-    from .qms32 import q_multiply_shift_select
+    from .qms32 import fused_requantize, q_multiply_shift_select
 
     # one ALIGNED dynamic load covering every tap's window (Mosaic requires
     # sublane-aligned dynamic offsets).  int8 is (4,1)-packed in VMEM, so a
@@ -102,12 +103,9 @@ def _flat_conv_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
     def _finish(acc):
         acc = acc + bias_ref[...]
         if fuse:
-            v = q_multiply_shift_select(
-                acc, m_ref[...], s_ref[...], shift_values, rounding)
-            if out_zp:
-                v = v + jnp.int32(out_zp)
-            o_ref[...] = jnp.clip(
-                v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+            v = fused_requantize(acc, m_ref[...], s_ref[...], shift_values,
+                                 rounding, out_zp, qmin, qmax, rq_mode)
+            o_ref[...] = v.astype(o_ref.dtype)
         else:
             o_ref[...] = acc
 
@@ -135,7 +133,8 @@ def _flat_conv_kernel_s(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref,
                         patch_ref, *,
                         taps: tuple, wph: int, bm: int, pad: int, n_k: int,
                         fuse: bool, out_zp: int, rounding: str, qmin: int,
-                        qmax: int, shift_values: tuple):
+                        qmax: int, shift_values: tuple,
+                      rq_mode: str | None = None):
     """Scratch-im2col variant: copy every tap window into a (bm, T*bk) int8
     VMEM patch (lane-block writes at 128-aligned offsets), then ONE deep-K
     MXU dot per k-block.  The MXU accumulates across taps internally, so the
@@ -146,7 +145,7 @@ def _flat_conv_kernel_s(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref,
     from jax import lax
     from jax.experimental import pallas as pl
 
-    from .qms32 import q_multiply_shift_select
+    from .qms32 import fused_requantize, q_multiply_shift_select
 
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -172,12 +171,9 @@ def _flat_conv_kernel_s(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref,
     def _epilogue():
         acc = acc_ref[...] + bias_ref[...]
         if fuse:
-            v = q_multiply_shift_select(
-                acc, m_ref[...], s_ref[...], shift_values, rounding)
-            if out_zp:
-                v = v + jnp.int32(out_zp)
-            o_ref[...] = jnp.clip(
-                v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+            v = fused_requantize(acc, m_ref[...], s_ref[...], shift_values,
+                                 rounding, out_zp, qmin, qmax, rq_mode)
+            o_ref[...] = v.astype(o_ref.dtype)
         else:
             o_ref[...] = acc
 
@@ -185,7 +181,8 @@ def _flat_conv_kernel_s(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref,
 def _flat_conv_kernel_w(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
                         taps: tuple, wph: int, bm: int, pad: int, n_k: int,
                         fuse: bool, out_zp: int, rounding: str, qmin: int,
-                        qmax: int, shift_values: tuple):
+                        qmax: int, shift_values: tuple,
+                      rq_mode: str | None = None):
     """Wide-N variant: ONE (bm+pad, bk) x (bk, T*bn) dot computes every tap's
     contribution for every row, then taps are combined by SHIFTED int32
     slices (static sublane shifts — native for 32-bit data, unlike the int8
@@ -195,7 +192,7 @@ def _flat_conv_kernel_w(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
     from jax import lax
     from jax.experimental import pallas as pl
 
-    from .qms32 import q_multiply_shift_select
+    from .qms32 import fused_requantize, q_multiply_shift_select
 
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -216,12 +213,9 @@ def _flat_conv_kernel_w(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
     def _epilogue():
         acc = acc_ref[...] + bias_ref[...]
         if fuse:
-            v = q_multiply_shift_select(
-                acc, m_ref[...], s_ref[...], shift_values, rounding)
-            if out_zp:
-                v = v + jnp.int32(out_zp)
-            o_ref[...] = jnp.clip(
-                v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+            v = fused_requantize(acc, m_ref[...], s_ref[...], shift_values,
+                                 rounding, out_zp, qmin, qmax, rq_mode)
+            o_ref[...] = v.astype(o_ref.dtype)
         else:
             o_ref[...] = acc
 
@@ -229,7 +223,8 @@ def _flat_conv_kernel_w(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
 def _flat_conv_kernel_r(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
                         taps: tuple, wph: int, bm: int, pad: int, n_k: int,
                         fuse: bool, out_zp: int, rounding: str, qmin: int,
-                        qmax: int, shift_values: tuple):
+                        qmax: int, shift_values: tuple,
+                      rq_mode: str | None = None):
     """Row-stacked-K variant: for each COLUMN tap b, lane-concatenate the khp
     row-tap windows into one (bm, khp*bk) operand and do ONE deep-K dot —
     kwp dots total instead of khp*kwp, so the int32 accumulator
@@ -244,7 +239,7 @@ def _flat_conv_kernel_r(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
     from jax import lax
     from jax.experimental import pallas as pl
 
-    from .qms32 import q_multiply_shift_select
+    from .qms32 import fused_requantize, q_multiply_shift_select
 
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -272,12 +267,9 @@ def _flat_conv_kernel_r(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
     def _epilogue():
         acc = acc_ref[...] + bias_ref[...]
         if fuse:
-            v = q_multiply_shift_select(
-                acc, m_ref[...], s_ref[...], shift_values, rounding)
-            if out_zp:
-                v = v + jnp.int32(out_zp)
-            o_ref[...] = jnp.clip(
-                v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+            v = fused_requantize(acc, m_ref[...], s_ref[...], shift_values,
+                                 rounding, out_zp, qmin, qmax, rq_mode)
+            o_ref[...] = v.astype(o_ref.dtype)
         else:
             o_ref[...] = acc
 
@@ -285,7 +277,8 @@ def _flat_conv_kernel_r(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
 def _flat_conv_kernel_t(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
                         taps: tuple, wph: int, bm: int, pad: int, n_k: int,
                         fuse: bool, out_zp: int, rounding: str, qmin: int,
-                        qmax: int, shift_values: tuple):
+                        qmax: int, shift_values: tuple,
+                      rq_mode: str | None = None):
     """Transposed-image variant: x_ref is (CIN, FHX) so tap shifts are LANE
     shifts (native vector shuffles; int8 packs along sublanes, so row shifts
     in the untransposed layout are byte repacks ~= MXU-cost — measured).
@@ -295,7 +288,7 @@ def _flat_conv_kernel_t(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
     from jax import lax
     from jax.experimental import pallas as pl
 
-    from .qms32 import q_multiply_shift_select
+    from .qms32 import fused_requantize, q_multiply_shift_select
 
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -316,12 +309,9 @@ def _flat_conv_kernel_t(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
     def _epilogue():
         acc = acc_ref[...] + bias_ref[...]
         if fuse:
-            v = q_multiply_shift_select(
-                acc, m_ref[...], s_ref[...], shift_values, rounding)
-            if out_zp:
-                v = v + jnp.int32(out_zp)
-            o_ref[...] = jnp.clip(
-                v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+            v = fused_requantize(acc, m_ref[...], s_ref[...], shift_values,
+                                 rounding, out_zp, qmin, qmax, rq_mode)
+            o_ref[...] = v.astype(o_ref.dtype)
         else:
             o_ref[...] = acc
 
@@ -329,7 +319,8 @@ def _flat_conv_kernel_t(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
 @functools.lru_cache(maxsize=None)
 def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
                      fuse, out_zp, rounding, qmin, qmax, out_dtype,
-                     shift_values, interpret, layout=None, wslack=None):
+                     shift_values, interpret, layout=None, wslack=None,
+                     rq_mode=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -346,7 +337,7 @@ def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
         taps=taps, wph=wph, bm=bm,
         pad=wslack if wslack is not None else fhx - mp, n_k=n_k,
         fuse=fuse, out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
-        shift_values=shift_values,
+        shift_values=shift_values, rq_mode=rq_mode,
     )
     kw_extra = {}
     if not interpret:
@@ -388,7 +379,10 @@ def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
                 x_spec,
                 w_spec,
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-                pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+                # multiplier row, or (4, bn) [m; blo; bhi; cp] clamp block
+                pl.BlockSpec(
+                    (4 if rq_mode in ("clamp16", "clamp11") else 1, bn),
+                    lambda i, j, k: (0, j)),
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
@@ -407,7 +401,7 @@ def _build_flat_conv(mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk,
 def _flat_dw_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, *,
                     taps: tuple, wph: int, n_rows: int, mchunk: int,
                     out_zp: int, rounding: str, qmin: int, qmax: int,
-                    shift_values: tuple):
+                    shift_values: tuple, rq_mode: str | None = None):
     """x_ref (1, P, FHX, bc); w_ref (n_taps, bc); o_ref (1, n_rows_p, bc).
 
     taps: ((phase_idx, flat_offset, tap_idx), ...) — per-phase tap lists so
@@ -415,7 +409,7 @@ def _flat_dw_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, *,
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    from .qms32 import q_multiply_shift_select
+    from .qms32 import fused_requantize, q_multiply_shift_select
 
     from jax import lax
 
@@ -435,18 +429,15 @@ def _flat_dw_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, *,
             patch = lax.slice(wins[p], (off, 0), (off + mchunk, bc))
             acc = acc + patch * w_ref[t][None, :].astype(jnp.int32)
         acc = acc + bias_ref[...]
-        v = q_multiply_shift_select(
-            acc, m_ref[...], s_ref[...], shift_values, rounding)
-        if out_zp:
-            v = v + jnp.int32(out_zp)
-        o_ref[0, pl.ds(r0, mchunk), :] = jnp.clip(
-            v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+        v = fused_requantize(acc, m_ref[...], s_ref[...], shift_values,
+                             rounding, out_zp, qmin, qmax, rq_mode)
+        o_ref[0, pl.ds(r0, mchunk), :] = v.astype(o_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_flat_dw(n, p, fhx, c_p, n_rows, n_rows_p, n_taps, bc, mchunk,
                    taps, wph, out_zp, rounding, qmin, qmax, out_dtype,
-                   shift_values, interpret):
+                   shift_values, interpret, rq_mode=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -456,7 +447,7 @@ def _build_flat_dw(n, p, fhx, c_p, n_rows, n_rows_p, n_taps, bc, mchunk,
     kernel = functools.partial(
         _flat_dw_kernel, taps=taps, wph=wph, n_rows=n_rows, mchunk=mchunk,
         out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
-        shift_values=shift_values,
+        shift_values=shift_values, rq_mode=rq_mode,
     )
     kw_extra = {}
     if not interpret:
@@ -473,7 +464,9 @@ def _build_flat_dw(n, p, fhx, c_p, n_rows, n_rows_p, n_taps, bc, mchunk,
                 pl.BlockSpec((1, p, fhx, bc), lambda b, j: (b, 0, 0, j)),
                 pl.BlockSpec((n_taps, bc), lambda b, j: (0, j)),
                 pl.BlockSpec((1, bc), lambda b, j: (0, j)),
-                pl.BlockSpec((1, bc), lambda b, j: (0, j)),
+                pl.BlockSpec(
+                    (4 if rq_mode in ("clamp16", "clamp11") else 1, bc),
+                    lambda b, j: (0, j)),
                 pl.BlockSpec((1, bc), lambda b, j: (0, j)),
             ],
             out_specs=pl.BlockSpec((1, n_rows_p, bc), lambda b, j: (b, 0, j)),
@@ -794,6 +787,21 @@ def _conv1x1_matmul(x, w, bias_arr, m_arr, s_arr, strides, padding,
     return out.reshape(n, oh, ow, cout)
 
 
+def _pack_rq(m_arr, s_arr, out_zp, qmin, qmax, rounding, cout, cout_p):
+    """(rq_mode, mx): the clamped-requantize plan padded to the kernel's
+    channel block — or (None, None) when ineligible (qms32.plan_rq_clamp).
+    Padded channels get m=0 / window [0,0]; their outputs are sliced off."""
+    from .qms32 import plan_rq_clamp
+
+    mode, rows = plan_rq_clamp(np.asarray(m_arr), np.asarray(s_arr),
+                               int(out_zp), qmin, qmax, rounding)
+    if mode is None:
+        return None, None
+    mx = np.zeros((4, cout_p), np.int32)
+    mx[:, :cout] = rows
+    return mode, mx
+
+
 def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
               izp, out_zp, rounding, out_dtype, qmin, qmax, fuse, blocks,
               interp, layout=None):
@@ -910,8 +918,12 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
             wfull = jnp.transpose(wfull, (1, 0, 2, 3))
         pad1 = lambda a, cv=0: jnp.pad(
             a, (0, cout_p - cout), constant_values=cv).reshape(1, cout_p)
+        rq_mode = None
         if fuse:
-            b1, m1, s1v = pad1(bias_arr), pad1(m_arr, 1), pad1(s_arr)
+            rq_mode, mx = _pack_rq(m_arr, s_arr, out_zp, qmin, qmax,
+                                   rounding, cout, cout_p)
+            b1, s1v = pad1(bias_arr), pad1(s_arr)
+            m1 = jnp.asarray(mx) if rq_mode else pad1(m_arr, 1)
         else:
             b1 = pad1(bias_arr)
             m1 = jnp.ones((1, cout_p), jnp.int32)
@@ -919,7 +931,7 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
         fn = _build_flat_conv(
             mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk, fuse,
             int(out_zp), rounding, qmin, qmax, out_dtype, shift_values,
-            interp, layout, wslack=slack)
+            interp, layout, wslack=slack, rq_mode=rq_mode)
         with _x32_tracing():
             out = fn(xflat, wfull, b1, m1, s1v)
         rows = oh * wph
@@ -964,8 +976,12 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
 
     pad1 = lambda a, cv=0: jnp.pad(
         a, (0, cout_p - cout), constant_values=cv).reshape(1, cout_p)
+    rq_mode = None
     if fuse:
-        b1, m1, s1 = pad1(bias_arr), pad1(m_arr, 1), pad1(s_arr)
+        rq_mode, mx = _pack_rq(m_arr, s_arr, out_zp, qmin, qmax, rounding,
+                               cout, cout_p)
+        b1, s1 = pad1(bias_arr), pad1(s_arr)
+        m1 = jnp.asarray(mx) if rq_mode else pad1(m_arr, 1)
     else:
         b1 = pad1(bias_arr)
         m1 = jnp.ones((1, cout_p), jnp.int32)
@@ -974,7 +990,7 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
     fn = _build_flat_conv(
         mp, fhx, cin_p, cout_p, khp, kwp, wph, bm, bn, bk, fuse,
         int(out_zp), rounding, qmin, qmax, out_dtype, shift_values, interp,
-        layout)
+        layout, rq_mode=rq_mode)
     with _x32_tracing():
         if vmap_batch:
             import jax
@@ -1072,12 +1088,15 @@ def _conv_dw_vpu(x, w, bias_arr, m_arr, s_arr, shift_values, strides,
     pad1 = lambda a, cv=0: jnp.pad(
         a, (0, c_p - cout), constant_values=cv).reshape(1, c_p)
 
+    rq_mode, mx = _pack_rq(m_arr, s_arr, out_zp, qmin, qmax, rounding,
+                           cout, c_p)
+    m1 = jnp.asarray(mx) if rq_mode else pad1(m_arr, 1)
     fn = _build_flat_dw(
         n, pnum, fhx, c_p, n_rows, n_rows_p, len(taps), bc, mchunk,
         tuple(taps), wph, int(out_zp), rounding, qmin, qmax, out_dtype,
-        shift_values, interp)
+        shift_values, interp, rq_mode=rq_mode)
     with _x32_tracing():
-        out = fn(xflat, wmat, pad1(bias_arr), pad1(m_arr, 1), pad1(s_arr))
+        out = fn(xflat, wmat, pad1(bias_arr), m1, pad1(s_arr))
     out = out[:, :n_rows].reshape(n, oh, wph, c_p)
     return out[:, :, :ow, :cout]
 
@@ -1108,8 +1127,8 @@ def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
                         taps: tuple, wph: int, bm: int, pad: int, n_k: int,
                         off_base: int, frame_out: bool, out_zp: int,
                         rounding: str, qmin: int, qmax: int,
-                        shift_values: tuple, res_ref=None,
-                        res_add: tuple | None = None):
+                        shift_values: tuple, rq_mode: str | None = None,
+                        res_ref=None, res_add: tuple | None = None):
     """Base flat kernel + frame plumbing.
 
     Frame format: array row a holds frame row g = a - bm (a bm-row lead
@@ -1125,7 +1144,7 @@ def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
     from jax import lax
     from jax.experimental import pallas as pl
 
-    from .qms32 import q_multiply_shift_select
+    from .qms32 import fused_requantize, q_multiply_shift_select
 
     m0 = pl.multiple_of(pl.program_id(0) * bm, bm)
     offs = {(a, b): a * wph + b + off_base for (a, b) in taps}
@@ -1156,11 +1175,8 @@ def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
 
     def _finish(acc):
         acc = acc + bias_ref[...]
-        v = q_multiply_shift_select(
-            acc, m_ref[...], s_ref[...], shift_values, rounding)
-        if out_zp:
-            v = v + jnp.int32(out_zp)
-        v = jnp.clip(v, jnp.int32(qmin), jnp.int32(qmax))
+        v = fused_requantize(acc, m_ref[...], s_ref[...], shift_values,
+                             rounding, out_zp, qmin, qmax, rq_mode)
         if res_add is not None:
             # fused qnn.add epilogue (the reference tachikoma runtime's
             # conv "sum" post-op, tachikoma_json_runtime.cc:292-388):
@@ -1209,7 +1225,7 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
                            bm, bn, bk, wslack, off_base,
                            frame_out, out_zp, rounding, qmin, qmax,
                            out_dtype, shift_values, interpret,
-                           res_add: tuple | None = None):
+                           res_add: tuple | None = None, rq_mode=None):
     """One chain stage: x (fhx_in, cin_p) int8 -> out int8, either a frame
     (mp + 2*bm rows: out_zp lead margin + mp computed rows + unwritten
     tail) or a plain (mp, cout_p) block."""
@@ -1228,7 +1244,7 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
         taps=taps, wph=wph, bm=bm, pad=wslack, n_k=n_k,
         off_base=off_base, frame_out=frame_out,
         out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
-        shift_values=shift_values, res_add=res_add,
+        shift_values=shift_values, rq_mode=rq_mode, res_add=res_add,
     )
     if res_add is not None:
         def kernel(x, w, b, m, sr, vm, res, o, acc):
@@ -1257,7 +1273,9 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
                 pl.BlockSpec((fhx_in, bk), lambda i, j, k: (0, k)),
                 pl.BlockSpec((khp, kwp, bk, bn), lambda i, j, k: (0, 0, k, j)),
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-                pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+                pl.BlockSpec(
+                    (4 if rq_mode in ("clamp16", "clamp11") else 1, bn),
+                    lambda i, j, k: (0, j)),
                 pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
                 # validity vector replicated to bn lanes (sub-128-lane
                 # blocks wedge the Mosaic compiler); for frame_out the
@@ -1401,7 +1419,12 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
         pad1 = lambda a, cv=0: jnp.pad(
             jnp.asarray(a), (0, co_p - co),
             constant_values=cv).reshape(1, co_p)
-        b1, m1, s1 = pad1(bias), pad1(m_arr, 1), pad1(s_arr)
+        rq_mode, mx = _pack_rq(m_arr, s_arr, int(st.get("out_zp", 0)),
+                               int(st.get("qmin", -128)),
+                               int(st.get("qmax", 127)),
+                               st.get("rounding", "UPWARD"), co, co_p)
+        b1, s1 = pad1(bias), pad1(s_arr)
+        m1 = jnp.asarray(mx) if rq_mode else pad1(m_arr, 1)
 
         # coordinate shifts (see _flat_conv_kernel_f docstring): frames
         # store row g at array row g + bm; pre-padded entry images have no
@@ -1460,7 +1483,7 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
             off_base, out_frame, int(st.get("out_zp", 0)),
             st.get("rounding", "UPWARD"), int(st.get("qmin", -128)),
             int(st.get("qmax", 127)), "int8", shift_values, interpret,
-            res_add=res_add)
+            res_add=res_add, rq_mode=rq_mode)
         with _x32_tracing():
             if res_add is not None:
                 cur = fn(cur, wfull, b1, m1, s1, vmask_plain, res_flat)

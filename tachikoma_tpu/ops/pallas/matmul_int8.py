@@ -32,11 +32,11 @@ def _round_up(x, m):
 
 def _mm_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
                n_k: int, out_zp: int, rounding: str, qmin: int, qmax: int,
-               out_dtype, shift_values: tuple):
+               out_dtype, shift_values: tuple, rq_mode: str | None = None):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    from .qms32 import q_multiply_shift_select
+    from .qms32 import fused_requantize
 
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -50,12 +50,12 @@ def _mm_kernel(x_ref, w_ref, bias_ref, m_ref, s_ref, o_ref, acc_ref, *,
     def _epilogue():
         acc = acc_ref[...]
         acc = acc + bias_ref[...]  # (1, bn) broadcast over rows
-        # Mosaic rejects vector shift amounts: select-tree over the distinct
-        # (static) shift values instead
-        v = q_multiply_shift_select(acc, m_ref[...], s_ref[...], shift_values, rounding)
-        if out_zp:
-            v = v + jnp.int32(out_zp)
-        o_ref[...] = jnp.clip(v, jnp.int32(qmin), jnp.int32(qmax)).astype(o_ref.dtype)
+        # rq_mode clamp16/clamp11: the 2/3-multiply clamped requantize
+        # (qms32.plan_rq_clamp); else the mulhi select-tree (Mosaic rejects
+        # vector shift amounts, so both branch over static shift values)
+        v = fused_requantize(acc, m_ref[...], s_ref[...], shift_values,
+                             rounding, out_zp, qmin, qmax, rq_mode)
+        o_ref[...] = v.astype(o_ref.dtype)
 
 
 def _mm_kernel_raw(x_ref, w_ref, o_ref, acc_ref, *, n_k: int):
@@ -97,7 +97,7 @@ def _x32_tracing():
 )
 def _build_qmatmul(M, K, N, block_m, block_n, block_k, out_zp, rounding,
                    qmin, qmax, out_dtype, fuse: bool, interpret: bool = False,
-                   shift_values: tuple = ()):
+                   shift_values: tuple = (), rq_mode: str | None = None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -105,17 +105,19 @@ def _build_qmatmul(M, K, N, block_m, block_n, block_k, out_zp, rounding,
 
     n_k = K // block_k
     grid = (M // block_m, N // block_n, n_k)
+    m_rows = 4 if rq_mode in ("clamp16", "clamp11") else 1
     if fuse:
         kernel = functools.partial(
             _mm_kernel, n_k=n_k, out_zp=out_zp, rounding=rounding,
             qmin=qmin, qmax=qmax, out_dtype=out_dtype,
-            shift_values=shift_values,
+            shift_values=shift_values, rq_mode=rq_mode,
         )
         in_specs = [
             pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
             pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
             pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),   # bias
-            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),   # multiplier
+            # multiplier row, or the (4, bn) [m; blo; bhi; cp] clamp block
+            pl.BlockSpec((m_rows, block_n), lambda i, j, k: (0, j)),
             pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),   # shift
         ]
         out_jdt = jnp.dtype(out_dtype)
@@ -206,19 +208,31 @@ def qmatmul_int8(
     wp = jnp.pad(w, ((0, Kp - K), (0, Np - N))) if (Kp != K or Np != N) else w
 
     if fuse:
+        from .qms32 import plan_rq_clamp
+
         bias_arr = jnp.zeros((N,), jnp.int32) if bias is None else jnp.asarray(bias, jnp.int32)
-        m_arr = jnp.broadcast_to(jnp.asarray(multiplier, jnp.int32), (N,))
-        s_arr = jnp.broadcast_to(jnp.asarray(shift, jnp.int32), (N,))
+        m_host = np.broadcast_to(np.asarray(multiplier, np.int32), (N,))
+        s_host = np.broadcast_to(np.asarray(shift, np.int32), (N,))
         pad1 = lambda a: (jnp.pad(a, (0, Np - N)) if Np != N else a).reshape(1, Np)
-        # pad multiplier with 1s to keep shifts valid (padded cols are sliced off)
-        m_pad = pad1(m_arr) if Np == N else jnp.pad(m_arr, (0, Np - N), constant_values=1).reshape(1, Np)
         shift_values = tuple(sorted({int(v) for v in np.atleast_1d(np.asarray(shift))}))
+        rq_mode, rows = plan_rq_clamp(m_host, s_host, int(out_zp), qmin,
+                                      qmax, rounding)
+        if rq_mode is not None:
+            mx = np.zeros((4, Np), np.int32)
+            mx[:, :N] = rows  # padded cols: m=0, window [0,0] (sliced off)
+            m_pad = jnp.asarray(mx)
+        else:
+            # pad multiplier with 1s to keep shifts valid (cols sliced off)
+            m_pad = (pad1(jnp.asarray(m_host)) if Np == N else
+                     jnp.pad(jnp.asarray(m_host), (0, Np - N),
+                             constant_values=1).reshape(1, Np))
         fn = _build_qmatmul(
             Mp, Kp, Np, bm, bn, bk, int(out_zp), rounding, qmin, qmax,
-            out_dtype, True, _interpret_default(), shift_values,
+            out_dtype, True, _interpret_default(), shift_values, rq_mode,
         )
         with _x32_tracing():
-            out = fn(xp, wp, pad1(bias_arr), m_pad, pad1(s_arr))
+            out = fn(xp, wp, pad1(bias_arr), m_pad,
+                     pad1(jnp.asarray(s_host)))
     else:
         fn = _build_qmatmul(
             Mp, Kp, Np, bm, bn, bk, 0, rounding, qmin, qmax, "int32", False,
@@ -239,7 +253,7 @@ def _qmatmul_xla(x, w, bias, multiplier, shift, out_zp, rounding, out_dtype,
     fixed-point epilogue); selected by tuned config {"impl": "xla"}."""
     import jax.numpy as jnp
 
-    from .qms32 import q_multiply_shift_u32
+    from .qms32 import fused_requantize, plan_rq_clamp, q_multiply_shift_u32
 
     acc = jnp.dot(x.astype(jnp.int32), w.astype(jnp.int32),
                   preferred_element_type=jnp.int32)
@@ -247,9 +261,17 @@ def _qmatmul_xla(x, w, bias, multiplier, shift, out_zp, rounding, out_dtype,
         acc = acc + jnp.asarray(bias, jnp.int32)[None, :]
     if not fuse:
         return acc
-    # concrete numpy m/s keep the trace-time fast requantize path available
+    # concrete numpy m/s keep the trace-time fast requantize paths available
     m_arr = np.broadcast_to(np.asarray(multiplier, np.int32), (acc.shape[-1],))
     s_arr = np.broadcast_to(np.asarray(shift, np.int32), (acc.shape[-1],))
+    rq_mode, rows = plan_rq_clamp(m_arr, s_arr, int(out_zp), qmin, qmax,
+                                  rounding)
+    if rq_mode is not None:
+        svals = tuple(sorted({int(v) for v in s_arr}))
+        v = fused_requantize(acc, jnp.asarray(rows), jnp.asarray(s_arr),
+                             svals, rounding, int(out_zp), qmin, qmax,
+                             rq_mode)
+        return v.astype(jnp.dtype(out_dtype))
     v = q_multiply_shift_u32(acc, m_arr, s_arr, rounding)
     if out_zp:
         v = v + jnp.int32(out_zp)

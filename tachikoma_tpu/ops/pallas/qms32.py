@@ -199,6 +199,147 @@ def q_multiply_shift_select(v, m, shift_vec, shift_values: tuple, rounding: str 
     return out
 
 
+# ---------------------------------------------------------------------------
+# Clamped requantize: the fast fused-epilogue path (round 4).
+#
+# The full q_multiply_shift needs a 4-multiply 32-bit mulhi emulation
+# (~15-21 VPU ops/element) — measured at the ResNet headline conv it costs
+# as much as the MXU dots themselves (11.8 us of a 36.8 us kernel;
+# scripts/r4_structure.py).  This path cuts it to ~8-10 ops:
+#
+#   1. CLAMP acc+bias to the per-channel window [blo, bhi] outside of which
+#      the final int8 output saturates anyway.  q(v) = round(v*m*2^(s-31))
+#      is monotone in v (m > 0), and because m < 2^(31-s) its steps are
+#      0/+1, so both window ends ATTAIN qmin/qmax exactly: clamping first
+#      provably never changes the final clipped output, for EVERY int32 acc.
+#   2. With |v| <= 2^15 (tier "clamp16", total right shift n = 31-s <= 37)
+#      the 64-bit product collapses to TWO int32 multiplies via a 16-bit
+#      split of m and the floor identity
+#          floor(z / 2^n) = floor((X + floor(Y / 2^16)) / 2^(n-16)),
+#          z = X*2^16 + Y,  X = v*(m>>16) + cp,  Y = v*(m&0xffff) [- neg]
+#      where cp = 2^(n-17) + zp*2^(n-16) folds BOTH the rounding constant
+#      and the output zero point.  For n in [38, 42] ("clamp11", |v| <=
+#      2^20) the same identity nests once more with an 11-bit split (three
+#      multiplies).  TONEAREST subtracts [v<0] from the lowest limb.
+#
+# Exactness is proven by construction (pure floor identities, no rounding
+# boundaries crossed) and verified exhaustively in tests/test_qms32.py.
+# Measured: headline conv 36.8 -> 28.5 us (51.9% -> 65.7% of the MXU
+# roofline), epilogue-only 12.5 -> 4.8 us at (28672, 128).
+# ---------------------------------------------------------------------------
+
+
+def _q_ref64(v: int, m: int, shift: int, rounding: str) -> int:
+    """Scalar int reference of q_multiply_shift (host, arbitrary precision)."""
+    left = shift if shift > 0 else 0
+    right = -shift if shift < 0 else 0
+    n = right + 31
+    p = (int(v) << left) * int(m)
+    r = 1 << (n - 1)
+    if rounding == "TONEAREST" and p < 0:
+        r -= 1
+    return (p + r) >> n
+
+
+def _smallest_ge(t: int, m: int, s: int, rounding: str) -> int:
+    """Smallest v with q(v) >= t (q monotone, steps 0/+1 since m < 2^n)."""
+    n = 31 - s
+    v = -((-((2 * t - 1) << (n - 1))) // m)  # exact for UPWARD; +-1 else
+    while _q_ref64(v, m, s, rounding) >= t:
+        v -= 1
+    while _q_ref64(v + 1, m, s, rounding) < t:
+        v += 1
+    return v + 1
+
+
+def plan_rq_clamp(m_arr, s_arr, out_zp: int, qmin: int, qmax: int,
+                  rounding: str):
+    """Host-side eligibility + row computation for the clamped requantize.
+
+    Returns (mode, rows) with mode in {"clamp16", "clamp11"} and rows a
+    (4, n_ch) int32 array [m; blo; bhi; cp], or (None, None) when the
+    clamped path does not apply (wide outputs, shifts outside [-11, -2],
+    positive shifts, non-normalized multipliers whose saturation window
+    exceeds the tier's int32 range)."""
+    if rounding not in ("UPWARD", "TONEAREST"):
+        return None, None
+    if (qmax - qmin) > 510:  # int8/uint8-class outputs only
+        return None, None
+    m = np.atleast_1d(np.asarray(m_arr, np.int64)).ravel()
+    s = np.atleast_1d(np.asarray(s_arr, np.int64)).ravel()
+    m, s = (np.ascontiguousarray(a) for a in np.broadcast_arrays(m, s))
+    if m.size == 0 or (m < 0).any() or (m >= (1 << 31)).any():
+        return None, None
+    n = 31 - s
+    live = m > 0
+    if live.any() and ((n[live] < 33).any() or (n[live] > 42).any()):
+        return None, None
+    mode = "clamp16" if (not live.any()) or (n[live] <= 37).all() \
+        else "clamp11"
+    blo = np.zeros_like(m)
+    bhi = np.zeros_like(m)
+    for i in range(m.size):
+        if m[i] == 0:
+            continue  # q == 0 for every v: clamp to [0, 0]
+        blo[i] = _smallest_ge(qmin - out_zp, int(m[i]), int(s[i]), rounding)
+        bhi[i] = _smallest_ge(qmax - out_zp + 1, int(m[i]), int(s[i]),
+                              rounding) - 1
+    bound = max(int(np.abs(blo).max()), int(np.abs(bhi).max()), 1)
+    lim = (1 << 15) - 1 if mode == "clamp16" else (1 << 20) - 1
+    if bound > lim:
+        return None, None
+    sb = 17 if mode == "clamp16" else 23
+    cp = (np.int64(1) << (n - sb)) + np.int64(out_zp) * (
+        np.int64(1) << (n - sb + 1))
+    rows = np.stack([m, blo, bhi, cp]).astype(np.int32)
+    return mode, rows
+
+
+def fused_requantize(acc, m_rows, shift_vec, shift_values: tuple,
+                     rounding: str, out_zp: int, qmin: int, qmax: int,
+                     mode: str | None):
+    """Kernel-side fused requantize: acc (int32, bias already added) ->
+    int32 values already in [qmin+?, qmax] ready for the narrowing cast.
+
+    mode None/"select": the existing q_multiply_shift_select path with
+    explicit zero-point add and clip; m_rows is the (1, bn) multiplier row.
+    mode "clamp16"/"clamp11": m_rows is the (4, bn) [m; blo; bhi; cp] block
+    from plan_rq_clamp — clamp + 2 (or 3) multiplies, no final clip."""
+    jnp = _ju()
+    i32 = jnp.int32
+    if mode in (None, "select"):
+        m = m_rows[0:1] if getattr(m_rows, "ndim", 1) == 2 \
+            and m_rows.shape[0] > 1 else m_rows
+        v = q_multiply_shift_select(acc, m, shift_vec, shift_values, rounding)
+        if out_zp:
+            v = v + i32(out_zp)
+        return jnp.clip(v, i32(qmin), i32(qmax))
+    m, blo, bhi, cp = (m_rows[0:1], m_rows[1:2], m_rows[2:3], m_rows[3:4])
+    v = jnp.clip(acc, blo, bhi)
+    svals = [int(x) for x in shift_values]
+    if mode == "clamp16":
+        low = v * (m & i32(0xFFFF))
+        if rounding == "TONEAREST":
+            low = low - (v < i32(0)).astype(i32)
+        t = v * (m >> i32(16)) + cp + (low >> i32(16))
+        fsh = [31 - x - 16 for x in svals]
+    elif mode == "clamp11":
+        low = v * (m & i32(0x7FF))
+        if rounding == "TONEAREST":
+            low = low - (v < i32(0)).astype(i32)
+        mid = (v * ((m >> i32(11)) & i32(0x7FF)) + (low >> i32(11))) >> i32(11)
+        t = v * (m >> i32(22)) + cp + mid
+        fsh = [31 - x - 22 for x in svals]
+    else:
+        raise ValueError(f"unknown requantize mode {mode!r}")
+    if len(svals) == 1:
+        return t >> i32(fsh[0])
+    out = jnp.zeros(acc.shape, jnp.int32)
+    for s_val, f in zip(svals, fsh):
+        out = jnp.where(shift_vec == i32(s_val), t >> i32(f), out)
+    return out
+
+
 def requantize_epilogue(acc, multiplier, shift, out_zp: int,
                         rounding: str = "UPWARD", qmin: int = -128, qmax: int = 127):
     """Fused requantize epilogue for int32 accumulators (per-tensor or

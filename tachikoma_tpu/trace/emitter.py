@@ -80,6 +80,8 @@ class TraceEmitter:
         self.backend = backend
         self.meta = dict(meta or {})
         self._executor = None
+        self._pack_fn = None
+        self.last_timings: dict = {}
 
     def _values_oracle(self, inputs) -> dict[str, np.ndarray]:
         values: dict[str, np.ndarray] = {}
@@ -113,6 +115,8 @@ class TraceEmitter:
                 values[n.name] = values[n.inputs[0]][int(n.attrs["index"])]
 
     def _values_jax(self, inputs) -> dict[str, np.ndarray]:
+        import time
+
         names = [n.name for n in _computational(self.graph)]
         if self._executor is None:
             if self.backend == "jax-segmented":
@@ -123,15 +127,71 @@ class TraceEmitter:
                 from ..runtime.executor import JaxExecutor
 
                 self._executor = JaxExecutor(self.graph, capture=names)
+        t0 = time.perf_counter()
         outs = self._executor.run_device(inputs)
-        # pipelined device->host transfers: fetch ahead in a worker thread
-        # so serialization overlaps the (bandwidth-bound) transfers
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fetched = list(pool.map(np.asarray, outs, chunksize=4))
-        values = dict(zip(names, fetched))
+        t1 = time.perf_counter()
+        values = self._fetch_packed(names, outs)
+        self.last_timings = {"dispatch_s": t1 - t0,
+                             "fetch_s": time.perf_counter() - t1}
         self._fill_structural(values, inputs)
+        return values
+
+    def _fetch_packed(self, names, outs) -> dict[str, np.ndarray]:
+        """Fetch every captured tensor in ONE device->host transfer.
+
+        Per-tensor np.asarray costs a full round trip each over a tunneled
+        device (~24 ms x 232 records dominated ResNet-50 trace time); a
+        jitted byte-pack (bitcast + concatenate) collapses the fetch to a
+        single buffer, sliced back into views on the host.  Falls back to
+        per-tensor fetches on any unexpected value structure."""
+        try:
+            import jax
+            import jax.numpy as jnp
+            from jax import lax
+
+            flat, spec = [], []
+            for nm, o in zip(names, outs):
+                if isinstance(o, (list, tuple)):
+                    for j, t in enumerate(o):
+                        flat.append(t)
+                        spec.append((nm, j, np.dtype(str(t.dtype)), t.shape))
+                else:
+                    flat.append(o)
+                    spec.append((nm, None, np.dtype(str(o.dtype)), o.shape))
+
+            if self._pack_fn is None:
+                def _pack(*xs):
+                    parts = []
+                    for x in xs:
+                        v = x.reshape(-1)
+                        if v.dtype == jnp.bool_:
+                            v = v.astype(jnp.uint8)
+                        if v.dtype != jnp.uint8:
+                            v = lax.bitcast_convert_type(v, jnp.uint8)
+                        parts.append(v.reshape(-1))
+                    return jnp.concatenate(parts) if parts else \
+                        jnp.zeros((0,), jnp.uint8)
+
+                self._pack_fn = jax.jit(_pack)
+            buf = np.asarray(self._pack_fn(*flat))
+        except Exception:  # pragma: no cover - structure we cannot pack
+            self._pack_fn = None
+            fetched = [
+                [np.asarray(t) for t in o] if isinstance(o, (list, tuple))
+                else np.asarray(o) for o in outs]
+            return dict(zip(names, fetched))
+
+        values: dict[str, np.ndarray] = {}
+        off = 0
+        for nm, j, dt, sh in spec:
+            nbytes = int(np.prod(sh)) * dt.itemsize if sh else dt.itemsize
+            arr = buf[off:off + nbytes].view(dt).reshape(sh)
+            off += nbytes
+            if j is None:
+                values[nm] = arr
+            else:
+                values.setdefault(nm, [])
+                values[nm].append(arr)
         return values
 
     def emit(self, inputs, f: BinaryIO) -> int:
