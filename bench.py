@@ -146,13 +146,19 @@ def bench_int8_conv_kernel():
 
     wfull = np.zeros((k, k, cin_p, cout_p), np.int8)
     wfull[:, :, :cin, :cout] = wt
-    m1 = np.broadcast_to(np.int32(mult), (1, cout_p))
+    from tachikoma_tpu.ops.pallas.conv_flat import _pack_rq
+
+    m_arr = np.full((cout,), mult, np.int32)
+    s_arr = np.full((cout,), shift, np.int32)
+    rq_mode, mx = _pack_rq(m_arr, s_arr, 0, -128, 127, "UPWARD",
+                           cout, cout_p)
+    m1 = mx if rq_mode else np.broadcast_to(np.int32(mult), (1, cout_p))
     s1 = np.broadcast_to(np.int32(shift), (1, cout_p))
     b1 = np.zeros((1, cout_p), np.int32)
     kern = _build_flat_conv(mp, fhx, cin_p, cout_p, k, k, wph, bm,
                             min(128, cout_p), min(128, cin_p), True, 0,
                             "UPWARD", -128, 127, "int8",
-                            (int(shift),), False, None)
+                            (int(shift),), False, None, rq_mode=rq_mode)
 
     def fn(a):
         with _x32_tracing():
@@ -296,16 +302,24 @@ def bench_trace_gen():
     path = os.path.join(tempfile.gettempdir(), "tk_bench_trace.bin")
     n_records = em.emit_to(data[0], path)  # native zero-copy writer
     trace_bytes = os.path.getsize(path)
-    times = []
+    times, fetches, dispatches = [], [], []
     for _ in range(5):
         t0 = time.perf_counter()
         em.emit_to(data[0], path)
         times.append(time.perf_counter() - t0)
+        dispatches.append(em.last_timings.get("dispatch_s", 0.0))
+        fetches.append(em.last_timings.get("fetch_s", 0.0))
     from tachikoma_tpu.utils.timing import median_iqr
     t, iqr = median_iqr(times)
     os.unlink(path)
     return {"traces_per_sec": n_records / t, "records": n_records,
-            "bytes": trace_bytes, "time_s": t, "iqr_s": iqr}
+            "bytes": trace_bytes, "time_s": t, "iqr_s": iqr,
+            # attribution: dispatch (device compute enqueue), packed d2h
+            # fetch, and serialize = remainder (record build + disk write)
+            "dispatch_s": median_iqr(dispatches)[0],
+            "fetch_s": median_iqr(fetches)[0],
+            "serialize_s": t - median_iqr(dispatches)[0]
+            - median_iqr(fetches)[0]}
 
 
 _SUBBENCHES = {
@@ -474,6 +488,11 @@ def _emit(state):
             "resnet50_trace_bytes": int(tr.get("bytes", 0) or 0),
             "resnet50_trace_time_s": round(float(tr.get("time_s", 0.0)
                                                  or 0.0), 3),
+            "trace_dispatch_s": round(float(tr.get("dispatch_s", 0.0)
+                                            or 0.0), 3),
+            "trace_fetch_s": round(float(tr.get("fetch_s", 0.0) or 0.0), 3),
+            "trace_serialize_s": round(float(tr.get("serialize_s", 0.0)
+                                             or 0.0), 3),
         },
     }
     print(json.dumps(result), flush=True)

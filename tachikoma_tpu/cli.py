@@ -386,6 +386,20 @@ def cmd_tune(args):
     g = _load_graph(args.graph)
     g = fuse_qnn(g)
     db = TuneDatabase(args.db or TOPHUB_PATH)
+    if getattr(args, "budget", None):
+        # cross-workload budget scheduler (tune/schedule.py, the
+        # auto_scheduler gradient TaskScheduler analog): allocate the
+        # trial budget across the model's workloads by expected e2e gain
+        import json as _json
+
+        from .tune.schedule import graph_tasks, schedule_tune
+
+        tasks = graph_tasks(g)
+        rep = schedule_tune(tasks, db, total_trials=args.budget,
+                            verbose=True)
+        print(_json.dumps(rep, indent=1))
+        print(f"{len(db)} records in {db.path}")
+        return
     done = set(db.workloads())
     seen = set()
     for n in g.nodes:
@@ -516,6 +530,10 @@ def main(argv=None):
     tu = sub.add_parser("tune", help="tune kernel blockings for a graph's workloads")
     tu.add_argument("graph")
     tu.add_argument("--db", help="database path (default: the packaged tophub)")
+    tu.add_argument("--budget", type=int,
+                    help="total trials allocated across ALL workloads by "
+                         "expected gain (tune/schedule.py) instead of "
+                         "per-workload searches")
     tu.set_defaults(fn=cmd_tune)
 
     args = p.parse_args(argv)

@@ -93,25 +93,16 @@ def measure_candidate(build_and_run: Callable[[], Callable[[], None]],
         return float("inf"), RUNTIME_ERROR, traceback.format_exc(limit=2)
 
 
-def tune_matmul(
-    M: int, K: int, N: int, db: TuneDatabase,
-    fused: bool = False,
-    candidates: Sequence[tuple[int, int, int]] | None = None,
-    verbose: bool = True,
-    strategy: str = "auto",
-) -> TuneRecord | None:
-    """Search matmul blockings on the current default device.
-
-    strategy: 'grid' measures every candidate; 'model' ranks by the learned
-    cost model (tune/model.py) and early-stops; 'auto' uses the model when
-    the database has enough records to fit one."""
-    import jax
+def matmul_task(M: int, K: int, N: int, fused: bool = True,
+                candidates: Sequence[tuple[int, int, int]] | None = None,
+                weight: int = 1):
+    """(workload, configs, measure, meta_fn, weight) for a matmul workload —
+    the task unit consumed by schedule_tune (tune/schedule.py) and by
+    tune_matmul's own loop."""
     import jax.numpy as jnp
 
-    from ..ops.pallas.matmul_int8 import _build_qmatmul, _interpret_default
-    from ..ops.pallas.qms32 import plan_requantize
-
     from ..ops.pallas.matmul_int8 import qmatmul_int8
+    from ..ops.pallas.qms32 import plan_requantize
 
     rng = np.random.default_rng(0)
     A = jnp.asarray(rng.integers(-127, 127, (M, K)).astype(np.int8))
@@ -119,6 +110,7 @@ def tune_matmul(
     # embedded as an MLIR constant, and the device->host fetch inside
     # .lower() wedges over the tunnel (observed v5e hang)
     B = rng.integers(-127, 127, (K, N)).astype(np.int8)
+    mult = shift = None
     if fused:
         mult, shift = plan_requantize(0.0004, 0.05)
 
@@ -137,6 +129,25 @@ def tune_matmul(
             return qmatmul_int8(a, B, blocks=_blocks)
 
         return _measure_scan(fn, A)
+
+    meta_fn = lambda t: {"tops": round(2 * M * K * N / t / 1e12, 2)}
+    return workload, configs, measure, meta_fn, weight
+
+
+def tune_matmul(
+    M: int, K: int, N: int, db: TuneDatabase,
+    fused: bool = False,
+    candidates: Sequence[tuple[int, int, int]] | None = None,
+    verbose: bool = True,
+    strategy: str = "auto",
+) -> TuneRecord | None:
+    """Search matmul blockings on the current default device.
+
+    strategy: 'grid' measures every candidate; 'model' ranks by the learned
+    cost model (tune/model.py) and early-stops; 'auto' uses the model when
+    the database has enough records to fit one."""
+    workload, configs, measure, _meta, _w = matmul_task(
+        M, K, N, fused=fused, candidates=candidates)
 
     from .model import fit_from_db, model_search
 
@@ -197,12 +208,10 @@ def conv_flat_candidates(mp, cin_p, cout_p, khp, kwp, fhx) -> list[tuple[int, in
     return sorted(set(cands))
 
 
-def tune_conv_flat(
-    shape: tuple, wshape: tuple, strides, padding, groups, db: TuneDatabase,
-    verbose: bool = True, strategy: str = "auto",
-) -> TuneRecord | None:
-    """Search the flat conv kernel's (bm, bn, bk, layout) blockings
-    (grid, or model-ranked with early stop — see tune_matmul)."""
+def conv_flat_task(shape: tuple, wshape: tuple, strides, padding, groups,
+                   weight: int = 1):
+    """(workload, configs, measure, meta_fn, weight) for a conv workload,
+    or None when the flat kernel does not support the geometry."""
     import jax.numpy as jnp
 
     from ..ops.pallas.conv_flat import (
@@ -221,7 +230,6 @@ def tune_conv_flat(
     workload = flat_conv_workload(n, h, w, cin, cout, kh, kw, strides, True,
                                   groups)
     if not qconv2d_flat_supported(shape, wshape, strides, padding, groups):
-        db.add(TuneRecord(workload, {}, float("inf"), COMPILE_ERROR, "unsupported"))
         return None
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(-127, 127, shape).astype(np.int8))
@@ -261,13 +269,35 @@ def tune_conv_flat(
 
         return _measure_scan(fn, x)
 
+    meta_fn = lambda t: {"tops": round(2 * macs / t / 1e12, 2)}
+    return workload, configs, measure, meta_fn, weight
+
+
+def tune_conv_flat(
+    shape: tuple, wshape: tuple, strides, padding, groups, db: TuneDatabase,
+    verbose: bool = True, strategy: str = "auto",
+) -> TuneRecord | None:
+    """Search the flat conv kernel's (bm, bn, bk, layout) blockings
+    (grid, or model-ranked with early stop — see tune_matmul)."""
+    task = conv_flat_task(shape, wshape, strides, padding, groups)
+    if task is None:
+        n, h, w, cin = shape
+        kh, kw, _, cout = wshape
+        from ..ops.pallas.conv_flat import flat_conv_workload
+
+        workload = flat_conv_workload(n, h, w, cin, cout, kh, kw, strides,
+                                      True, groups)
+        db.add(TuneRecord(workload, {}, float("inf"), COMPILE_ERROR,
+                          "unsupported"))
+        return None
+    workload, configs, measure, meta_fn, _w = task
+
     from .model import fit_from_db, model_search
 
     if len(configs) > 6 and (strategy == "model" or (
             strategy == "auto" and fit_from_db(db) is not None)):
         best, trials = model_search(
-            workload, configs, measure, db, verbose=verbose,
-            meta_fn=lambda t: {"tops": round(2 * macs / t / 1e12, 2)})
+            workload, configs, measure, db, verbose=verbose, meta_fn=meta_fn)
         if verbose:
             print(f"  {workload}: model search measured {trials}/"
                   f"{len(configs)} candidates", flush=True)
@@ -278,7 +308,7 @@ def tune_conv_flat(
         rec = TuneRecord(
             workload, cfg,
             t * 1e3 if t != float("inf") else float("inf"), err, msg,
-            meta={"tops": round(2 * macs / t / 1e12, 2)} if err == NO_ERROR else {},
+            meta=meta_fn(t) if err == NO_ERROR else {},
         )
         db.add(rec)
         if verbose:
@@ -333,13 +363,10 @@ def tune_conv(
     return db.best(workload)
 
 
-def tune_conv_chain(n, h, w, stage_dims, db: TuneDatabase,
-                    verbose: bool = True,
-                    bms=(512, 1024), bn_caps=(128, 256)) -> TuneRecord | None:
-    """Tune the frame-chain block size bm for a chain geometry.
-
-    stage_dims = [(kh, cin, cout), ...] with 'same' padding per stage (the
-    shape fuse_conv_chains produces for ResNet-style bottlenecks)."""
+def conv_chain_task(n, h, w, stage_dims, weight: int = 1,
+                    bms=(512, 1024), bn_caps=(128, 256)):
+    """(workload, configs, measure, meta_fn, weight) for a frame-chain
+    geometry (stage_dims = [(kh, cin, cout), ...], 'same' padding)."""
     import jax.numpy as jnp
 
     from ..ops.pallas.conv_flat import chain_workload, qconv2d_flat_chain
@@ -359,21 +386,37 @@ def tune_conv_chain(n, h, w, stage_dims, db: TuneDatabase,
     x = jnp.asarray(rng.integers(-127, 127,
                                  (n, h, w, stage_dims[0][1])).astype(np.int8))
     macs = sum(n * h * w * co * kh * kh * ci for (kh, ci, co) in stage_dims)
-    for bm in bms:
-      for bn_cap in bn_caps:
-        def fn(a, _bm=bm, _bn=bn_cap):
+    configs = [{"bm": bm, "bn": bn} for bm in bms for bn in bn_caps]
+
+    def measure(cfg):
+        def fn(a, _bm=cfg["bm"], _bn=cfg["bn"]):
             return qconv2d_flat_chain(a, stages, bm=_bm, bn_cap=_bn)
 
-        t, err, msg = _measure_scan(fn, x)
+        return _measure_scan(fn, x)
+
+    meta_fn = lambda t: {"tops": round(2 * macs / t / 1e12, 2)}
+    return workload, configs, measure, meta_fn, weight
+
+
+def tune_conv_chain(n, h, w, stage_dims, db: TuneDatabase,
+                    verbose: bool = True,
+                    bms=(512, 1024), bn_caps=(128, 256)) -> TuneRecord | None:
+    """Tune the frame-chain block size bm for a chain geometry.
+
+    stage_dims = [(kh, cin, cout), ...] with 'same' padding per stage (the
+    shape fuse_conv_chains produces for ResNet-style bottlenecks)."""
+    workload, configs, measure, meta_fn, _w = conv_chain_task(
+        n, h, w, stage_dims, bms=bms, bn_caps=bn_caps)
+    for cfg in configs:
+        t, err, msg = measure(cfg)
         rec = TuneRecord(
-            workload, {"bm": bm, "bn": bn_cap},
+            workload, cfg,
             t * 1e3 if t != float("inf") else float("inf"), err, msg,
-            meta={"tops": round(2 * macs / t / 1e12, 2)} if err == NO_ERROR
-            else {},
+            meta=meta_fn(t) if err == NO_ERROR else {},
         )
         db.add(rec)
         if verbose:
             status = (f"{t*1e6:.1f} us ({rec.meta.get('tops', 0)} TOPS)"
                       if err == NO_ERROR else f"err{err}: {msg[:60]}")
-            print(f"  {workload} bm={bm}: {status}", flush=True)
+            print(f"  {workload} {cfg}: {status}", flush=True)
     return db.best(workload)
