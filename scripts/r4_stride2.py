@@ -1,0 +1,192 @@
+"""Round-4 stride-2 conv attack (v5e): decimated direct im2col.
+
+The polyphase route pays an inherent 16/9 tap-slot waste (VERDICT item 7:
+43.8 useful TOPS, 11%).  A stride-2 output is DECIMATED, so materializing
+true im2col patches costs only out_M x 9 x cin = 7.2 MB at the ResNet
+stage-boundary shape — every MAC useful, K = 1152 deep (the depth the MXU
+rewards: scripts/r4_structure.py).
+
+Candidates (all OUTPUT-VERIFIED against the f64 oracle + current kernel):
+  s2_current      — today's polyphase flat kernel (anchor)
+  s2_dim2col_*    — XLA strided-slice decimated im2col + tuned deep-K
+                    Pallas matmul with the clamped epilogue, e2e
+  s2_dim2col_mm   — the matmul alone on a prebuilt operand (kernel bound)
+  s2_xla          — XLA native int8 stride-2 conv + XLA requantize
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/r4_stride2.py
+"""
+
+import json
+import os
+
+import numpy as np
+
+V5E_INT8_TOPS = 394.7
+OUT = os.environ.get("R4_OUT", "/tmp/r4/stride2.json")
+results = {}
+if os.path.exists(OUT):
+    with open(OUT) as f:
+        results = json.load(f)
+
+
+def rec(name, samples, macs=None):
+    from tachikoma_tpu.utils.timing import median_iqr
+
+    med, iqr = median_iqr(samples)
+    d = {"med_us": round(med * 1e6, 2), "iqr_us": round(iqr * 1e6, 2)}
+    if macs:
+        d["tops"] = round(2 * macs / med / 1e12, 1)
+        d["frac"] = round(d["tops"] / V5E_INT8_TOPS, 4)
+    results[name] = d
+    print(name, json.dumps(d), flush=True)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+def fail(name, e):
+    results[name] = {"error": repr(e)[:300]}
+    print(name, "FAILED:", repr(e)[:300], flush=True)
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+def _done(name):
+    if name in results and "error" not in results[name]:
+        print("skip (done):", name, flush=True)
+        return True
+    return False
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tachikoma_tpu.ops.pallas.conv_flat import qconv2d_flat
+    from tachikoma_tpu.ops.pallas.matmul_int8 import (_round_up,
+                                                      qmatmul_int8)
+    from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
+    from tachikoma_tpu.ops.fixed_point import q_multiply_shift_np
+    from tachikoma_tpu.utils.timing import per_iter_chain_samples
+
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+
+    # ResNet stage boundary: 56x56x128 -> 28x28x256, 3x3 s2
+    n, h, w, cin, cout, k, s = 8, 56, 56, 128, 256, 3, 2
+    oh = ow = 28
+    x4 = rng.integers(-127, 128, (n, h, w, cin)).astype(np.int8)
+    wt = rng.integers(-127, 128, (k, k, cin, cout)).astype(np.int8)
+    mult, shift = plan_requantize(0.0004, 0.05)
+    mult, shift = int(mult), int(shift)
+    macs = n * oh * ow * cout * k * k * cin  # useful MACs (1.85 G)
+
+    xj = jnp.asarray(x4)
+    ref = np.asarray(qconv2d_flat(xj, wt, multiplier=mult, shift=shift,
+                                  strides=(2, 2), padding=(1, 1, 1, 1)))
+
+    # f64 oracle cross-check of the reference itself
+    xpad = np.zeros((n, h + 2, w + 2, cin), np.float64)
+    xpad[:, 1:57, 1:57] = x4
+    acc = np.zeros((n, oh, ow, cout), np.float64)
+    for a in range(k):
+        for b in range(k):
+            acc += np.einsum(
+                "nhwc,co->nhwo",
+                xpad[:, a:a + 2 * oh:2, b:b + 2 * ow:2, :],
+                wt[a, b].astype(np.float64), optimize=True)
+    want = np.clip(q_multiply_shift_np(
+        acc.astype(np.int64).astype(np.int32), mult, shift), -128,
+        127).astype(np.int8)
+    assert np.array_equal(ref, want), "certified kernel vs oracle mismatch"
+
+    def fb(a, out):
+        return a.at[(0,) * a.ndim].add(out[(0,) * out.ndim].astype(a.dtype))
+
+    # ---- anchor: current polyphase kernel ----
+    if not _done("s2_current"):
+        def cur(a):
+            return qconv2d_flat(a, wt, multiplier=mult, shift=shift,
+                                strides=(2, 2), padding=(1, 1, 1, 1))
+        try:
+            assert np.array_equal(np.asarray(cur(xj)), ref)
+            rec("s2_current", per_iter_chain_samples(cur, xj, fb, samples=5),
+                macs=macs)
+        except Exception as e:  # noqa: BLE001
+            fail("s2_current", e)
+
+    # ---- decimated direct im2col ----
+    wm = np.concatenate([wt[a, b] for a in range(k) for b in range(k)],
+                        axis=0)  # (1152, 256)
+
+    def dim2col(a):
+        ap = jnp.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        pieces = [lax.slice(ap, (0, ai, bi, 0),
+                            (n, ai + 2 * oh - 1, bi + 2 * ow - 1, cin),
+                            (1, 2, 2, 1))
+                  for ai in range(k) for bi in range(k)]
+        return jnp.concatenate(pieces, axis=-1).reshape(n * oh * ow,
+                                                        k * k * cin)
+
+    for bk in (1152, 384):
+        name = f"s2_dim2col_bk{bk}"
+        if _done(name):
+            continue
+        try:
+            def e2e(a, _bk=bk):
+                pm = dim2col(a)
+                return qmatmul_int8(pm, wm, multiplier=mult, shift=shift,
+                                    blocks=(1024, 256, _bk)).reshape(
+                    n, oh, ow, cout)
+            assert np.array_equal(np.asarray(e2e(xj)), ref), "MISMATCH"
+            rec(name, per_iter_chain_samples(e2e, xj, fb, samples=5),
+                macs=macs)
+        except Exception as e:  # noqa: BLE001
+            fail(name, e)
+
+    # matmul alone on the prebuilt operand (kernel bound)
+    if not _done("s2_dim2col_mm"):
+        try:
+            pm_host = np.asarray(dim2col(xj))
+            pmj = jnp.asarray(pm_host)
+
+            def mm(a):
+                return qmatmul_int8(a, wm, multiplier=mult, shift=shift,
+                                    blocks=(1024, 256, 1152))
+            got = np.asarray(mm(pmj)).reshape(n, oh, ow, cout)
+            assert np.array_equal(got, ref), "MISMATCH"
+            rec("s2_dim2col_mm",
+                per_iter_chain_samples(mm, pmj, fb, samples=5), macs=macs)
+        except Exception as e:  # noqa: BLE001
+            fail("s2_dim2col_mm", e)
+
+    # im2col build alone (XLA strided slices + concat)
+    if not _done("s2_dim2col_build"):
+        try:
+            bf = jax.jit(dim2col)
+            rec("s2_dim2col_build",
+                per_iter_chain_samples(bf, xj, fb, samples=5))
+        except Exception as e:  # noqa: BLE001
+            fail("s2_dim2col_build", e)
+
+    # ---- XLA native int8 stride-2 conv (raw accumulator) ----
+    if not _done("s2_xla_raw"):
+        try:
+            wj = jnp.asarray(wt)
+            f = jax.jit(lambda a: lax.conv_general_dilated(
+                a, wj, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32))
+            got = np.asarray(f(xj)).astype(np.int64)
+            assert np.array_equal(got, acc.astype(np.int64)), "MISMATCH"
+            rec("s2_xla_raw", per_iter_chain_samples(f, xj, fb, samples=5),
+                macs=macs)
+        except Exception as e:  # noqa: BLE001
+            fail("s2_xla_raw", e)
+
+    print("DONE", json.dumps(results, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,7 @@ from .ops import tail as _ops_tail  # noqa: F401
 from .ops import tail2 as _ops_tail2  # noqa: F401
 from .ops import tail3 as _ops_tail3  # noqa: F401
 from .ops import control as _ops_control  # noqa: F401
+from .ops import dyn as _ops_dyn  # noqa: F401
 from .ops import attention as _ops_attention  # noqa: F401
 
 from .runtime.interpreter import Interpreter, run_graph

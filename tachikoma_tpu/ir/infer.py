@@ -54,7 +54,12 @@ def infer_types(graph: Graph) -> Graph:
             new_nodes.append(node.with_(shape=None, dtype="tuple"))
         else:
             shape, dtype = ty
-            new_nodes.append(node.with_(shape=tuple(int(s) for s in shape), dtype=dtype))
+            # shape None = data-dependent (dyn.* ops, ops/dyn.py): legal at
+            # the graph boundary; a downstream consumer's rule will raise
+            # here with the node name, pointing at runtime/dynshape.py
+            new_nodes.append(node.with_(
+                shape=None if shape is None
+                else tuple(int(s) for s in shape), dtype=dtype))
     return Graph(new_nodes, list(graph.outputs), dict(graph.params), graph.name)
 
 
