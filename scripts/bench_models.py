@@ -17,13 +17,20 @@ def build(name):
     from tachikoma_tpu.runtime.fuse import fuse_qnn
 
     rng = np.random.default_rng(0)
+    # batch-scaling variants: resnet50_b32, mobilenet_b64, bert_b16 ...
+    batch = None
+    if "_b" in name and name.rsplit("_b", 1)[1].isdigit():
+        name, bs = name.rsplit("_b", 1)
+        batch = int(bs)
     if name == "resnet50":
-        g = resnet(50, batch_size=8, image_size=224)
-        x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
+        b = batch or 8
+        g = resnet(50, batch_size=b, image_size=224)
+        x = rng.standard_normal((b, 224, 224, 3)).astype(np.float32)
         qg = quantize(g, [x])
     elif name == "mobilenet":
-        g = mobilenet_v2(batch_size=8, image_size=224)
-        x = rng.standard_normal((8, 224, 224, 3)).astype(np.float32)
+        b = batch or 8
+        g = mobilenet_v2(batch_size=b, image_size=224)
+        x = rng.standard_normal((b, 224, 224, 3)).astype(np.float32)
         qg = quantize(g, [x])
     elif name == "resnet50_fp32":
         g = resnet(50, batch_size=8, image_size=224)
@@ -83,8 +90,9 @@ def build(name):
         x = rng.integers(0, 30522, (4, 128)).astype(np.int32)
         return g, x
     elif name == "bert":
-        g = bert(batch_size=4, seq_len=128)
-        x = rng.integers(0, 30522, (4, 128)).astype(np.int32)
+        b = batch or 4
+        g = bert(batch_size=b, seq_len=128)
+        x = rng.integers(0, 30522, (b, 128)).astype(np.int32)
         qg = quantize(g, [x], config=TRANSFORMER_INT8)
     elif name == "keras_mnv2":
         # imported-model path: keras.applications MobileNetV2 (random
@@ -220,8 +228,16 @@ def bench(name):
 
         per = per_iter_chain(fn, xin, feedback, scan_len=8, repeats=3)
     batch = x.shape[0]
+    # MFU: static graph MAC count vs the chip's int8 peak (the e2e ledger
+    # the kernel-level roofline numbers are judged against)
+    from tachikoma_tpu.runtime.profiler import graph_flops
+
+    flops = 2 * graph_flops(fg)
+    tops = flops / per / 1e12
+    mfu = tops / 394.7
     print(f"{name}: {per*1e3:.3f} ms/batch-{batch} = {batch/per:.1f} samples/s"
-          f"  (measured in {time.time()-t0:.0f}s)", flush=True)
+          f"  ({tops:.1f} eff TOPS = {mfu*100:.1f}% MFU;"
+          f" measured in {time.time()-t0:.0f}s)", flush=True)
     return per
 
 

@@ -223,6 +223,11 @@ def cmd_trace(args):
     g = _load_graph(args.graph)
     inputs = _load_inputs(args, g)
     meta = {"model": args.graph}
+    if getattr(args, "require_integer", False):
+        # fail fast with the full node list before any execution
+        from .trace.emitter import TraceEmitter
+
+        TraceEmitter(g, backend=args.backend, require_integer=True)
     if args.native:
         from .trace.native import emit_trace_native
 
@@ -230,7 +235,10 @@ def cmd_trace(args):
     else:
         from .trace.emitter import emit_trace
 
-        n = emit_trace(g, inputs, path=args.output, backend=args.backend, meta=meta)
+        n = emit_trace(g, inputs, path=args.output, backend=args.backend,
+                       meta=meta,
+                       require_integer=getattr(args, "require_integer",
+                                               False))
     import os
 
     print(f"wrote {args.output}: {n} records, {os.path.getsize(args.output)} bytes")
@@ -467,6 +475,9 @@ def main(argv=None):
                    choices=["jax", "jax-segmented", "oracle"])
     t.add_argument("--input", help=".npy/.npz input file")
     t.add_argument("--native", action="store_true", help="use the C++ writer")
+    t.add_argument("--require-integer", action="store_true",
+                   help="reject graphs with float computational records: "
+                        "every record then carries the bitwise == guarantee")
     t.set_defaults(fn=cmd_trace)
 
     v = sub.add_parser("verify", help="verify a trace binary")

@@ -73,7 +73,8 @@ class TraceEmitter:
     program exceeds remote compile limits.  Traces are byte-identical across
     ALL backends (integer semantics are exact at any jit boundary)."""
 
-    def __init__(self, graph: Graph, backend: str = "jax", meta: dict | None = None):
+    def __init__(self, graph: Graph, backend: str = "jax",
+                 meta: dict | None = None, require_integer: bool = False):
         self.graph = infer_types(graph) if any(
             n.shape is None and n.dtype != "tuple" for n in graph.nodes
         ) else graph
@@ -82,6 +83,23 @@ class TraceEmitter:
         self._executor = None
         self._pack_fn = None
         self.last_timings: dict = {}
+        # ZKP-consumer mode: the integer record set is byte-exact by the ==
+        # contract, while float-tail records (dequantize head, float
+        # softmax) verify with allclose only.  require_integer rejects
+        # graphs that would emit ANY float computational record, so every
+        # record in the trace carries the bitwise guarantee (quantize with
+        # integer_softmax + lut_ops and dequantize_outputs=False to
+        # qualify; see quantize/config.py).
+        if require_integer:
+            floaty = [n.name for n in _computational(self.graph)
+                      if str(n.dtype).startswith(("float", "bfloat"))]
+            if floaty:
+                raise ValueError(
+                    "require_integer: graph has float computational nodes "
+                    f"(first 8: {floaty[:8]}); quantize with integer_softmax"
+                    "/lut_ops and dequantize_outputs=False for a fully "
+                    "bitwise-pinned trace")
+            self.meta.setdefault("integer_only", True)
 
     def _values_oracle(self, inputs) -> dict[str, np.ndarray]:
         values: dict[str, np.ndarray] = {}
@@ -246,8 +264,10 @@ class TraceEmitter:
 
 
 def emit_trace(graph: Graph, inputs, path: str | None = None, backend: str = "jax",
-               meta: dict | None = None) -> bytes | int:
-    em = TraceEmitter(graph, backend=backend, meta=meta)
+               meta: dict | None = None,
+               require_integer: bool = False) -> bytes | int:
+    em = TraceEmitter(graph, backend=backend, meta=meta,
+                      require_integer=require_integer)
     if path is None:
         return em.emit_bytes(inputs)
     return em.emit_to(inputs, path)

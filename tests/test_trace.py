@@ -178,3 +178,29 @@ def test_native_tktrace_cli(tmp_path, rng):
     open(bad, "wb").write(bytes(blob))
     r = subprocess.run([exe, "verify", bad], capture_output=True, text=True)
     assert r.returncode == 1
+
+
+def test_require_integer_rejects_float_tail():
+    """ZKP-consumer mode: require_integer refuses graphs whose trace would
+    contain ANY float record (only the integer set is byte-pinned)."""
+    import pytest
+
+    from tachikoma_tpu.models.vision import mlp
+    from tachikoma_tpu.quantize.config import QConfig
+    from tachikoma_tpu.quantize.quantizer import quantize
+    from tachikoma_tpu.trace.emitter import TraceEmitter
+
+    g = mlp(batch_size=1, in_dim=16, hidden=(8,), num_classes=4)
+    x = np.random.default_rng(0).standard_normal((1, 16)).astype(np.float32)
+    # default quantize keeps a float tail (dequantized outputs + softmax)
+    qg = quantize(g, [x])
+    with pytest.raises(ValueError, match="require_integer"):
+        TraceEmitter(qg, require_integer=True)
+    # integer-only config qualifies, and the emitter stamps the meta flag
+    qcfg = QConfig(dequantize_outputs=False, integer_softmax=True,
+                   float_ops=frozenset())
+    qg2 = quantize(g, [x], qcfg)
+    em = TraceEmitter(qg2, backend="oracle", require_integer=True)
+    assert em.meta.get("integer_only") is True
+    buf = em.emit_bytes([x])
+    assert buf  # emits fine
