@@ -773,7 +773,22 @@ def _conv1x1_matmul(x, w, bias_arr, m_arr, s_arr, strides, padding,
         x = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
                     constant_values=np.int8(izp))
     if (sh, sw) != (1, 1):
-        x = x[:, ::sh, ::sw, :]
+        # reshape-form decimation: an XLA STRIDED int8 slice composed with
+        # a Pallas operand layout is pathological (measured 677 us at
+        # (8,14,14,1024) — 19% of ResNet-50 b8 e2e — vs 3 us for the
+        # reshape + unit-stride slice form; scripts/r4_decim.py).  Pad to
+        # stride multiples first; padded rows are never selected (group
+        # index 0 of each stride block is always a real row).
+        from jax import lax
+
+        n_, hh, ww, cc = x.shape
+        oh_, ow_ = -(-hh // sh), -(-ww // sw)
+        if hh % sh or ww % sw:
+            x = jnp.pad(x, ((0, 0), (0, oh_ * sh - hh),
+                            (0, ow_ * sw - ww), (0, 0)))
+        v = x.reshape(n_, oh_, sh, ow_, sw, cc)
+        x = lax.slice(v, (0, 0, 0, 0, 0, 0),
+                      (n_, oh_, 1, ow_, 1, cc)).reshape(n_, oh_, ow_, cc)
     n, oh, ow, _ = x.shape
     xm = x.reshape(n * oh * ow, cin)
     wm = jnp.asarray(w).reshape(cin, cout)
