@@ -247,6 +247,32 @@ def requantize_jnp(
         v = v - (jnp.int64(input_zero_point) if wide
                  else jnp.int32(input_zero_point))
     in_scale = np.asarray(input_scale, dtype=np.float64)
+
+    # clamped fast path (qms32.plan_rq_clamp): ~half the VPU ops of the
+    # mulhi emulation and no int64; exactness by construction (see qms32).
+    # Last-axis (or per-tensor) channel layout only — other axes fall back.
+    ax = axis if axis >= 0 else v.ndim + axis
+    if not wide and v.ndim >= 2 and (in_scale.ndim == 0 or ax == v.ndim - 1):
+        from .pallas.qms32 import fused_requantize, plan_rq_clamp
+
+        ratios = in_scale / float(output_scale)
+        if in_scale.ndim == 0 and float(in_scale) == float(output_scale):
+            pass  # identity multiply: keep the cheap no-multiply path below
+        else:
+            ms, ss = zip(*(fixed_point_multiplier_shift(float(d))
+                           for d in np.atleast_1d(ratios).ravel()))
+            ms = np.asarray(ms, np.int32)
+            ss = np.asarray(ss, np.int32)
+            lo = np.iinfo(np.dtype(out_dtype)).min
+            hi = np.iinfo(np.dtype(out_dtype)).max
+            mode, rows = plan_rq_clamp(ms, ss, int(output_zero_point),
+                                       int(lo), int(hi), rounding)
+            if mode is not None:
+                out = fused_requantize(
+                    v, jnp.asarray(rows), jnp.asarray(ss.reshape(1, -1)),
+                    tuple(sorted({int(s) for s in ss})), rounding,
+                    int(output_zero_point), int(lo), int(hi), mode)
+                return out.astype(out_dtype)
     if in_scale.ndim == 0:
         if float(in_scale) != float(output_scale):
             m, s = fixed_point_multiplier_shift(float(in_scale) / float(output_scale))
