@@ -224,10 +224,20 @@ def bench_conv_chain():
     from tachikoma_tpu.utils.timing import (median_iqr,
                                             per_iter_chain_samples_multi)
 
+    # ONE tuned geometry for both depths: the d6-d3 differential cancels
+    # entry/exit only when both chains share bm/bn (separate DB lookups can
+    # pick different blockings per depth, breaking the cancellation)
+    from tachikoma_tpu.ops.pallas.conv_flat import chain_workload
+    from tachikoma_tpu.tune.database import lookup_config
+
+    cfg = lookup_config(chain_workload(n, h, w, [(3, c, c)] * 6)) or {}
+    bm6 = int(cfg.get("bm", 512))
+    bn6 = int(cfg.get("bn", 128))
     fns = {}
     for depth in (3, 6):
         st = stages6[:depth]
-        fns[depth] = lambda a, _st=st: qconv2d_flat_chain(a, _st)
+        fns[depth] = lambda a, _st=st: qconv2d_flat_chain(
+            a, _st, bm=bm6, bn_cap=bn6)
     # INTERLEAVED sampling: each sample pass measures d3 then d6, so tunnel
     # drift cancels in the per-sample differential
     samp = per_iter_chain_samples_multi(fns, x, feedback, samples=5)

@@ -1329,6 +1329,20 @@ def chain_frame_geometry(n, h, w, stages, bm=512):
     return wph, hp, fh, mp, fhx0, slack0
 
 
+def chain_fits_vmem(n, h, w, geo_stages) -> bool:
+    """Fuse-time gate: can the frame-chain executor hold this geometry's
+    x window in VMEM at the NARROWEST K block?  The frame kernel keeps the
+    whole flat image resident as a (rows, bk) block (double-buffered), so
+    large batches at big spatial extents must stay un-chained (the
+    sequential conv path has vmap/im2col fallbacks; the chain has none).
+    Margin assumes the largest tuned bm (2048)."""
+    geo = chain_frame_geometry(n, h, w, geo_stages, 512)
+    if geo is None:
+        return False
+    _, _, _, mp, _, _ = geo
+    return 2 * (mp + 2 * 2048) * 128 <= _VMEM_BUDGET
+
+
 def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
                        residual=None, res_params: dict | None = None):
     """Run a chain of stride-1, same-spatial-size, fused-requantize convs
@@ -1458,10 +1472,24 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
         assert m0_max + wbase + bm + wslack <= cur_rows, \
             "window overruns the frame"
 
-        bk = min(ci_p, 512 if ci_p % 512 == 0 else
-                 (256 if ci_p % 256 == 0 else 128))
         bn = max(d for d in (512, 256, 128)
                  if d <= min(bn_cap, co_p) and co_p % d == 0)
+        # VMEM-aware K block: the frame kernel holds a (cur_rows, bk) x
+        # window (double-buffered by Pallas even at a constant index) — at
+        # large batches 512-deep blocks exceed the scoped VMEM limit
+        # (observed: b32 H14 chain, 2 x 25600 x 512 = 25.1 MB vs 16 MB)
+        bk = None
+        for cand in (512, 256, 128):
+            if cand > ci_p or ci_p % cand:
+                continue
+            vm = (2 * cur_rows * cand + 2 * kh * kw_ * cand * bn
+                  + bm * bn * 4 + 2 * bm * bn)
+            if vm <= _VMEM_BUDGET:
+                bk = cand
+                break
+        assert bk is not None, \
+            f"chain window {cur_rows} rows exceeds VMEM even at bk=128 " \
+            "(fuse_conv_chains should not have built this chain)"
         res_add = None
         res_flat = None
         if si == last and residual is not None:

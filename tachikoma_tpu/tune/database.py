@@ -65,9 +65,18 @@ class TuneDatabase:
                     if line:
                         self._ingest(TuneRecord.from_json(line))
 
+    # physical throughput ceiling for measurement sanity (v5e int8 peak,
+    # generous margin): a reading above it is a corrupted capture (zero-cell
+    # grid, collapsed timing differential over the drifting tunnel), never
+    # a real kernel — the round-3 tune-DB poisoning lesson
+    MAX_CREDIBLE_TOPS = 400.0
+
     def _ingest(self, rec: TuneRecord):
         self.records.append(rec)
         if rec.error_no == NO_ERROR:
+            tops = float(rec.meta.get("tops", 0.0) or 0.0)
+            if tops > self.MAX_CREDIBLE_TOPS:
+                return  # recorded for forensics, never served as best
             cur = self._best.get(rec.workload)
             if cur is None or rec.time_ms < cur.time_ms:
                 self._best[rec.workload] = rec
