@@ -949,13 +949,13 @@ def _conv_mxu(x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
             interp, layout, wslack=slack, rq_mode=rq_mode)
         with _x32_tracing():
             out = fn(xflat, wfull, b1, m1, s1v)
-        rows = oh * wph
-        from jax import lax
-
-        imgs = [lax.slice(out, (i * fh, 0), (i * fh + rows, cout_p))
-                for i in range(n)]
-        out4 = jnp.stack(imgs).reshape(n, oh, wph, cout_p)
-        return out4[:, :, :ow, :cout]
+        # single-pass exit: every valid output row lies below mp, so pad the
+        # uncomputed tail, view as frames, and slice once (the per-image
+        # slice+stack form cost an extra full copy)
+        if mp < n * fh:
+            out = jnp.pad(out, ((0, n * fh - mp), (0, 0)))
+        out4 = out.reshape(n, hp_, wph, cout_p)
+        return out4[:, :oh, :ow, :cout]
 
     if xs is None:
         # stride-1 but the tight single-pad geometry didn't apply
