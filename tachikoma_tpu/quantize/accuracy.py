@@ -115,12 +115,41 @@ def compare_calibrations(float_graph: Graph, dataset, modes=("max",
     calib_n = min(calib_samples, max(batch, len(dataset) // 4))
     calib_ds, eval_ds = dataset.split(calib_n)
     calib_batches = [chunk for chunk, _ in calib_ds.batches(batch)]
+
+    # float predictions ONCE (they are identical across calibration modes)
+    chunks = list(eval_ds.batches(batch, limit=limit))
+    fpred = []
+    for chunk, valid in chunks:
+        lf = _run(float_graph, chunk, executor)[:valid].reshape(valid, -1)
+        fpred.append((lf.argmax(-1), _topk(lf, 5)))
+
+    labeled = eval_ds.labels is not None
     reports = []
     for mode in modes:
         cfg = dataclasses.replace(base, calibrate_mode=mode)
         qg = quantize(float_graph, calib_batches, cfg)
-        reports.append(eval_topk(float_graph, qg, eval_ds,
-                                 executor=executor, limit=limit, name=mode))
+        n = agree1 = agree5 = acc1f = acc1q = acc5f = acc5q = 0
+        pos = 0
+        for (chunk, valid), (t1f, t5f) in zip(chunks, fpred):
+            lq = _run(qg, chunk, executor)[:valid].reshape(valid, -1)
+            t1q, t5q = lq.argmax(-1), _topk(lq, 5)
+            agree1 += int((t1f == t1q).sum())
+            agree5 += int((t5q == t1f[:, None]).any(1).sum())
+            if labeled:
+                lab = eval_ds.labels[pos:pos + valid]
+                acc1f += int((t1f == lab).sum())
+                acc1q += int((t1q == lab).sum())
+                acc5f += int((t5f == lab[:, None]).any(1).sum())
+                acc5q += int((t5q == lab[:, None]).any(1).sum())
+            pos += valid
+            n += valid
+        reports.append(AccuracyReport(
+            name=mode, n=n,
+            top1_agree=agree1 / max(n, 1), top5_agree=agree5 / max(n, 1),
+            top1_float=acc1f / n if labeled and n else None,
+            top1_quant=acc1q / n if labeled and n else None,
+            top5_float=acc5f / n if labeled and n else None,
+            top5_quant=acc5q / n if labeled and n else None))
     return reports
 
 
