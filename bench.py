@@ -173,24 +173,28 @@ def bench_int8_conv_kernel():
 
 
 def bench_int8_matmul_pallas():
+    """4096^3 int8 matmul through the PUBLIC fused API (tune-DB blocks +
+    clamped requantize epilogue) — what qnn.dense actually serves."""
     import jax.numpy as jnp
 
-    from tachikoma_tpu.ops.pallas.matmul_int8 import (_build_qmatmul,
-                                                      _interpret_default)
+    from tachikoma_tpu.ops.pallas.matmul_int8 import qmatmul_int8
+    from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
 
     M = K = N = 4096
     rng = np.random.default_rng(0)
     A = jnp.asarray(rng.integers(-127, 127, (M, K)).astype(np.int8))
     B = rng.integers(-127, 127, (K, N)).astype(np.int8)  # host (see conv note)
-    raw = _build_qmatmul(M, K, N, 512, 512, 1024, 0, "UPWARD", -128, 127,
-                         "int32", False, _interpret_default())
+    mult, shift = plan_requantize(0.0004, 0.05)
+
+    def fn(a):
+        return qmatmul_int8(a, B, multiplier=int(mult), shift=int(shift))
 
     # single-element dependence: see bench_int8_conv_pallas (the kernel is
     # opaque to XLA; the reference's time_evaluator fetches nothing per iter)
     def feedback(a, out):
         return a.at[0, 0].add(out[0, 0].astype(jnp.int8))
 
-    per, iqr = _per_iter_stats(lambda a: raw(a, B), A, feedback)
+    per, iqr = _per_iter_stats(fn, A, feedback)
     return {"gops": 2 * M * K * N / per / 1e9, "time_s": per, "iqr_s": iqr}
 
 
