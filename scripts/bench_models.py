@@ -232,7 +232,7 @@ def bench(name):
     # the kernel-level roofline numbers are judged against)
     from tachikoma_tpu.runtime.profiler import graph_flops
 
-    flops = 2 * graph_flops(fg)
+    flops = graph_flops(fg)  # already 2*MACs for matmul-family ops
     tops = flops / per / 1e12
     mfu = tops / 394.7
     print(f"{name}: {per*1e3:.3f} ms/batch-{batch} = {batch/per:.1f} samples/s"
