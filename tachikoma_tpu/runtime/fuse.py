@@ -506,11 +506,11 @@ def fuse_conv_chains(graph: Graph) -> Graph:
         # opposite).  The e2e-validated rule is simply: fuse runs that
         # contain a spatial kernel.
         if len(run) >= 2 and any(_spatial(m) for m in run):
-            # VMEM gate: at large batch x spatial extent the frame window
-            # cannot fit even at bk=128 — leave the run sequential (the
-            # standalone conv path has vmap/im2col fallbacks)
+            # VMEM gate: the chain executor splits large batches into
+            # fitting sub-batches under lax.map (chain_batch_split); only
+            # geometries that fit at NO sub-batch stay sequential
             from ..ops.nn import _pad4
-            from ..ops.pallas.conv_flat import chain_fits_vmem
+            from ..ops.pallas.conv_flat import chain_batch_split
 
             d0 = g[run[0].inputs[0]]
             geo_stages = []
@@ -518,8 +518,8 @@ def fuse_conv_chains(graph: Graph) -> Graph:
                 ws = g[m.inputs[1]].shape
                 pt, pl_, pb, pr = _pad4(m.attrs.get("padding", (0, 0, 0, 0)))
                 geo_stages.append((int(ws[0]), int(ws[1]), pt, pl_, pb, pr))
-            if not chain_fits_vmem(int(d0.shape[0]), int(d0.shape[1]),
-                                   int(d0.shape[2]), geo_stages):
+            if chain_batch_split(int(d0.shape[0]), int(d0.shape[1]),
+                                 int(d0.shape[2]), geo_stages) is None:
                 continue
             chains.append(run)
             in_chain.update(x.name for x in run)
