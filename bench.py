@@ -313,7 +313,10 @@ def bench_trace_gen():
     qg = quantize(g, data)
     em = TraceEmitter(qg, backend="jax")
     log("bench: compiling + first trace emit ...")
-    path = os.path.join(tempfile.gettempdir(), "tk_bench_trace.bin")
+    # tmpfs when available: the 288 MB trace at disk speed (~300 MB/s) adds
+    # ~1 s that says nothing about the emitter
+    tdir = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    path = os.path.join(tdir, "tk_bench_trace.bin")
     n_records = em.emit_to(data[0], path)  # native zero-copy writer
     trace_bytes = os.path.getsize(path)
     times, fetches, dispatches = [], [], []

@@ -20,7 +20,8 @@ def main():
     from tachikoma_tpu.utils.timing import per_iter_chain
 
     print("device:", jax.devices()[0].device_kind, flush=True)
-    fg, x = build("resnet50")
+    import os
+    fg, x = build(os.environ.get("ABLATE_MODEL", "resnet50"))
     names = [n.name for n in fg.nodes]
     default = [("data_q", "quantize"),
                ("relu0_rq", "stem conv7x7"),
