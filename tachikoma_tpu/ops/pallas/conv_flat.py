@@ -1341,18 +1341,39 @@ def chain_fits_vmem(n, h, w, geo_stages) -> bool:
     return 2 * (mp + 2 * 2048) * 128 <= _VMEM_BUDGET
 
 
-def chain_batch_split(n, h, w, geo_stages) -> int | None:
-    """Largest divisor nb of n whose frame window fits VMEM — large batches
-    run the SAME chain kernels over n/nb sub-batches under lax.map (per-
-    image cost stays at the small-batch level; measured: un-chained b32
-    ResNet-50 fell to 755 img/s vs 2,374 at b8)."""
-    nb = n
-    while nb >= 1:
-        if chain_fits_vmem(nb, h, w, geo_stages):
-            return nb
-        nb -= 1
-        while nb >= 1 and n % nb:
+def _bk_pref(ci_p: int) -> int:
+    for cand in (512, 256, 128):
+        if cand <= ci_p and ci_p % cand == 0:
+            return cand
+    return 128
+
+
+def chain_batch_split(n, h, w, geo_stages, ci_list=None) -> int | None:
+    """Largest divisor nb of n whose frame window fits VMEM *at the chain's
+    PREFERRED K block* — large batches run the SAME chain kernels over n/nb
+    sub-batches under lax.map, keeping the small-batch per-image cost.
+
+    Preferring the deep K block over merely fitting matters: a b32 H14
+    C1024 chain 'fits' at bk=128 but then pays 8 sequential k-block passes
+    plus 3x frame-row inflation — measured 28.2 ms for ResNet-50 b32
+    stage3 vs ~2.7 ms expected (scripts/ablate_resnet.py).  Only when no
+    sub-batch supports the preferred block does the relaxed bk=128 window
+    qualify a size."""
+    if ci_list:
+        bk_want = max(_bk_pref(_round_up(int(c), 128)) for c in ci_list)
+    else:
+        bk_want = 512
+    for bk in (bk_want, 128):
+        nb = n
+        while nb >= 1:
+            geo = chain_frame_geometry(nb, h, w, geo_stages, 512)
+            if geo is not None:
+                mp = geo[3]
+                if 2 * (mp + 2 * 2048) * bk <= _VMEM_BUDGET:
+                    return nb
             nb -= 1
+            while nb >= 1 and n % nb:
+                nb -= 1
     return None
 
 
@@ -1412,7 +1433,8 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
 
     # large-batch split: run the fitting sub-batch size under lax.map —
     # same kernels, same per-image cost, any batch (chain_batch_split)
-    nb = chain_batch_split(n, h, wd, geo_stages)
+    nb = chain_batch_split(n, h, wd, geo_stages,
+                           ci_list=[st["w"].shape[2] for st in stages])
     assert nb is not None, "no frame geometry fits this chain at any batch"
     if nb < n:
         from jax import lax as _lax

@@ -513,13 +513,15 @@ def fuse_conv_chains(graph: Graph) -> Graph:
             from ..ops.pallas.conv_flat import chain_batch_split
 
             d0 = g[run[0].inputs[0]]
-            geo_stages = []
+            geo_stages, ci_list = [], []
             for m in run:
                 ws = g[m.inputs[1]].shape
                 pt, pl_, pb, pr = _pad4(m.attrs.get("padding", (0, 0, 0, 0)))
                 geo_stages.append((int(ws[0]), int(ws[1]), pt, pl_, pb, pr))
+                ci_list.append(int(ws[2]))
             if chain_batch_split(int(d0.shape[0]), int(d0.shape[1]),
-                                 int(d0.shape[2]), geo_stages) is None:
+                                 int(d0.shape[2]), geo_stages,
+                                 ci_list=ci_list) is None:
                 continue
             chains.append(run)
             in_chain.update(x.name for x in run)
