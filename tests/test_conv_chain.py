@@ -256,3 +256,24 @@ def test_chain_bm_from_tune_db(rng):
         cf.chain_frame_geometry = orig
     assert seen["bm"] == 256          # the DB record was honored
     assert np.array_equal(got, want)  # and the result is still exact
+
+
+def test_chain_batch_split_prefers_deep_k():
+    """Large batches must SPLIT rather than shrink the K block: a b32 H14
+    C1024 chain 'fits' VMEM at bk=128 but pays 8 sequential k-passes + 3x
+    frame-row inflation (measured 28.2 ms for ResNet-50 b32 stage3)."""
+    from tachikoma_tpu.ops.pallas.conv_flat import (chain_batch_split,
+                                                    chain_frame_geometry)
+
+    geo = [(1, 1, 0, 0, 0, 0), (3, 3, 1, 1, 1, 1), (1, 1, 0, 0, 0, 0)]
+    nb = chain_batch_split(32, 14, 14, geo, ci_list=[1024, 256, 256])
+    assert nb is not None and nb < 32, nb
+    # the chosen sub-batch supports the preferred 512-deep block
+    mp = chain_frame_geometry(nb, 14, 14, geo, 512)[3]
+    assert 2 * (mp + 2 * 2048) * 512 <= 12 * 1024 * 1024
+    # small batches stay whole when the deep block fits
+    assert chain_batch_split(8, 14, 14, geo, ci_list=[1024, 256, 256]) == 8
+    # geometries that fit at no sub-batch return None (fuse leaves them
+    # sequential) — a degenerate huge-spatial case
+    assert chain_batch_split(1, 2048, 2048, [(3, 3, 1, 1, 1, 1)],
+                             ci_list=[128]) is None
