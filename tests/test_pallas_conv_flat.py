@@ -249,3 +249,32 @@ def test_stem_f32_route_exact_saturated(rng):
     want = np.clip(q_multiply_shift_np(acc, int(m), int(s), "UPWARD"),
                    -128, 127).astype(np.int8)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("ratio,zp", [
+    (0.04, 3),      # shift ~ -4: clamp16 tier (2-multiply fold)
+    (0.004, -5),    # shift ~ -7: clamp11 tier (3-multiply fold)
+    (0.3, 0),       # shift ~ -1: outside the clamp window -> select tree
+    (0.00015, 2),   # shift ~ -12: outside -> select tree
+])
+def test_flat_conv_requantize_tiers(rng, ratio, zp):
+    """Every requantize tier (clamp16 / clamp11 / mulhi fallback) through
+    the ACTUAL conv kernel path, == vs the int64 oracle."""
+    from tachikoma_tpu.ops.pallas.qms32 import plan_rq_clamp, plan_requantize
+
+    m, s = plan_requantize(ratio * 0.05, 0.05)
+    mode, _ = plan_rq_clamp(np.asarray([m]), np.asarray([s]), zp, -128, 127,
+                            "UPWARD")
+    # sanity: the parametrization hits the intended tier
+    expected = {0.04: "clamp16", 0.004: "clamp11",
+                0.3: None, 0.00015: None}[ratio]
+    assert mode == expected, (mode, s)
+
+    x = rng.integers(-127, 127, (2, 10, 10, 32)).astype(np.int8)
+    w = rng.integers(-127, 127, (3, 3, 32, 32)).astype(np.int8)
+    got = np.asarray(qconv2d_flat(x, w, multiplier=int(m), shift=int(s),
+                                  strides=(1, 1), padding=(1, 1, 1, 1),
+                                  out_zp=zp))
+    want = oracle(x, w, np.zeros(32, np.int32), ratio * 0.05, 0.05, zp,
+                  (1, 1), (1, 1, 1, 1), 1, 0)
+    np.testing.assert_array_equal(got, want)
