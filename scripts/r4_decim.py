@@ -43,6 +43,7 @@ def rec(name, samples):
 def fail(name, e):
     results[name] = {"error": repr(e)[:300]}
     print(name, "FAILED:", repr(e)[:300], flush=True)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
 

@@ -41,6 +41,7 @@ def rec(name, samples, macs=None):
 def fail(name, e):
     results[name] = {"error": repr(e)[:200]}
     print(name, "FAILED:", repr(e)[:200], flush=True)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
 

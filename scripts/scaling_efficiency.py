@@ -157,12 +157,14 @@ def run_group(nproc: int, mode: str, steps: int, base_batch: int,
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={devices_per_proc}")
-    ncores = len(os.sched_getaffinity(0))
+    core_ids = sorted(os.sched_getaffinity(0))  # actual ids: cpusets may
+    ncores = len(core_ids)                      # be non-contiguous
     procs = []
     for pid in range(nproc):
         if pin:
-            cores = "+".join(str((pid * cores_per_proc + i) % ncores)
-                             for i in range(cores_per_proc))
+            cores = "+".join(
+                str(core_ids[(pid * cores_per_proc + i) % ncores])
+                for i in range(cores_per_proc))
         else:
             cores = ""
         procs.append(subprocess.Popen(
@@ -231,9 +233,10 @@ def main():
         "weak_efficiency": {
             n: round(base1[cpp(n)]["step_time"] / weak[n]["step_time"], 3)
             for n in procs},
-        # strong: global work fixed; ideal step = baseline / n
+        # strong: global work fixed; anchor = the smallest measured process
+        # count running the SAME global batch (ideal step scales as 1/n)
         "strong_efficiency": {
-            n: round(base1[cpp(n)]["step_time"]
+            n: round(strong[procs[0]]["step_time"] * procs[0]
                      / (n * strong[n]["step_time"]), 3)
             for n in procs},
         "overheads_ms": {

@@ -357,6 +357,10 @@ def cmd_evaluate(args):
                 limit=args.samples)
             print(table(reps))
         return
+    if not args.quant_graph:
+        raise SystemExit(
+            "evaluate needs a quantized graph for the SNR report, or "
+            "--dataset for the accuracy harness")
     from .quantize.evaluate import quantization_report
 
     qg = _load_graph(args.quant_graph)

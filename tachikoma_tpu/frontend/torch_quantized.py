@@ -72,6 +72,18 @@ class _QImporter(_Importer):
     def _zp_shift(zp, torch_dtype, torch) -> int:
         return int(zp) - 128 if torch_dtype == torch.quint8 else int(zp)
 
+    def _act_dtype(self):
+        """The model's quantized-activation dtype (quint8 vs qint8).
+
+        nnq conv/linear/add/cat modules carry output scale/zero_point but
+        NOT the activation dtype, and zero-point VALUE ranges overlap in
+        [0, 127] — so it is recorded from the graph's quantize entry
+        points (nnq.Quantize modules / torch.quantize_per_tensor calls),
+        which always precede the quantized region.  Hardcoding quint8 here
+        made every qint8-activation model's zero points wrong by 128."""
+        dt = getattr(self, "_seen_act_dtype", None)
+        return dt if dt is not None else self.torch.quint8
+
     # -- fx node kinds -------------------------------------------------------
 
     def get_attr(self, fxn):
@@ -133,7 +145,7 @@ class _QImporter(_Importer):
         if relu:
             out_name = self.b.call("nn.relu", out_name,
                                    name=fxn.name + "_relu")
-        zp = self._zp_shift(mod.zero_point, torch.quint8, torch)
+        zp = self._zp_shift(mod.zero_point, self._act_dtype(), torch)
         self._q_dq(fxn, out_name, layout, float(mod.scale), zp)
 
     def call_module(self, fxn, mod):
@@ -149,6 +161,7 @@ class _QImporter(_Importer):
                 fxn, mod, "linear", isinstance(mod, nniq.LinearReLU))
         elif isinstance(mod, nnq.Quantize):
             name, layout = self.env[fxn.args[0]]
+            self._seen_act_dtype = mod.dtype
             zp = self._zp_shift(int(mod.zero_point), mod.dtype, torch)
             self._q_dq(fxn, name, layout, float(mod.scale), zp)
         elif isinstance(mod, nnq.DeQuantize):
@@ -170,6 +183,7 @@ class _QImporter(_Importer):
         if t is torch.quantize_per_tensor:
             x, scale, zp, dt = fxn.args
             name, layout = self.env[x]
+            self._seen_act_dtype = dt
             self._q_dq(fxn, name, layout, float(self._concrete(scale)),
                        self._zp_shift(self._concrete(zp), dt, torch))
         elif t in ("dequantize", torch.dequantize):
@@ -186,7 +200,7 @@ class _QImporter(_Importer):
             if t is ops_q.add_relu:
                 out = self.b.call("nn.relu", out, name=fxn.name + "_relu")
             self._q_dq(fxn, out, layout, float(self._concrete(scale)),
-                       self._zp_shift(self._concrete(zp), torch.quint8,
+                       self._zp_shift(self._concrete(zp), self._act_dtype(),
                                       torch))
         elif t is ops_q.cat:
             tensors, dim, scale, zp = (fxn.args[0], fxn.args[1],
@@ -195,7 +209,7 @@ class _QImporter(_Importer):
             out = self.b.call("concatenate", *names, axis=int(dim),
                               name=fxn.name + "_f")
             self._q_dq(fxn, out, "torch", float(self._concrete(scale)),
-                       self._zp_shift(self._concrete(zp), torch.quint8,
+                       self._zp_shift(self._concrete(zp), self._act_dtype(),
                                       torch))
         else:
             super().call_function(fxn)

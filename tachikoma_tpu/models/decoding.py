@@ -357,7 +357,9 @@ def gpt2_generate_scanned(full: Graph, prompt: np.ndarray, n_new: int, *,
     # re-upload the compile request) every generation
     # params identity token: the stacked device weights are cached on the
     # graph, so a REPLACED param array after the first call must invalidate
-    # the entry (in-place mutation of an existing ndarray is still on the
+    # the entry.  The cache entry keeps STRONG references to the keyed
+    # arrays (below) so a freed-and-reallocated buffer can never reuse a
+    # cached id (in-place mutation of an existing ndarray is still on the
     # caller: freeze params after first use)
     params_token = tuple(sorted(id(v) for v in P_.values()))
     ckey = (bsz, plen, n_new, max_len, hidden, layers, heads, ffn_dim,
@@ -370,7 +372,7 @@ def gpt2_generate_scanned(full: Graph, prompt: np.ndarray, n_new: int, *,
         except AttributeError:
             pass
     if ckey in cache:
-        run, stacked_j, tops_j = cache[ckey]
+        run, stacked_j, tops_j, _pinned = cache[ckey]
         key = jax.random.PRNGKey(seed)
         out = run(stacked_j, tops_j, jnp.asarray(prompt.astype(np.int32)),
                   key)
@@ -467,7 +469,8 @@ def gpt2_generate_scanned(full: Graph, prompt: np.ndarray, n_new: int, *,
 
     stacked_j = {k: jnp.asarray(v) for k, v in stacked.items()}
     tops_j = {k: jnp.asarray(v) for k, v in tops.items()}
-    cache[ckey] = (run, stacked_j, tops_j)
+    # pin the keyed host arrays: their ids stay valid while cached
+    cache[ckey] = (run, stacked_j, tops_j, list(P_.values()))
     key = jax.random.PRNGKey(seed)
     out = run(stacked_j, tops_j, jnp.asarray(prompt.astype(np.int32)), key)
     return np.asarray(out).astype(np.int32)

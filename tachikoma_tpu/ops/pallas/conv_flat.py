@@ -1377,6 +1377,35 @@ def chain_batch_split(n, h, w, geo_stages, ci_list=None) -> int | None:
     return None
 
 
+def _chain_stages_feasible(n, h, wd, stages, bn_cap, geo_stages) -> bool:
+    """EXACT per-stage VMEM feasibility at the worst tuned bm (2048): the
+    split heuristic (chain_batch_split) omits the weight/acc/out terms, so
+    a boundary geometry could pass the split yet have no runnable bk —
+    this check closes that gap before any kernel is built."""
+    geo = chain_frame_geometry(n, h, wd, geo_stages, 512)
+    if geo is None:
+        return False
+    _, _, fh, mp, _, _ = geo
+    bm = 2048
+    cur_rows = n * fh
+    for si, st in enumerate(stages):
+        kh, kw_, ci, co = st["w"].shape
+        ci_p = _round_up(ci, 128)
+        co_p = _round_up(co, 128)
+        bn = max(d for d in (512, 256, 128)
+                 if d <= min(int(bn_cap), co_p) and co_p % d == 0)
+        ok = any(
+            2 * cur_rows * c + 2 * kh * kw_ * c * bn + bm * bn * 4
+            + 2 * bm * bn <= _VMEM_BUDGET
+            for c in (512, 256, 128) if c <= ci_p and ci_p % c == 0)
+        if not ok:
+            return False
+        # +bm: mp here comes from the bm=512 geometry; the tuned run's
+        # round_up(need, 2048) can exceed it by up to bm-1 rows
+        cur_rows = mp + 2 * bm + bm
+    return True
+
+
 def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
                        residual=None, res_params: dict | None = None):
     """Run a chain of stride-1, same-spatial-size, fused-requantize convs
@@ -1432,9 +1461,17 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
             "chain stages must agree on zero points (izp == producer out_zp)"
 
     # large-batch split: run the fitting sub-batch size under lax.map —
-    # same kernels, same per-image cost, any batch (chain_batch_split)
+    # same kernels, same per-image cost, any batch (chain_batch_split);
+    # then verify EXACT per-stage feasibility and split further if the
+    # heuristic's margin was too thin
     nb = chain_batch_split(n, h, wd, geo_stages,
                            ci_list=[st["w"].shape[2] for st in stages])
+    while nb is not None and not _chain_stages_feasible(
+            nb, h, wd, stages, bn_cap, geo_stages):
+        nxt = nb - 1
+        while nxt >= 1 and n % nxt:
+            nxt -= 1
+        nb = nxt if nxt >= 1 else None
     assert nb is not None, "no frame geometry fits this chain at any batch"
     if nb < n:
         from jax import lax as _lax

@@ -243,7 +243,8 @@ class TraceEmitter:
                 flat.append(o)
                 spec.append((nm, None, np.dtype(str(o.dtype)), o.shape))
             node_end[nm] = len(spec)
-        sizes = [int(np.prod(sh) or 1) * dt.itemsize for _, _, dt, sh in spec]
+        sizes = [(int(np.prod(sh)) if sh else 1) * dt.itemsize
+                 for _, _, dt, sh in spec]
         total = sum(sizes)
         cuts, acc, goal = [], 0, max(total // max(chunks, 1), 1)
         for nm in names:
@@ -258,7 +259,10 @@ class TraceEmitter:
     def _slice_group(self, buf, spec, lo, hi, values):
         off = 0
         for nm, j, dt, sh in spec[lo:hi]:
-            nbytes = int(np.prod(sh) or 1) * dt.itemsize
+            # scalars () contribute 1 element; zero-element shapes (0 in
+            # sh) contribute 0 BYTES in the pack — `or 1` here would shift
+            # every later tensor's offset (matches _fetch_packed)
+            nbytes = (int(np.prod(sh)) if sh else 1) * dt.itemsize
             arr = buf[off:off + nbytes].view(dt).reshape(sh)
             off += nbytes
             if j is None:

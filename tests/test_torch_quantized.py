@@ -154,3 +154,53 @@ def test_qdq_graph_shape():
     # zero points landed in int8 domain (quint8 zp - 128)
     for q in qs:
         assert -128 <= int(q.attrs["zero_point"]) <= 127
+
+
+def _fx_quantize_qint8(model, example, n_calib=8, seed=0):
+    """qint8-ACTIVATION qconfig: zero points are already in [-128, 127], so
+    the importer must NOT apply the quint8 -128 shift (a hardcoded quint8
+    assumption made every such model's activation zps wrong by 128)."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from torch.ao.quantization import (QConfigMapping,
+                                           default_symmetric_qnnpack_qconfig)
+        from torch.ao.quantization.backend_config import (
+            get_qnnpack_backend_config)
+        from torch.ao.quantization.quantize_fx import convert_fx, prepare_fx
+
+        qm = QConfigMapping().set_global(default_symmetric_qnnpack_qconfig)
+        bc = get_qnnpack_backend_config()
+        mp = prepare_fx(model.eval(), qm, (example,), backend_config=bc)
+        g = torch.Generator().manual_seed(seed)
+        for _ in range(n_calib):
+            mp(torch.randn(example.shape, generator=g))
+        return convert_fx(mp, backend_config=bc)
+
+
+def test_qint8_activation_zero_points():
+    """qint8-activation models: zero points import UNSHIFTED (this torch
+    build cannot eager-execute qint8 activations on any engine, so the
+    golden is the FLOAT model — a 128-off zp saturates every activation
+    and blows far past the quantization-noise tolerance)."""
+    torch.manual_seed(0)
+    model = _ConvNet()
+    xin = torch.randn(2, 3, 16, 16, generator=torch.Generator().manual_seed(1))
+    want_float = model.eval()(xin).detach().numpy()
+    mq = _fx_quantize_qint8(model, torch.randn(2, 3, 16, 16))
+
+    import tachikoma_tpu as tk
+
+    gi = import_torch_quantized(mq, {"x": (2, 3, 16, 16)})
+    # qint8 activations: zps import UNSHIFTED (near-symmetric, small);
+    # the old hardcoded quint8 shift would put them near -128+zp ~ -120
+    for n in gi.nodes:
+        if n.op == "qnn.quantize":
+            zp = int(np.asarray(n.attrs.get("zero_point", 0)))
+            assert abs(zp) < 64, (n.name, n.attrs)
+    got = np.asarray(tk.run_graph(gi, {"x": xin.numpy()})[0])
+    out_scale = float(mq.fc.scale)
+    diff = np.abs(got - want_float)
+    # quantization noise across 3 int8 layers stays within a few quanta;
+    # a 128-shifted zp clips everything (error ~ 128 * scale)
+    assert diff.max() <= out_scale * 8 + 1e-4, \
+        f"{diff.max()} vs scale {out_scale}"
