@@ -1311,21 +1311,32 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
 def chain_frame_geometry(n, h, w, stages, bm=512):
     """Shared frame geometry for a conv chain: returns (wph, hp, fh, mp,
     fhx0, slack0) or None if no frame height fits.  stages = sequence of
-    (khp, kwp, pt, pl, pb, pr)."""
+    (khp, kwp, pt, pl, pb, pr).
+
+    hp is MINIMAL (the per-image halo only): the window slack past the M
+    grid is covered by a flat TAIL pad at chain entry (fhx0 > n*fh rows),
+    not by inflating every image's frame height.  The old tight-geometry
+    loop coupled the inter-image stride to the buffer length, so each +1 hp
+    step added n*wph rows of supply but (n-1)*wph rows of need — hp ran
+    from 58 to 66 at the 8x56x56 headline (interior stages computed 31744
+    rows for 25088 useful, 79%) and from 30 to 47 at b32 H28.  Tail rows
+    are read only by tap windows of masked (invalid) output rows, so their
+    VALUE is arbitrary; they just have to exist."""
     max_kh = max(s[0] for s in stages)
     max_kw = max(s[1] for s in stages)
     max_top = max(s[2] for s in stages)
     max_bot = max(s[4] for s in stages)
     wph = _round_up(w + max_kw - 1, 4)
-    hph = h + max(max_top, max_bot, max_kh - 1)
-    # slack must cover the largest stage's absolute tap window (stage 0
-    # reads taps at unshifted offsets up to (kh-1)*wph + kw-1); the margin
-    # makes the grid COMPUTE (and mask) the bottom rows downstream taps read
-    tight = _flat_lengths_tight(n, hph, wph, h, w, max_kh, max_kw, bm,
-                                margin=(max_kh - 1) * wph + max_kw)
-    if tight is None:
-        return None
-    fh, mp, fhx0, hp, slack0 = tight
+    hp = h + max(max_top, max_bot, max_kh - 1)
+    fh = hp * wph
+    maxoff = (max_kh - 1) * wph + (max_kw - 1)
+    slack0 = _round_up(maxoff + 4, 32)
+    # margin makes the grid COMPUTE (and zp-mask) the bottom rows that
+    # downstream stages' taps read past the last valid output
+    margin = (max_kh - 1) * wph + max_kw
+    need = (n - 1) * fh + h * wph + margin
+    mp = _round_up(need, bm)
+    fhx0 = max(n * fh, mp + slack0)
     return wph, hp, fh, mp, fhx0, slack0
 
 
@@ -1382,12 +1393,14 @@ def _chain_stages_feasible(n, h, wd, stages, bn_cap, geo_stages) -> bool:
     split heuristic (chain_batch_split) omits the weight/acc/out terms, so
     a boundary geometry could pass the split yet have no runnable bk —
     this check closes that gap before any kernel is built."""
-    geo = chain_frame_geometry(n, h, wd, geo_stages, 512)
+    # worst tuned bm: geometry AT bm=2048 (round_up(need, 2048) grows both
+    # mp and the entry tail past the bm=512 numbers)
+    geo = chain_frame_geometry(n, h, wd, geo_stages, 2048)
     if geo is None:
         return False
-    _, _, fh, mp, _, _ = geo
+    _, _, fh, mp, fhx0, _ = geo
     bm = 2048
-    cur_rows = n * fh
+    cur_rows = fhx0
     for si, st in enumerate(stages):
         kh, kw_, ci, co = st["w"].shape
         ci_p = _round_up(ci, 128)
@@ -1400,9 +1413,7 @@ def _chain_stages_feasible(n, h, wd, stages, bn_cap, geo_stages) -> bool:
             for c in (512, 256, 128) if c <= ci_p and ci_p % c == 0)
         if not ok:
             return False
-        # +bm: mp here comes from the bm=512 geometry; the tuned run's
-        # round_up(need, 2048) can exceed it by up to bm-1 rows
-        cur_rows = mp + 2 * bm + bm
+        cur_rows = mp + 2 * bm
     return True
 
 
@@ -1517,7 +1528,12 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
             (0, cin_p - cin)),
         constant_values=np.int8(izp0))
     cur = xpad.reshape(n * fh, cin_p)
-    cur_rows = n * fh
+    if fhx0 > n * fh:
+        # window-slack tail (see chain_frame_geometry): rows past n*fh are
+        # only ever read by tap windows of masked output rows — value-free
+        cur = jnp.pad(cur, ((0, fhx0 - n * fh), (0, 0)),
+                      constant_values=np.int8(izp0))
+    cur_rows = fhx0
     cur_lead = 0          # stage-0 input has no lead margin and is pre-padded
 
     last = len(stages) - 1
