@@ -364,7 +364,7 @@ def tune_conv(
 
 
 def conv_chain_task(n, h, w, stage_dims, weight: int = 1,
-                    bms=(512, 1024), bn_caps=(128, 256)):
+                    bms=(256, 512, 1024), bn_caps=(128, 256)):
     """(workload, configs, measure, meta_fn, weight) for a frame-chain
     geometry (stage_dims = [(kh, cin, cout), ...], 'same' padding)."""
     import jax.numpy as jnp
@@ -400,7 +400,13 @@ def conv_chain_task(n, h, w, stage_dims, weight: int = 1,
 
 def tune_conv_chain(n, h, w, stage_dims, db: TuneDatabase,
                     verbose: bool = True,
-                    bms=(512, 1024), bn_caps=(128, 256)) -> TuneRecord | None:
+                    bms=(256, 512, 1024),
+                    bn_caps=(128, 256)) -> TuneRecord | None:
+    # bm=256 joined the space with the minimal-hp tail-pad geometry: at
+    # small spatial extents (H14/H7) the bm-granular lead block + grid
+    # round-up dominate the MAC waste (b8 H14: 0.51 useful at bm=512 vs
+    # 0.61 at bm=256), and only a measurement can arbitrate that against
+    # the per-dot efficiency loss of shorter M blocks.
     """Tune the frame-chain block size bm for a chain geometry.
 
     stage_dims = [(kh, cin, cout), ...] with 'same' padding per stage (the
