@@ -1359,7 +1359,8 @@ def _bk_pref(ci_p: int) -> int:
     return 128
 
 
-def chain_batch_split(n, h, w, geo_stages, ci_list=None) -> int | None:
+def chain_batch_split(n, h, w, geo_stages, ci_list=None,
+                      bm: int = 512) -> int | None:
     """Largest divisor nb of n whose frame window fits VMEM *at the chain's
     PREFERRED K block* — large batches run the SAME chain kernels over n/nb
     sub-batches under lax.map, keeping the small-batch per-image cost.
@@ -1369,7 +1370,11 @@ def chain_batch_split(n, h, w, geo_stages, ci_list=None) -> int | None:
     plus 3x frame-row inflation — measured 28.2 ms for ResNet-50 b32
     stage3 vs ~2.7 ms expected (scripts/ablate_resnet.py).  Only when no
     sub-batch supports the preferred block does the relaxed bk=128 window
-    qualify a size."""
+    qualify a size.
+
+    bm is the chain's RESOLVED block size (tuned or default): sizing the
+    window at the actual bm instead of a 2048 worst case keeps sub-batches
+    as large as the real kernels allow."""
     if ci_list:
         bk_want = max(_bk_pref(_round_up(int(c), 128)) for c in ci_list)
     else:
@@ -1377,10 +1382,10 @@ def chain_batch_split(n, h, w, geo_stages, ci_list=None) -> int | None:
     for bk in (bk_want, 128):
         nb = n
         while nb >= 1:
-            geo = chain_frame_geometry(nb, h, w, geo_stages, 512)
+            geo = chain_frame_geometry(nb, h, w, geo_stages, bm)
             if geo is not None:
                 mp = geo[3]
-                if 2 * (mp + 2 * 2048) * bk <= _VMEM_BUDGET:
+                if 2 * (mp + 2 * bm) * bk <= _VMEM_BUDGET:
                     return nb
             nb -= 1
             while nb >= 1 and n % nb:
@@ -1388,18 +1393,16 @@ def chain_batch_split(n, h, w, geo_stages, ci_list=None) -> int | None:
     return None
 
 
-def _chain_stages_feasible(n, h, wd, stages, bn_cap, geo_stages) -> bool:
-    """EXACT per-stage VMEM feasibility at the worst tuned bm (2048): the
+def _chain_stages_feasible(n, h, wd, stages, bn_cap, geo_stages,
+                           bm: int = 2048) -> bool:
+    """EXACT per-stage VMEM feasibility at the chain's resolved bm: the
     split heuristic (chain_batch_split) omits the weight/acc/out terms, so
     a boundary geometry could pass the split yet have no runnable bk —
     this check closes that gap before any kernel is built."""
-    # worst tuned bm: geometry AT bm=2048 (round_up(need, 2048) grows both
-    # mp and the entry tail past the bm=512 numbers)
-    geo = chain_frame_geometry(n, h, wd, geo_stages, 2048)
+    geo = chain_frame_geometry(n, h, wd, geo_stages, bm)
     if geo is None:
         return False
     _, _, fh, mp, fhx0, _ = geo
-    bm = 2048
     cur_rows = fhx0
     for si, st in enumerate(stages):
         kh, kw_, ci, co = st["w"].shape
@@ -1476,9 +1479,10 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
     # then verify EXACT per-stage feasibility and split further if the
     # heuristic's margin was too thin
     nb = chain_batch_split(n, h, wd, geo_stages,
-                           ci_list=[st["w"].shape[2] for st in stages])
+                           ci_list=[st["w"].shape[2] for st in stages],
+                           bm=bm)
     while nb is not None and not _chain_stages_feasible(
-            nb, h, wd, stages, bn_cap, geo_stages):
+            nb, h, wd, stages, bn_cap, geo_stages, bm=bm):
         nxt = nb - 1
         while nxt >= 1 and n % nxt:
             nxt -= 1

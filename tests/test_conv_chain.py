@@ -259,18 +259,25 @@ def test_chain_bm_from_tune_db(rng):
 
 
 def test_chain_batch_split_prefers_deep_k():
-    """Large batches must SPLIT rather than shrink the K block: a b32 H14
-    C1024 chain 'fits' VMEM at bk=128 but pays 8 sequential k-passes + 3x
-    frame-row inflation (measured 28.2 ms for ResNet-50 b32 stage3)."""
+    """Large batches must SPLIT rather than shrink the K block: a chain
+    whose frame window cannot hold the preferred 512-deep block at the full
+    batch runs sub-batches under lax.map instead of paying sequential
+    k-passes (measured 28.2 ms for ResNet-50 b32 stage3 at bk=128).  With
+    the minimal-hp tail-pad geometry the b32 H14 window itself now fits
+    bk=512 unsplit — the invariant is 'whatever nb is chosen, the preferred
+    block fits', not a particular split."""
     from tachikoma_tpu.ops.pallas.conv_flat import (chain_batch_split,
                                                     chain_frame_geometry)
 
     geo = [(1, 1, 0, 0, 0, 0), (3, 3, 1, 1, 1, 1), (1, 1, 0, 0, 0, 0)]
-    nb = chain_batch_split(32, 14, 14, geo, ci_list=[1024, 256, 256])
-    assert nb is not None and nb < 32, nb
-    # the chosen sub-batch supports the preferred 512-deep block
-    mp = chain_frame_geometry(nb, 14, 14, geo, 512)[3]
-    assert 2 * (mp + 2 * 2048) * 512 <= 12 * 1024 * 1024
+    for n in (32, 64):
+        nb = chain_batch_split(n, 14, 14, geo, ci_list=[1024, 256, 256])
+        assert nb is not None and n % nb == 0, (n, nb)
+        # the chosen sub-batch supports the preferred 512-deep block
+        mp = chain_frame_geometry(nb, 14, 14, geo, 512)[3]
+        assert 2 * (mp + 2 * 512) * 512 <= 12 * 1024 * 1024
+    # b64 H14 exceeds the window at bk=512 whole — it must actually split
+    assert chain_batch_split(64, 14, 14, geo, ci_list=[1024, 256, 256]) < 64
     # small batches stay whole when the deep block fits
     assert chain_batch_split(8, 14, 14, geo, ci_list=[1024, 256, 256]) == 8
     # geometries that fit at no sub-batch return None (fuse leaves them
