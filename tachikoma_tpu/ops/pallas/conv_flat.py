@@ -51,6 +51,7 @@ sequential.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -1393,6 +1394,86 @@ def chain_batch_split(n, h, w, geo_stages, ci_list=None,
     return None
 
 
+def _wpack2_cost(ci: int, co: int) -> tuple[int, int]:
+    """(packed, unpacked) per-tap padded MAC cost of width-packing by 2.
+
+    Packing keeps the tap COUNT (kw' == kw for kw in {1, 3}) and halves the
+    output positions while doubling both channel dims, so per original
+    output position the padded cost goes roundup(ci)*roundup(co) ->
+    roundup(2ci)*roundup(2co)/2."""
+    up = _round_up(ci, 128) * _round_up(co, 128)
+    pk = _round_up(2 * ci, 128) * _round_up(2 * co, 128) // 2
+    return pk, up
+
+
+def _chain_wpack2_eligible(wd: int, stages) -> bool:
+    """Width-pack-by-2 a chain of narrow-channel convs: (N,H,W,C) is viewed
+    as (N,H,W/2,2C) — a FREE reshape in NHWC — and every stage becomes a
+    same-kw conv over the packed image with block-structured weights.  Sub-
+    128-channel stages pad to the 128-lane MXU granularity (a C64 3x3 wastes
+    4x MACs — the measured 20-31 TOPS vs 144-181 for C128 chains); packing
+    moves them to the native 128 granularity at HALF the positions, an exact
+    2x padded-MAC reduction (the reference's NCHWc schedules attack the same
+    channel-granularity waste by layout, topi/x86/conv2d_int8.py).
+
+    Eligible iff W is even, every stage is kw in {1,3} with symmetric width
+    padding (kh is untouched — packing acts on W only), NO stage costs more
+    packed, and at least one stage strictly gains."""
+    if wd % 2:
+        return False
+    gain = False
+    for st in stages:
+        kh, kw_, ci, co = st["w"].shape
+        _, pl_, _, pr = st.get("padding", (0, 0, 0, 0))
+        if kw_ not in (1, 3) or pl_ != (kw_ - 1) // 2 or pr != pl_:
+            return False
+        pk, up = _wpack2_cost(ci, co)
+        if pk > up:
+            return False
+        if pk < up:
+            gain = True
+    return gain
+
+
+def _wpack2_stage(st: dict) -> dict:
+    """Rewrite one chain stage for the width-packed image.
+
+    Packed input channel block s holds source column 2j+s; packed output
+    block s' holds output column 2j+s'.  Output col 2j+s' taps source col
+    2j+s'+dx for dx in [-pl, pl], which lives in packed column j+q, block
+    s_in, with q = floor((s'+dx)/2), s_in = (s'+dx) mod 2 — so each
+    original tap scatters into a (ci x co) sub-block of a packed tap, and
+    every other sub-block is ZERO (pad columns the original never read are
+    multiplied by these zero blocks, keeping izp folding and padding
+    semantics exact).  Per-channel params tile x2 (block s' carries the
+    same channels in the same order).
+
+    Weights/bias may be TRACED arrays (the executor feeds them as jit
+    params), so the rewrite uses jnp with static slices; multiplier/shift
+    are always host-side (the chain derives host control flow from them)."""
+    import jax.numpy as jnp
+
+    w = st["w"]
+    kh, kw_, ci, co = w.shape
+    pl_ = (kw_ - 1) // 2
+    wp = jnp.zeros((kh, kw_, 2 * ci, 2 * co), w.dtype)
+    for s_out in (0, 1):
+        for d in range(kw_):
+            idx = s_out + d - pl_
+            q, s_in = idx // 2, idx % 2
+            wp = wp.at[:, q + pl_, s_in * ci:(s_in + 1) * ci,
+                       s_out * co:(s_out + 1) * co].set(w[:, d])
+    st2 = dict(st)
+    st2["w"] = wp
+    if st.get("bias") is not None:
+        st2["bias"] = jnp.tile(jnp.asarray(st["bias"]), 2)
+    for key in ("multiplier", "shift"):
+        v = np.asarray(st[key])
+        if v.ndim:
+            st2[key] = np.tile(v, 2)
+    return st2
+
+
 def _chain_stages_feasible(n, h, wd, stages, bn_cap, geo_stages,
                            bm: int = 2048) -> bool:
     """EXACT per-stage VMEM feasibility at the chain's resolved bm: the
@@ -1421,7 +1502,8 @@ def _chain_stages_feasible(n, h, wd, stages, bn_cap, geo_stages,
 
 
 def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
-                       residual=None, res_params: dict | None = None):
+                       residual=None, res_params: dict | None = None,
+                       wpack: bool | None = None):
     """Run a chain of stride-1, same-spatial-size, fused-requantize convs
     through frame-resident Pallas kernels.
 
@@ -1462,6 +1544,32 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
             # more to per-dot inefficiency than they save in lead/tail margin
             # rows (auto-shrinking to 256/128 cost ResNet-50 ~1.2 ms e2e)
             bm = 512
+    if (wpack is None and _chain_wpack2_eligible(wd, stages)
+            and os.environ.get("TK_NO_WPACK") != "1"):
+        # width-pack by 2: free NHWC reshapes at entry/exit, 2x fewer padded
+        # MACs for sub-128-channel stages (see _chain_wpack2_eligible)
+        ps = [_wpack2_stage(st) for st in stages]
+        co_last = stages[-1]["w"].shape[3]
+        rp = None
+        if residual is not None:
+            rp = jnp.asarray(residual).reshape(n, h, wd // 2, 2 * co_last)
+        # a tuned record for the PACKED geometry overrides the unpacked
+        # bm/bn resolved above (a row-block size is geometry-agnostic, so
+        # the unpacked pick is a sane fallback)
+        from ...tune.database import lookup_config as _lk
+
+        dims_p = [(st["w"].shape[0], st["w"].shape[2], st["w"].shape[3])
+                  for st in ps]
+        cfgp = _lk(chain_workload(n, h, wd // 2, dims_p))
+        if cfgp and "bm" in cfgp:
+            bm = int(cfgp["bm"])
+            if "bn" in cfgp:
+                bn_cap = int(cfgp["bn"])
+        out = qconv2d_flat_chain(
+            x.reshape(n, h, wd // 2, 2 * cin), ps, bm=bm, bn_cap=bn_cap,
+            interpret=interpret, residual=rp, res_params=res_params,
+            wpack=False)
+        return out.reshape(n, h, wd, co_last)
     geo_stages = []
     for st in stages:
         kh, kw_, ci, co = st["w"].shape

@@ -284,3 +284,71 @@ def test_chain_batch_split_prefers_deep_k():
     # sequential) — a degenerate huge-spatial case
     assert chain_batch_split(1, 2048, 2048, [(3, 3, 1, 1, 1, 1)],
                              ci_list=[128]) is None
+
+
+# ---------------------------------------------------------------------------
+# width-packing (wpack2): sub-128-channel chains run as C>=128 chains over a
+# (N,H,W/2,2C)-reshaped image with block-structured weights — exact, and a
+# strict 2x padded-MAC reduction for C<=64 3x3 stages
+# ---------------------------------------------------------------------------
+
+
+def test_wpack2_eligibility_rules(rng):
+    from tachikoma_tpu.ops.pallas.conv_flat import _chain_wpack2_eligible
+
+    st33 = _mkstage(rng, 3, 64, 64, 4e-4, 5e-2, 0, 0)
+    st11 = _mkstage(rng, 1, 64, 64, 4e-4, 5e-2, 0, 0)
+    st11_wide = _mkstage(rng, 1, 64, 256, 4e-4, 5e-2, 0, 0)
+    st33_wide = _mkstage(rng, 3, 128, 128, 4e-4, 5e-2, 0, 0)
+    st55 = _mkstage(rng, 5, 32, 32, 4e-4, 5e-2, 0, 0)
+    assert _chain_wpack2_eligible(56, [st11, st33, st11_wide])  # stage1 shape
+    assert not _chain_wpack2_eligible(55, [st33])        # odd W
+    assert not _chain_wpack2_eligible(56, [st33_wide])   # C128 3x3 would LOSE
+    assert not _chain_wpack2_eligible(56, [st55])        # kw=5 unsupported
+    assert not _chain_wpack2_eligible(56, [st11_wide])   # equal cost, no gain
+
+
+def test_wpack2_packed_equals_unpacked(rng):
+    """The packed execution is bit-identical to the unpacked chain AND the
+    sequential oracle on a ResNet-stage1-shaped bottleneck (1x1 64->64,
+    3x3 64->64, 1x1 64->96) with zero points."""
+    stages = [_mkstage(rng, 1, 64, 64, 4e-4, 5e-2, 2, 1),
+              _mkstage(rng, 3, 64, 64, 5e-2, 4e-2, 1, -1),
+              _mkstage(rng, 1, 64, 96, 4e-2, 6e-2, -1, 0)]
+    x = rng.integers(-127, 127, (2, 8, 8, 64)).astype(np.int8)
+    packed = np.asarray(qconv2d_flat_chain(x, stages, interpret=True))
+    unpacked = np.asarray(qconv2d_flat_chain(x, stages, interpret=True,
+                                             wpack=False))
+    want = _sequential(x, stages)
+    assert (unpacked == want).all()
+    assert (packed == want).all()
+
+
+def test_wpack2_residual_epilogue(rng):
+    """Packed chain with the fused qnn.add residual epilogue: the residual
+    is width-packed by the same free reshape; bit-exact vs the unpacked
+    residual chain."""
+    stages = [_mkstage(rng, 3, 32, 32, 4e-4, 5e-2, 0, 0),
+              _mkstage(rng, 3, 32, 32, 5e-2, 4e-2, 0, 3)]
+    x = rng.integers(-127, 127, (1, 8, 8, 32)).astype(np.int8)
+    res = rng.integers(-127, 127, (1, 8, 8, 32)).astype(np.int8)
+    rp = dict(lhs_scale=4e-2, lhs_zero_point=3, rhs_scale=3e-2,
+              rhs_zero_point=-2, output_scale=5e-2, output_zero_point=1,
+              rounding="UPWARD")
+    got = np.asarray(qconv2d_flat_chain(x, stages, interpret=True,
+                                        residual=res, res_params=rp))
+    want = np.asarray(qconv2d_flat_chain(x, stages, interpret=True,
+                                         residual=res, res_params=rp,
+                                         wpack=False))
+    assert (got == want).all()
+
+
+def test_wpack2_weight_rewrite_direct(rng):
+    """_wpack2_stage vs brute force: the packed conv over the reshaped
+    image equals the original conv for kw in {1, 3} (single stage, exact)."""
+    for kw in (1, 3):
+        stages = [_mkstage(rng, kw, 16, 24, 3e-3, 4e-2, 1, 0)]
+        x = rng.integers(-127, 127, (1, 6, 10, 16)).astype(np.int8)
+        got = np.asarray(qconv2d_flat_chain(x, stages, interpret=True))
+        want = _sequential(x, stages)
+        assert (got == want).all(), f"kw={kw}"
