@@ -1406,6 +1406,25 @@ def _wpack2_cost(ci: int, co: int) -> tuple[int, int]:
     return pk, up
 
 
+def _chain_wpack2_structural(wd: int, stages) -> bool:
+    """Structural legality of width-packing by 2: even W, every stage
+    kw in {1, 3} with symmetric width padding (kh is untouched — packing
+    acts on W only), and no stage with a HIGHER packed MAC cost.  This is
+    the bar `wpack=True` (force) must clear; auto mode additionally
+    requires a strict gain (`_chain_wpack2_eligible`)."""
+    if wd % 2:
+        return False
+    for st in stages:
+        kh, kw_, ci, co = st["w"].shape
+        _, pl_, _, pr = st.get("padding", (0, 0, 0, 0))
+        if kw_ not in (1, 3) or pl_ != (kw_ - 1) // 2 or pr != pl_:
+            return False
+        pk, up = _wpack2_cost(ci, co)
+        if pk > up:
+            return False
+    return True
+
+
 def _chain_wpack2_eligible(wd: int, stages) -> bool:
     """Width-pack-by-2 a chain of narrow-channel convs: (N,H,W,C) is viewed
     as (N,H,W/2,2C) — a FREE reshape in NHWC — and every stage becomes a
@@ -1416,23 +1435,39 @@ def _chain_wpack2_eligible(wd: int, stages) -> bool:
     2x padded-MAC reduction (the reference's NCHWc schedules attack the same
     channel-granularity waste by layout, topi/x86/conv2d_int8.py).
 
-    Eligible iff W is even, every stage is kw in {1,3} with symmetric width
-    padding (kh is untouched — packing acts on W only), NO stage costs more
-    packed, and at least one stage strictly gains."""
-    if wd % 2:
-        return False
-    gain = False
+    Eligible iff structurally legal AND at least one stage strictly gains."""
+    return _chain_wpack2_structural(wd, stages) and any(
+        _wpack2_cost(st["w"].shape[2], st["w"].shape[3])[0]
+        < _wpack2_cost(st["w"].shape[2], st["w"].shape[3])[1]
+        for st in stages)
+
+
+def _wpack2_feasible(n, h, wd, stages, bn_cap, bm) -> bool:
+    """Packed chains quadruple the per-stage weight VMEM term (both channel
+    dims double), so an eligible packing can fit NO frame geometry at any
+    sub-batch where the unpacked chain runs fine.  Probe the packed batch
+    split + exact per-stage VMEM fit on shape-only stand-ins BEFORE
+    committing to the packed rewrite, and fall back to the unpacked path
+    when it fails (round-4 advisor finding: the old path asserted)."""
+    from types import SimpleNamespace
+
+    probe, geo_stages = [], []
     for st in stages:
         kh, kw_, ci, co = st["w"].shape
-        _, pl_, _, pr = st.get("padding", (0, 0, 0, 0))
-        if kw_ not in (1, 3) or pl_ != (kw_ - 1) // 2 or pr != pl_:
-            return False
-        pk, up = _wpack2_cost(ci, co)
-        if pk > up:
-            return False
-        if pk < up:
-            gain = True
-    return gain
+        pad = tuple(st.get("padding", (0, 0, 0, 0)))
+        probe.append({"w": SimpleNamespace(shape=(kh, kw_, 2 * ci, 2 * co)),
+                      "padding": pad})
+        geo_stages.append((kh, kw_) + pad)
+    nb = chain_batch_split(n, h, wd // 2, geo_stages,
+                           ci_list=[2 * st["w"].shape[2] for st in stages],
+                           bm=bm)
+    while nb is not None and not _chain_stages_feasible(
+            nb, h, wd // 2, probe, bn_cap, geo_stages, bm=bm):
+        nxt = nb - 1
+        while nxt >= 1 and n % nxt:
+            nxt -= 1
+        nb = nxt if nxt >= 1 else None
+    return nb is not None
 
 
 def _wpack2_stage(st: dict) -> dict:
@@ -1528,6 +1563,10 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
     if interpret is None:
         interpret = _interpret_default()
     n, h, wd, cin = x.shape
+    # caller-supplied blocks must survive the packed-record lookup below —
+    # tuner trials pass explicit bm/bn and must measure THAT config, not a
+    # committed DB record (round-4 advisor finding)
+    bm_explicit = bm is not None
     if bm is None:
         # tuned chain geometry first (tune_conv_chain records {bm[, bn]})
         from ...tune.database import lookup_config
@@ -1544,32 +1583,46 @@ def qconv2d_flat_chain(x, stages, *, bm=None, bn_cap=128, interpret=None,
             # more to per-dot inefficiency than they save in lead/tail margin
             # rows (auto-shrinking to 256/128 cost ResNet-50 ~1.2 ms e2e)
             bm = 512
-    if (wpack is None and _chain_wpack2_eligible(wd, stages)
-            and os.environ.get("TK_NO_WPACK") != "1"):
+    if wpack is True and not _chain_wpack2_structural(wd, stages):
+        raise ValueError(
+            "wpack=True on an ineligible chain: width-packing needs even W,"
+            " every stage kw in {1,3} with symmetric width padding, and no"
+            " stage with a higher packed MAC cost")
+    if wpack is True or (wpack is None and _chain_wpack2_eligible(wd, stages)
+                         and os.environ.get("TK_NO_WPACK") != "1"):
         # width-pack by 2: free NHWC reshapes at entry/exit, 2x fewer padded
         # MACs for sub-128-channel stages (see _chain_wpack2_eligible)
-        ps = [_wpack2_stage(st) for st in stages]
-        co_last = stages[-1]["w"].shape[3]
-        rp = None
-        if residual is not None:
-            rp = jnp.asarray(residual).reshape(n, h, wd // 2, 2 * co_last)
-        # a tuned record for the PACKED geometry overrides the unpacked
-        # bm/bn resolved above (a row-block size is geometry-agnostic, so
-        # the unpacked pick is a sane fallback)
-        from ...tune.database import lookup_config as _lk
+        bm_p, bn_p = bm, bn_cap
+        if not bm_explicit:
+            # a tuned record for the PACKED geometry overrides the unpacked
+            # bm/bn resolved above (a row-block size is geometry-agnostic,
+            # so the unpacked pick is a sane fallback)
+            from ...tune.database import lookup_config as _lk
 
-        dims_p = [(st["w"].shape[0], st["w"].shape[2], st["w"].shape[3])
-                  for st in ps]
-        cfgp = _lk(chain_workload(n, h, wd // 2, dims_p))
-        if cfgp and "bm" in cfgp:
-            bm = int(cfgp["bm"])
-            if "bn" in cfgp:
-                bn_cap = int(cfgp["bn"])
-        out = qconv2d_flat_chain(
-            x.reshape(n, h, wd // 2, 2 * cin), ps, bm=bm, bn_cap=bn_cap,
-            interpret=interpret, residual=rp, res_params=res_params,
-            wpack=False)
-        return out.reshape(n, h, wd, co_last)
+            dims_p = [(st["w"].shape[0], 2 * st["w"].shape[2],
+                       2 * st["w"].shape[3]) for st in stages]
+            cfgp = _lk(chain_workload(n, h, wd // 2, dims_p))
+            if cfgp and "bm" in cfgp:
+                bm_p = int(cfgp["bm"])
+                if "bn" in cfgp:
+                    bn_p = int(cfgp["bn"])
+        if _wpack2_feasible(n, h, wd, stages, bn_p, bm_p):
+            ps = [_wpack2_stage(st) for st in stages]
+            co_last = stages[-1]["w"].shape[3]
+            rp = None
+            if residual is not None:
+                rp = jnp.asarray(residual).reshape(n, h, wd // 2,
+                                                   2 * co_last)
+            out = qconv2d_flat_chain(
+                x.reshape(n, h, wd // 2, 2 * cin), ps, bm=bm_p,
+                bn_cap=bn_p, interpret=interpret, residual=rp,
+                res_params=res_params, wpack=False)
+            return out.reshape(n, h, wd, co_last)
+        if wpack is True:
+            raise ValueError(
+                "wpack=True but the packed chain fits no frame geometry at"
+                " any sub-batch (the doubled-channel VMEM terms do not fit)")
+        # infeasible packing: fall through to the unpacked path
     geo_stages = []
     for st in stages:
         kh, kw_, ci, co = st["w"].shape

@@ -352,3 +352,66 @@ def test_wpack2_weight_rewrite_direct(rng):
         got = np.asarray(qconv2d_flat_chain(x, stages, interpret=True))
         want = _sequential(x, stages)
         assert (got == want).all(), f"kw={kw}"
+
+
+def test_wpack2_force_and_fallback(rng):
+    """Round-4 advisor findings: wpack=True FORCES packing on a structurally
+    legal chain (even one with no strict gain), raises ValueError on an
+    ineligible one, and auto mode falls back to the unpacked path instead
+    of asserting when the packed geometry fits no frame."""
+    import pytest
+    from tachikoma_tpu.ops.pallas import conv_flat as cf
+
+    # force on a no-gain (equal-cost) chain: 1x1 C64->C256 packs to
+    # C128->C512 at half the positions — legal, zero gain; True must pack
+    st = _mkstage(rng, 1, 64, 256, 4e-4, 5e-2, 0, 0)
+    x = rng.integers(-127, 127, (1, 6, 8, 64)).astype(np.int8)
+    got = np.asarray(qconv2d_flat_chain(x, [st], interpret=True, wpack=True))
+    want = _sequential(x, [st])
+    assert (got == want).all()
+
+    # force on an ineligible chain (kw=5) raises, never silently unpacks
+    st5 = _mkstage(rng, 5, 32, 32, 4e-4, 5e-2, 0, 0)
+    x5 = rng.integers(-127, 127, (1, 8, 8, 32)).astype(np.int8)
+    with pytest.raises(ValueError, match="ineligible"):
+        qconv2d_flat_chain(x5, [st5], interpret=True, wpack=True)
+
+    # infeasible packing falls back to unpacked in auto mode: force the
+    # probe to report infeasible and check the chain still runs (unpacked)
+    from unittest import mock
+
+    stages = [_mkstage(rng, 3, 64, 64, 4e-4, 5e-2, 0, 0)]
+    xs = rng.integers(-127, 127, (1, 8, 8, 64)).astype(np.int8)
+    assert cf._chain_wpack2_eligible(8, stages)
+    assert cf._wpack2_feasible(1, 8, 8, stages, 128, 512)  # normally fits
+    with mock.patch.object(cf, "_wpack2_feasible", return_value=False), \
+         mock.patch.object(cf, "_wpack2_stage",
+                           side_effect=AssertionError("must not pack")):
+        got = np.asarray(qconv2d_flat_chain(xs, stages, interpret=True))
+    assert (got == _sequential(xs, stages)).all()
+    # and forced packing on an infeasible geometry raises instead
+    with mock.patch.object(cf, "_wpack2_feasible", return_value=False), \
+         pytest.raises(ValueError, match="no frame geometry"):
+        qconv2d_flat_chain(xs, stages, interpret=True, wpack=True)
+
+
+def test_wpack2_explicit_bm_survives_packed_record(rng):
+    """Caller-supplied bm/bn_cap must NOT be overridden by a committed
+    packed-geometry tune record (tuner trials measure their own config)."""
+    from unittest import mock
+    from tachikoma_tpu.ops.pallas import conv_flat as cf
+
+    stages = [_mkstage(rng, 3, 64, 64, 4e-4, 5e-2, 0, 0)]
+    x = rng.integers(-127, 127, (1, 8, 8, 64)).astype(np.int8)
+    seen = []
+    real = cf._build_flat_conv_frame
+
+    def spy(mp, cur_rows, ci_p, co_p, kh, kw_, wph, bm, *a, **k):
+        seen.append(bm)
+        return real(mp, cur_rows, ci_p, co_p, kh, kw_, wph, bm, *a, **k)
+
+    with mock.patch.object(cf, "_build_flat_conv_frame", side_effect=spy), \
+         mock.patch("tachikoma_tpu.tune.database.lookup_config",
+                    return_value={"bm": 1024, "bn": 256}):
+        qconv2d_flat_chain(x, stages, bm=512, interpret=True)
+    assert seen and all(b == 512 for b in seen)
