@@ -489,6 +489,7 @@ def _emit(state):
                        if isinstance(state.get(k), dict)
                        and "error" in state[k]},
             "conv_time_ms": round(float(conv.get("time_s", 0.0)) * 1000, 3),
+            "int8_conv_gops": round(gops(conv), 2),
             "mxu_roofline_frac": round(frac(conv), 4),
             "int8_matmul_gops": round(gops(mm), 2),
             "int8_matmul_roofline_frac": round(frac(mm), 4),

@@ -256,10 +256,15 @@ def main():
             n: round(base1[cpp(n)]["step_time"] / weak[n]["step_time"], 3)
             for n in procs},
         # strong: global work fixed; anchor = the smallest measured process
-        # count running the SAME global batch (ideal step scales as 1/n)
+        # count running the SAME global batch.  Under core pinning the
+        # TOTAL core budget is constant across configs (n procs x
+        # ncores/n), so the fair ideal is a FLAT step time — each process
+        # gets 1/n of the work on 1/n of the cores — and efficiency is
+        # anchor_step / step (the 1/n ideal only applies when compute
+        # grows with n, i.e. on real multi-host hardware)
         "strong_efficiency": {
-            n: round(strong[procs[0]]["step_time"] * procs[0]
-                     / (n * strong[n]["step_time"]), 3)
+            n: round(strong[procs[0]]["step_time"]
+                     / strong[n]["step_time"], 3)
             for n in procs},
         "overheads_ms": {
             n: {"null_dispatch": round(weak[n]["null_dispatch"] * 1e3, 3),

@@ -77,26 +77,145 @@ register_op("dyn.nonzero",
 # dyn.reshape — shape from a tensor value
 # ---------------------------------------------------------------------------
 
-@infer_rule("dyn.reshape")
-def _dyn_reshape_rel(node: Node, ins):
-    (ds, ddt) = ins[0]
-    # the shape tensor's VALUE determines the output shape: statically
-    # unknown unless the graph executor specialized it (dynshape.py folds
-    # this op to a static `reshape` before compiled execution)
-    return (None, ddt)
+# ---------------------------------------------------------------------------
+# shape-from-tensor ops: ONE fold registry shared by the oracle impl, the
+# JAX impl (reachable only with concrete shape inputs), and
+# runtime/dynshape.py's dispatch-time specializer — all three paths execute
+# the SAME static-twin rewrite, so oracle == specialized == jax by
+# construction.  Covers the reference dyn registry's transform/algorithm
+# ops (/root/reference/src/relay/op/dyn/tensor/transform.cc,
+# algorithm/topk.cc): reshape, tile, broadcast_to, full, one_hot,
+# strided_slice, topk.
+# ---------------------------------------------------------------------------
+
+# op -> (fold_positions, fold_fn(node, folded_vals) -> (static_op,
+#        kept_input_positions, static_attrs))
+DYN_FOLDERS: dict = {}
 
 
-@np_impl("dyn.reshape")
-def _dyn_reshape_np(a, shp, *, node: Node):
-    return np.reshape(a, tuple(int(v) for v in np.asarray(shp).ravel()))
+def dyn_fold(opname: str, positions: tuple):
+    def deco(fn):
+        DYN_FOLDERS[opname] = (positions, fn)
+        return fn
+    return deco
 
 
-@jax_impl("dyn.reshape")
-def _dyn_reshape_jax(a, shp, *, node: Node):
-    # only reachable when the shape input is concrete at trace time
-    # (after dynshape specialization or with a const shape input)
-    shape = tuple(int(v) for v in np.asarray(shp).ravel())
-    return _jnp().reshape(a, shape)
+def fold_to_static(node: Node, vals) -> tuple[Node, tuple]:
+    """(static twin node, kept original input positions) given the folded
+    VALUES of the dyn node's shape inputs (in fold-position order)."""
+    positions, fn = DYN_FOLDERS[node.op]
+    op2, keep, attrs = fn(node, [np.asarray(v) for v in vals])
+    n2 = node.with_(op=op2, inputs=tuple(node.inputs[i] for i in keep),
+                    attrs=attrs)
+    return n2, keep
 
 
-register_op("dyn.reshape", flops=lambda node, ins: 0)
+def _ints(v) -> list:
+    return [int(x) for x in np.asarray(v).ravel()]
+
+
+@dyn_fold("dyn.reshape", (1,))
+def _fold_reshape(node, vals):
+    return "reshape", (0,), {"newshape": tuple(_ints(vals[0]))}
+
+
+@dyn_fold("dyn.tile", (1,))
+def _fold_tile(node, vals):
+    return "tile", (0,), {"reps": tuple(_ints(vals[0]))}
+
+
+@dyn_fold("dyn.broadcast_to", (1,))
+def _fold_broadcast_to(node, vals):
+    return "broadcast_to", (0,), {"shape": tuple(_ints(vals[0]))}
+
+
+@dyn_fold("dyn.full", (0, 1))
+def _fold_full(node, vals):
+    fill, shp = vals
+    dtype = node.attrs.get("dtype") or str(fill.dtype)
+    return "full", (), {"shape": tuple(_ints(shp)),
+                        "fill_value": fill.ravel()[0].item(),
+                        "dtype": dtype}
+
+
+@dyn_fold("dyn.one_hot", (1,))
+def _fold_one_hot(node, vals):
+    attrs = {k: v for k, v in node.attrs.items()}
+    attrs["depth"] = int(np.asarray(vals[0]).ravel()[0])
+    return "one_hot", (0,), attrs
+
+
+@dyn_fold("dyn.strided_slice", (1, 2, 3))
+def _fold_strided_slice(node, vals):
+    begin, end, strides = (_ints(v) for v in vals)
+    attrs = {"begin": begin, "end": end, "strides": strides}
+    if node.attrs.get("axes") is not None:
+        attrs["axes"] = list(node.attrs["axes"])
+    return "strided_slice", (0,), attrs
+
+
+@dyn_fold("dyn.topk", (1,))
+def _fold_topk(node, vals):
+    attrs = {k: v for k, v in node.attrs.items()}
+    attrs["k"] = int(np.asarray(vals[0]).ravel()[0])
+    return "topk", (0,), attrs
+
+
+def _delegate_np(*args, node: Node):
+    from ..ir.registry import get_op
+
+    positions, _ = DYN_FOLDERS[node.op]
+    n2, keep = fold_to_static(node, [args[p] for p in positions])
+    return get_op(n2.op).np_impl(*[args[i] for i in keep], node=n2)
+
+
+def _delegate_jax(*args, node: Node):
+    # only reachable when the shape inputs are concrete at trace time
+    # (after dynshape specialization or with const shape inputs)
+    from ..ir.registry import get_op
+
+    positions, _ = DYN_FOLDERS[node.op]
+    n2, keep = fold_to_static(node, [np.asarray(args[p])
+                                     for p in positions])
+    return get_op(n2.op).jax_impl(*[args[i] for i in keep], node=n2)
+
+
+def _dyn_data_rel(node: Node, ins):
+    # output shape depends on a tensor VALUE: statically unknown until the
+    # dispatch-time specializer (runtime/dynshape.py) folds it
+    return (None, ins[0][1])
+
+
+for _name in ("dyn.reshape", "dyn.tile", "dyn.broadcast_to",
+              "dyn.strided_slice"):
+    infer_rule(_name)(_dyn_data_rel)
+    np_impl(_name)(_delegate_np)
+    jax_impl(_name)(_delegate_jax)
+    register_op(_name, flops=lambda node, ins: 0)
+
+
+@infer_rule("dyn.full")
+def _dyn_full_rel(node: Node, ins):
+    dt = node.attrs.get("dtype") or ins[0][1]
+    return (None, dt)
+
+
+@infer_rule("dyn.one_hot")
+def _dyn_one_hot_rel(node: Node, ins):
+    return (None, node.attrs.get("dtype", "float32"))
+
+
+@infer_rule("dyn.topk")
+def _dyn_topk_rel(node: Node, ins):
+    vdt = ins[0][1]
+    idt = node.attrs.get("dtype", "int32")
+    ret = node.attrs.get("ret_type", "both")
+    if ret == "both":
+        return [(None, vdt), (None, idt)]
+    return (None, vdt if ret == "values" else idt)
+
+
+for _name in ("dyn.full", "dyn.one_hot", "dyn.topk"):
+    np_impl(_name)(_delegate_np)
+    jax_impl(_name)(_delegate_jax)
+    register_op(_name, flops=lambda node, ins: 0)

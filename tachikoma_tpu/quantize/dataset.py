@@ -129,9 +129,67 @@ def synthetic_images(n: int, shape: tuple, seed: int = 0,
     return Dataset(out, None, name=name)
 
 
+def synthetic_labeled(n: int, shape: tuple = (64, 64, 3),
+                      num_classes: int = 32, seed: int = 0,
+                      name: str = "synthetic-labeled") -> Dataset:
+    """Class-conditional structured images — a LABELED synthetic dataset a
+    real CNN can be trained on to high accuracy (the round-4 accuracy table
+    used unlabeled random-weight near-ties; this gives the mrt `Trace.eval`
+    analog confident logits to measure quantization DEGRADATION against).
+
+    Each class is a fixed signature (3 gaussian blob sites with per-channel
+    amplitudes + one band-limited texture) drawn from a class-seeded rng;
+    each sample renders the signature with jittered blob centers/widths,
+    amplitude jitter, a random global gradient, and iid noise — enough
+    intra-class variation that the task is non-trivial but cleanly
+    learnable (>=0.9 float top-1 with a small ResNet).  Deterministic in
+    (n, shape, num_classes, seed): tests regenerate it instead of storing
+    arrays."""
+    h, w = int(shape[0]), int(shape[1])
+    c = int(shape[2]) if len(shape) > 2 else 1
+    yy, xx = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w),
+                         indexing="ij")
+    # class signatures (independent of n: stable as the set grows)
+    sigs = []
+    for k in range(num_classes):
+        cr = np.random.default_rng(100_000 + 977 * seed + k)
+        sigs.append({
+            "centers": cr.uniform(-0.7, 0.7, (3, 2)),
+            "widths": cr.uniform(0.12, 0.30, 3),
+            "amps": cr.normal(0, 1.4, (3, c)),
+            "freq": cr.uniform(2.5, 9.0, 2),
+            "phase": cr.uniform(0, 2 * np.pi),
+            "tex_amp": cr.normal(0, 0.5, c),
+        })
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, n).astype(np.int64)
+    out = np.empty((n, h, w, c), np.float32)
+    for i in range(n):
+        s = sigs[labels[i]]
+        img = np.zeros((h, w, c), np.float32)
+        gx, gy = rng.normal(0, 0.35, 2)
+        img += (gx * xx + gy * yy)[..., None].astype(np.float32)
+        for b in range(3):
+            cx, cy = s["centers"][b] + rng.normal(0, 0.18, 2)
+            sw = s["widths"][b] * rng.uniform(0.7, 1.45)
+            amp = (s["amps"][b] * rng.normal(1.0, 0.45, c)).astype(np.float32)
+            blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2)
+                            / (2 * sw * sw)))
+            img += blob[..., None].astype(np.float32) * amp
+        fx, fy = s["freq"] * rng.uniform(0.85, 1.18, 2)
+        ph = s["phase"] + rng.uniform(-0.9, 0.9)
+        tex = (s["tex_amp"] * rng.normal(1.0, 0.4, c)).astype(np.float32)
+        img += np.sin(fx * xx + fy * yy + ph)[..., None].astype(
+            np.float32) * tex
+        img += rng.normal(0, 0.8, img.shape).astype(np.float32)
+        out[i] = img
+    return Dataset(out, labels, name=name)
+
+
 def get_dataset(spec: str, input_shape: tuple, samples: int = 200,
                 seed: int = 0) -> Dataset:
-    """CLI dataset spec: 'digits' | 'synthetic' | path to .npz."""
+    """CLI dataset spec: 'digits' | 'synthetic' | 'synthetic-labeled'
+    | path to .npz."""
     if spec == "digits":
         layout = "flat" if len(input_shape) == 2 else (
             "NCHW" if len(input_shape) == 4 and input_shape[1] in (1, 3)
@@ -139,4 +197,10 @@ def get_dataset(spec: str, input_shape: tuple, samples: int = 200,
         return digits(layout)
     if spec == "synthetic":
         return synthetic_images(samples, tuple(input_shape[1:]), seed=seed)
+    if spec == "synthetic-labeled":
+        shp = tuple(input_shape[1:])
+        if len(input_shape) == 4 and input_shape[1] in (1, 3) \
+                and input_shape[1] < input_shape[-1]:
+            shp = (input_shape[2], input_shape[3], input_shape[1])  # NCHW
+        return synthetic_labeled(samples, shp, seed=seed)
     return from_npz(spec)

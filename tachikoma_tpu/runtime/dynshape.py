@@ -28,12 +28,11 @@ import numpy as np
 from ..ir.graph import CONST, TUPLE, TUPLE_GET_ITEM, VAR, Graph
 from ..ir.infer import infer_types
 from ..ir.registry import get_op
-
-_DYN_SHAPE_OPS = ("dyn.reshape",)
+from ..ops.dyn import DYN_FOLDERS, fold_to_static
 
 
 def has_dynamic_shapes(graph: Graph) -> bool:
-    return any(n.op in _DYN_SHAPE_OPS for n in graph.nodes)
+    return any(n.op in DYN_FOLDERS for n in graph.nodes)
 
 
 def _eval_subset(graph: Graph, targets: set, feeds: dict) -> dict:
@@ -67,27 +66,30 @@ def _eval_subset(graph: Graph, targets: set, feeds: dict) -> dict:
 def specialize(graph: Graph, inputs) -> tuple[Graph, tuple]:
     """(static graph, shape key) for the concrete `inputs`.
 
-    dyn.reshape nodes become static `reshape` nodes with the shape input's
-    oracle-folded VALUE as the newshape attr; the shape-feeding nodes die
-    by DCE if nothing else uses them."""
+    Every dyn.* node becomes its STATIC twin (reshape/tile/broadcast_to/
+    full/one_hot/strided_slice/topk) via the fold registry it shares with
+    the oracle and JAX impls (`ops/dyn.py DYN_FOLDERS`); the shape-feeding
+    nodes die by DCE if nothing else uses them."""
     if isinstance(inputs, np.ndarray):
         inputs = [inputs]
     if not isinstance(inputs, dict):
         inputs = dict(zip([n.name for n in graph.inputs], inputs))
-    dyn_nodes = [n for n in graph.nodes if n.op in _DYN_SHAPE_OPS]
+    dyn_nodes = [n for n in graph.nodes if n.op in DYN_FOLDERS]
     if not dyn_nodes:
         return graph, ()
-    shape_srcs = {n.inputs[1] for n in dyn_nodes}
+    shape_srcs = {n.inputs[p] for n in dyn_nodes
+                  for p in DYN_FOLDERS[n.op][0]}
     vals = _eval_subset(graph, shape_srcs, inputs)
     new_nodes = []
     key = []
     for n in graph.nodes:
-        if n.op == "dyn.reshape":
-            newshape = tuple(int(v) for v in
-                             np.asarray(vals[n.inputs[1]]).ravel())
-            key.append((n.name, newshape))
-            new_nodes.append(n.with_(op="reshape", inputs=(n.inputs[0],),
-                                     attrs={"newshape": newshape}))
+        if n.op in DYN_FOLDERS:
+            positions, _ = DYN_FOLDERS[n.op]
+            folded = [vals[n.inputs[p]] for p in positions]
+            n2, _ = fold_to_static(n, folded)
+            key.append((n.name, tuple(
+                tuple(np.asarray(v).ravel().tolist()) for v in folded)))
+            new_nodes.append(n2)
         else:
             new_nodes.append(n)
     g = Graph(new_nodes, list(graph.outputs), dict(graph.params),

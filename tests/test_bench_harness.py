@@ -30,7 +30,8 @@ def test_crashed_first_attempt_still_emits_json(tmp_path):
     lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, r.stdout
     out = json.loads(lines[0])
-    assert out["metric"] == "int8_conv_gops"
+    # round-5 headline anchor: the stage-resident chain conv (BASELINE.md)
+    assert out["metric"] == "int8_conv_chain_gops"
     assert out["value"] > 0
     assert set(out["extra"]["completed"]) == {
         "conv", "conv_kernel", "matmul", "chain", "resnet50",
@@ -47,14 +48,15 @@ def test_partial_state_resumes(tmp_path):
     r = _run(tmp_path, {"TK_BENCH_RESUME": "1"})
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip())
-    # the pre-existing conv result was kept, not re-measured
-    assert out["value"] == 42.0
+    # the pre-existing conv result was kept, not re-measured (the headline
+    # is the chain; the wrapper is the int8_conv_gops sub-metric)
+    assert out["extra"]["int8_conv_gops"] == 42.0
     assert "conv already done, skipping" in r.stderr
 
 
 def test_vs_baseline_fraction(tmp_path):
     r = _run(tmp_path, {})
     out = json.loads(r.stdout.strip())
-    # fake gops 104 vs 394.7 TOPS roofline (emitted rounded to 4 places)
-    assert out["vs_baseline"] == round(104.0 / 394700.0, 4)
+    # fake chain gops 105 ("chain" -> 100 + 5) vs 394.7 TOPS roofline
+    assert out["vs_baseline"] == round(105.0 / 394700.0, 4)
     assert out["extra"]["errors"] == {}

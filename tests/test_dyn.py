@@ -94,7 +94,7 @@ def test_dyn_reshape_specialization_caches_per_shape():
     assert len(ex._cache) == 2
     sg, key = specialize(g, {"x": x,
                              "shape": np.asarray([2, 3, 4], np.int32)})
-    assert key == (("dr0", (2, 3, 4)),)
+    assert key == (("dr0", ((2, 3, 4),)),)
     # the specialized graph is fully static and dyn-free
     assert not has_dynamic_shapes(sg)
     assert sg["dr0"].op == "reshape" and sg["dr0"].shape == (2, 3, 4)
@@ -128,3 +128,153 @@ def test_dyn_reshape_const_shape_folds_statically():
     assert sg["dr0"].shape == (4, 6)
     out = run_graph(sg, [np.arange(24, dtype=np.float32).reshape(3, 8)])[0]
     assert out.shape == (4, 6)
+
+
+# ---------------------------------------------------------------------------
+# round-5 breadth: dyn.{tile, broadcast_to, full, one_hot, strided_slice,
+# topk} — 8/16 of the reference dyn registry
+# (/root/reference/src/relay/op/dyn/), all through the shared fold registry
+# ---------------------------------------------------------------------------
+
+
+def _check_dyn(build, feeds, n_static_checks=True):
+    """oracle == jax == specialized-static for a dyn graph; returns the
+    oracle outputs."""
+    g = build()
+    assert has_dynamic_shapes(g)
+    outs_o = DynShapeExecutor(g, backend="oracle").run(dict(feeds))
+    outs_j = DynShapeExecutor(g, backend="jax").run(dict(feeds))
+    for a, b in zip(outs_o, outs_j):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    sg, _ = specialize(g, dict(feeds))
+    assert not has_dynamic_shapes(sg)
+    outs_s = run_graph(infer_types(sg), dict(feeds))
+    for a, b in zip(outs_o, outs_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    return outs_o
+
+
+def test_dyn_tile():
+    def build():
+        b = GraphBuilder("dt")
+        x = b.var("x", (2, 3), "float32")
+        r = b.var("reps", (2,), "int32")
+        return b.build([b.call("dyn.tile", x, r, name="t0")])
+
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    outs = _check_dyn(build, {"x": x, "reps": np.asarray([2, 3], np.int32)})
+    np.testing.assert_array_equal(outs[0], np.tile(x, (2, 3)))
+
+
+def test_dyn_broadcast_to():
+    def build():
+        b = GraphBuilder("db")
+        x = b.var("x", (1, 4), "int32")
+        s = b.var("shape", (3,), "int32")
+        return b.build([b.call("dyn.broadcast_to", x, s, name="b0")])
+
+    x = np.arange(4, dtype=np.int32).reshape(1, 4)
+    outs = _check_dyn(build,
+                      {"x": x, "shape": np.asarray([2, 5, 4], np.int32)})
+    np.testing.assert_array_equal(outs[0], np.broadcast_to(x, (2, 5, 4)))
+
+
+def test_dyn_full():
+    def build():
+        b = GraphBuilder("df")
+        v = b.var("fill", (1,), "float32")
+        s = b.var("shape", (2,), "int32")
+        return b.build([b.call("dyn.full", v, s, name="f0")])
+
+    outs = _check_dyn(build, {"fill": np.asarray([2.5], np.float32),
+                              "shape": np.asarray([3, 4], np.int32)})
+    np.testing.assert_array_equal(outs[0], np.full((3, 4), 2.5, np.float32))
+    assert outs[0].dtype == np.float32
+
+
+def test_dyn_one_hot():
+    def build():
+        b = GraphBuilder("doh")
+        i = b.var("idx", (5,), "int32")
+        d = b.var("depth", (1,), "int32")
+        return b.build([b.call("dyn.one_hot", i, d, on_value=1,
+                               off_value=0, dtype="int32", name="oh0")])
+
+    idx = np.asarray([0, 2, 3, -1, 9], np.int32)
+    outs = _check_dyn(build, {"idx": idx,
+                              "depth": np.asarray([4], np.int32)})
+    want = np.zeros((5, 4), np.int32)
+    for r, c in enumerate([0, 2, 3]):
+        want[r, c] = 1                      # -1 and 9 are out of range
+    np.testing.assert_array_equal(outs[0], want)
+
+
+def test_dyn_strided_slice():
+    def build():
+        b = GraphBuilder("dss")
+        x = b.var("x", (6, 8), "float32")
+        bg = b.var("begin", (2,), "int32")
+        en = b.var("end", (2,), "int32")
+        st = b.var("strides", (2,), "int32")
+        return b.build([b.call("dyn.strided_slice", x, bg, en, st,
+                               name="ss0")])
+
+    x = np.arange(48, dtype=np.float32).reshape(6, 8)
+    outs = _check_dyn(build, {
+        "x": x, "begin": np.asarray([1, 0], np.int32),
+        "end": np.asarray([5, 8], np.int32),
+        "strides": np.asarray([2, 3], np.int32)})
+    np.testing.assert_array_equal(outs[0], x[1:5:2, 0:8:3])
+
+
+def test_dyn_topk():
+    def build():
+        b = GraphBuilder("dtk")
+        x = b.var("x", (3, 7), "float32")
+        k = b.var("k", (1,), "int32")
+        y = b.call("dyn.topk", x, k, ret_type="both", name="tk0")
+        v = b.call("tuple_get_item", y, index=0, name="vals")
+        i = b.call("tuple_get_item", y, index=1, name="idxs")
+        return b.build([v, i])
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 7)).astype(np.float32)
+    vals, idxs = _check_dyn(build, {"x": x,
+                                    "k": np.asarray([3], np.int32)})
+    assert vals.shape == (3, 3) and idxs.shape == (3, 3)
+    np.testing.assert_array_equal(
+        vals, np.sort(x, axis=-1)[:, ::-1][:, :3])
+
+
+def test_dyn_cache_keys_include_all_folds():
+    """dyn.full folds BOTH inputs — distinct fill values must be distinct
+    cache entries even at the same shape."""
+    b = GraphBuilder("dfk")
+    v = b.var("fill", (1,), "float32")
+    s = b.var("shape", (2,), "int32")
+    g = b.build([b.call("dyn.full", v, s, name="f0")])
+    ex = DynShapeExecutor(g, backend="oracle")
+    shp = np.asarray([2, 2], np.int32)
+    a = ex.run({"fill": np.asarray([1.0], np.float32), "shape": shp})[0]
+    c = ex.run({"fill": np.asarray([3.0], np.float32), "shape": shp})[0]
+    assert len(ex._cache) == 2
+    assert a[0, 0] == 1.0 and c[0, 0] == 3.0
+
+
+def test_dyn_mixed_chain_specializes():
+    """A graph mixing two different dyn ops specializes in one pass."""
+    b = GraphBuilder("dmix")
+    x = b.var("x", (2, 6), "float32")
+    s = b.var("shape", (2,), "int32")
+    r = b.var("reps", (2,), "int32")
+    y = b.call("dyn.reshape", x, s, name="r0")
+    z = b.call("dyn.tile", y, r, name="t0")
+    g = b.build([z])
+    feeds = {"x": np.arange(12, dtype=np.float32).reshape(2, 6),
+             "shape": np.asarray([3, 4], np.int32),
+             "reps": np.asarray([2, 1], np.int32)}
+    got = DynShapeExecutor(g, backend="oracle").run(feeds)[0]
+    want = np.tile(feeds["x"].reshape(3, 4), (2, 1))
+    np.testing.assert_array_equal(got, want)
+    gj = DynShapeExecutor(g, backend="jax").run(feeds)[0]
+    np.testing.assert_array_equal(np.asarray(gj), want)
