@@ -8,12 +8,16 @@ noise).  Trains, on the labeled class-conditional synthetic dataset
   * a MobileNetV2-style CNN (inverted residual blocks with depthwise convs,
     ReLU6, residual adds)
 
-to >= 0.9 held-out float top-1, then exports each to ONNX in
-tests/fixtures/ (synth_resnet.onnx / synth_mbv2.onnx + a side .npz holding
-the held-out accuracy and dataset spec).  Torch is used only HERE; tests
-import the fixtures through the ONNX frontend — the same path a user's
-model takes (mrt `Trace.eval` analog: /root/reference/python/tvm/mrt/
-api.py:98, mrt/dataset.py).
+to >= 0.9 held-out float top-1, then imports each through the torch-fx
+frontend (`from_torch` — the path a user's torch model takes) and saves
+the float graph as a `.tkmod` artifact in tests/fixtures/
+(synth_resnet.tkmod / synth_mbv2.tkmod + a side .npz holding the held-out
+accuracy and dataset spec).  Torch is used only HERE; tests load the
+artifact, quantize, and evaluate (mrt `Trace.eval` analog:
+/root/reference/python/tvm/mrt/api.py:98, mrt/dataset.py).  (The env has
+no `onnx` package, so torch.onnx.export is unavailable; the frontend
+import at build time is the equivalent — and torch parity is asserted
+below before saving.)
 
 Split discipline (mirrors make_digits_fixture.py): training uses samples
 [HOLDOUT:]; the accuracy harness calibrates + evaluates on the HEAD
@@ -182,18 +186,35 @@ def main():
         print(f"== {name}: {nparam} params ==", flush=True)
         acc = train(model, x, y, xe, ye, torch, tnn, epochs, tag=name)
         assert acc >= 0.9, f"{name} held-out {acc} < 0.9 — tune the recipe"
-        onnx_path = os.path.join(FIXDIR, f"{name}.onnx")
-        torch.onnx.export(
-            model, torch.zeros(1, *xall.shape[1:]), onnx_path,
-            input_names=["data"], output_names=["logits"],
-            dynamic_axes={"data": {0: "n"}, "logits": {0: "n"}},
-            opset_version=13)
+
+        # import through the torch frontend; assert parity vs torch eager
+        # BEFORE saving (the fixture must be the trained model, bit-for-bit
+        # in float tolerance)
+        from tachikoma_tpu.frontend.torch_fx import from_torch
+        from tachikoma_tpu.runtime.artifact import save_artifact
+        from tachikoma_tpu.runtime.interpreter import run_graph
+
+        batch = 8
+        g = from_torch(model, {"data": (batch, 3, SHAPE[0], SHAPE[1])})
+        probe = x[:batch].numpy()
+        with torch.no_grad():
+            want = model(torch.tensor(probe)).numpy()
+        got = np.asarray(run_graph(g, [probe])[0])
+        assert np.allclose(got, want, rtol=1e-4, atol=1e-4), \
+            f"{name}: frontend import disagrees with torch eager " \
+            f"(max |d| {np.abs(got - want).max()})"
+        path = os.path.join(FIXDIR, f"{name}.tkmod")
+        save_artifact(path, g, meta={
+            "model": name, "heldout_acc": float(acc),
+            "dataset": {"kind": "synthetic-labeled", "n_total": N_TOTAL,
+                        "holdout": HOLDOUT, "num_classes": N_CLASSES,
+                        "shape": list(SHAPE), "seed": SEED}})
         np.savez(os.path.join(FIXDIR, f"{name}_meta.npz"),
                  heldout_acc=np.float32(acc),
                  n_total=np.int64(N_TOTAL), holdout=np.int64(HOLDOUT),
                  num_classes=np.int64(N_CLASSES),
                  shape=np.asarray(SHAPE, np.int64), seed=np.int64(SEED))
-        print(f"wrote {onnx_path} heldout_acc={acc:.4f}", flush=True)
+        print(f"wrote {path} heldout_acc={acc:.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -108,6 +108,34 @@ class _Importer:
             out = self.b.call("nn.bias_add", out, bn, axis=-1)
         self.set(fxn, out, "nhwc")
 
+    def conv_transpose2d(self, fxn, mod):
+        """torch ConvTranspose2d: weight (IN, OUT/groups, KH, KW); torch
+        `padding` crops the full transposed output on BOTH sides, matching
+        nn.conv2d_transpose's padding attr (ops/nn.py) directly."""
+        x = self.as_nhwc(fxn.args[0])
+        if getattr(mod, "groups", 1) != 1:
+            raise NotImplementedError("grouped ConvTranspose2d")
+        w = _to_np(mod.weight)  # (in, out, kh, kw)
+        w_hwio = np.transpose(w, (2, 3, 0, 1))  # -> (kh, kw, in, out)
+        wn = self.b.const(np.ascontiguousarray(w_hwio), name=fxn.name + "_w")
+        pad = mod.padding
+        ph, pw = (pad, pad) if isinstance(pad, int) else pad
+        st = mod.stride if not isinstance(mod.stride, int) \
+            else (mod.stride,) * 2
+        op = mod.output_padding if not isinstance(mod.output_padding, int) \
+            else (mod.output_padding,) * 2
+        dil = mod.dilation if not isinstance(mod.dilation, int) \
+            else (mod.dilation,) * 2
+        if tuple(dil) != (1, 1):
+            raise NotImplementedError("dilated ConvTranspose2d")
+        out = self.b.call("nn.conv2d_transpose", x, wn, strides=tuple(st),
+                          padding=(ph, pw, ph, pw),
+                          output_padding=tuple(op), name=fxn.name)
+        if mod.bias is not None:
+            bn = self.b.const(_to_np(mod.bias), name=fxn.name + "_b")
+            out = self.b.call("nn.bias_add", out, bn, axis=-1)
+        self.set(fxn, out, "nhwc")
+
     def linear(self, fxn, mod):
         x = self.as_torch(fxn.args[0])
         w = _to_np(mod.weight)  # (out, in)
@@ -233,6 +261,7 @@ class _Importer:
 
         MODULE_MAP: dict[type, Callable] = {
             nnm.Conv2d: self.conv2d,
+            nnm.ConvTranspose2d: self.conv_transpose2d,
             nnm.Linear: self.linear,
             nnm.BatchNorm2d: self.batch_norm,
             nnm.LayerNorm: self.layer_norm,
@@ -275,6 +304,19 @@ class _Importer:
             assert mod.start_dim == 1 and mod.end_dim == -1
             out = self.b.call("nn.batch_flatten", x, name=fxn.name)
             self.set(fxn, out, "torch")
+        elif isinstance(mod, nnm.LeakyReLU):
+            self._same_layout_unary(fxn, "nn.leaky_relu",
+                                    alpha=float(mod.negative_slope))
+        elif isinstance(mod, (nnm.Upsample, nnm.UpsamplingNearest2d)):
+            if getattr(mod, "mode", "nearest") != "nearest":
+                raise NotImplementedError(
+                    f"Upsample mode {mod.mode} (nearest only)")
+            sf = mod.scale_factor
+            sh, sw = (sf, sf) if not isinstance(sf, (tuple, list)) else sf
+            x = self.as_nhwc(fxn.args[0])
+            out = self.b.call("nn.upsampling", x, scale_h=float(sh),
+                              scale_w=float(sw), name=fxn.name)
+            self.set(fxn, out, "nhwc")
         elif isinstance(mod, nnm.Hardswish):
             name, layout = self.env[fxn.args[0]]
             c3 = self.b.const(np.float32(3.0))

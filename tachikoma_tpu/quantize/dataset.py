@@ -199,8 +199,13 @@ def get_dataset(spec: str, input_shape: tuple, samples: int = 200,
         return synthetic_images(samples, tuple(input_shape[1:]), seed=seed)
     if spec == "synthetic-labeled":
         shp = tuple(input_shape[1:])
-        if len(input_shape) == 4 and input_shape[1] in (1, 3) \
-                and input_shape[1] < input_shape[-1]:
-            shp = (input_shape[2], input_shape[3], input_shape[1])  # NCHW
-        return synthetic_labeled(samples, shp, seed=seed)
+        nchw = (len(input_shape) == 4 and input_shape[1] in (1, 3)
+                and input_shape[1] < input_shape[-1])
+        if nchw:
+            shp = (input_shape[2], input_shape[3], input_shape[1])
+        ds = synthetic_labeled(samples, shp, seed=seed)
+        if nchw:   # data rides in the MODEL's input layout
+            ds = Dataset(np.ascontiguousarray(
+                ds.data.transpose(0, 3, 1, 2)), ds.labels, ds.name)
+        return ds
     return from_npz(spec)

@@ -37,6 +37,13 @@ _SCALE_TRANSPARENT = {
 }
 
 
+class ScaleUnresolved(KeyError):
+    """No downstream qnn.quantize defines a scale for this tensor: the op
+    lives in a float-computed interior (torch computes hardswish & friends
+    in fp32 and requantizes at the boundary) — the quantizer falls back to
+    float for the node and the boundary quantize restores int8."""
+
+
 class _QDQScales:
     """scale_zp(name) resolved from the nearest downstream qnn.quantize."""
 
@@ -66,7 +73,7 @@ class _QDQScales:
                         seen.add(u)
                         nxt.append(u)
             frontier = nxt
-        raise KeyError(
+        raise ScaleUnresolved(
             f"FQ2I: no downstream qnn.quantize defines a scale for {name!r}")
 
 
@@ -158,9 +165,28 @@ class FQ2IQuantizer(Quantizer):
 
     def _make_handlers(self):
         handlers = super()._make_handlers()
+
+        # ops inside a float-computed interior (no downstream quantize —
+        # torch's fp32-computed hardswish gate, for example) fall back to
+        # float; the boundary qnn.quantize restores int8 with the model's
+        # own params
+        def resilient(h):
+            def run(n, h=h):
+                try:
+                    h(n)
+                except ScaleUnresolved:
+                    self._float_fallback_with_consts(n)
+            return run
+
+        handlers = {op: resilient(h) for op, h in handlers.items()}
         handlers["qnn.dequantize"] = self._fq_dequantize
         handlers["qnn.quantize"] = self._fq_quantize
         return handlers
+
+    def run(self) -> Graph:
+        # fallback after a partially-emitted handler can leave orphan
+        # coercion nodes in the builder; DCE removes them
+        return infer_types(super().run().dead_code_eliminate())
 
 
 def fq2i(graph: Graph, config: QConfig | None = None) -> Graph:

@@ -76,7 +76,8 @@ def _quantized_add_scale(mq) -> float:
     for node in mq.graph.nodes:
         if node.op == "call_function" and \
                 node.target is torch.ops.quantized.add:
-            sc = node.args[2]
+            sc = node.args[2] if len(node.args) > 2 \
+                else node.kwargs["scale"]
             return float(getattr(mq, sc.target)) if hasattr(sc, "op") \
                 else float(sc)
     raise AssertionError("no quantized::add in graph")
@@ -204,3 +205,148 @@ def test_qint8_activation_zero_points():
     # a 128-shifted zp clips everything (error ~ 128 * scale)
     assert diff.max() <= out_scale * 8 + 1e-4, \
         f"{diff.max()} vs scale {out_scale}"
+
+
+class _MNv3Flavor(torch.nn.Module):
+    """MobileNetV3-shaped op set (round-5 breadth): hardswish module +
+    functional, scalar add/mul (quantized::add_scalar / mul_scalar),
+    relu6, LeakyReLU, ConvTranspose2d — the `quantized::` ops real
+    quantized MobileNetV3/torchvision graphs contain
+    (reference: qnn_torch.py handlers)."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.conv = nn.Conv2d(3, 8, 3, padding=1)
+        self.hs = nn.Hardswish()
+        self.r6 = nn.ReLU6()
+        self.lr = nn.LeakyReLU(0.1)
+        self.ct = nn.ConvTranspose2d(8, 4, 3, stride=2, padding=1,
+                                     output_padding=1)
+        self.pool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(4, 5)
+
+    def forward(self, x):
+        h = self.conv(x)
+        h = self.hs(h)
+        h = h + 3.0          # quantized::add_scalar
+        h = h * 0.5          # quantized::mul_scalar
+        h = self.r6(h)
+        h = torch.nn.functional.hardswish(h)   # quantized::hardswish
+        h = self.lr(h)       # quantized::leaky_relu or nnq.LeakyReLU
+        h = self.ct(h)       # quantized::conv_transpose2d
+        h = self.pool(h).flatten(1)
+        return self.fc(h)
+
+
+def test_mobilenetv3_op_breadth_parity():
+    torch.manual_seed(0)
+    # qnnpack: per-tensor weights (torch's per-channel observer rejects
+    # ConvTranspose2d)
+    mq = _fx_quantize(_MNv3Flavor(), torch.randn(2, 3, 16, 16),
+                      backend="qnnpack")
+    got, want, gi = _check_parity(mq, (2, 3, 16, 16))
+    out_scale = float(mq.fc.scale)
+    diff = np.abs(got - want)
+    # several requantize boundaries chain; allow a few quanta end-to-end
+    # but demand sub-quantum agreement for the vast majority
+    assert diff.max() <= out_scale * 4 + 1e-6, \
+        f"{diff.max()} vs out scale {out_scale}"
+    assert (diff <= out_scale + 1e-6).mean() >= 0.9
+    ops = [n.op for n in gi.nodes]
+    assert "qnn.conv2d_transpose" in ops or "nn.conv2d_transpose" in ops
+
+
+class _DeepResNet(torch.nn.Module):
+    """Stacked residual blocks with skip adds + relu (quantized::add_relu)
+    and a strided downsample branch — the torchvision quantized-ResNet
+    graph shape (reference qnn_torch's primary workload)."""
+
+    class Block(torch.nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            nn = torch.nn
+            self.c1 = nn.Conv2d(cin, cout, 3, stride, 1)
+            self.r1 = nn.ReLU()
+            self.c2 = nn.Conv2d(cout, cout, 3, 1, 1)
+            self.down = (nn.Conv2d(cin, cout, 1, stride)
+                         if stride != 1 or cin != cout else None)
+            self.f = torch.ao.nn.quantized.FloatFunctional()
+
+        def forward(self, x):
+            idn = x if self.down is None else self.down(x)
+            h = self.c2(self.r1(self.c1(x)))
+            return self.f.add_relu(h, idn)
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.stem = nn.Conv2d(3, 8, 3, padding=1)
+        self.b1 = self.Block(8, 8, 1)
+        self.b2 = self.Block(8, 16, 2)
+        self.b3 = self.Block(16, 16, 1)
+        self.pool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(16, 10)
+
+    def forward(self, x):
+        h = self.b3(self.b2(self.b1(self.stem(x))))
+        return self.fc(self.pool(h).flatten(1))
+
+
+def test_quantized_residual_network_parity():
+    torch.manual_seed(0)
+    mq = _fx_quantize(_DeepResNet(), torch.randn(2, 3, 16, 16),
+                      backend="fbgemm")
+    got, want, gi = _check_parity(mq, (2, 3, 16, 16))
+    out_scale = float(mq.fc.scale)
+    diff = np.abs(got - want)
+    assert diff.max() <= out_scale * 3 + 1e-6
+    assert (diff <= out_scale + 1e-6).mean() >= 0.95
+    ops = [n.op for n in gi.nodes]
+    # stem + b1(2) + b2(2 + downsample) + b3(2) = 8 integer convs
+    assert ops.count("qnn.conv2d") == 8
+    assert ops.count("qnn.dense") == 1
+
+
+class _EagerQF(torch.nn.Module):
+    """Eager-mode quantization with QuantStub/DeQuantStub + QFunctional —
+    previously raised NotImplementedError (round-4 missing item): symbolic
+    tracing inlines QFunctional methods into quantized.add(+kwargs
+    scale/zp) / quantized.mul_scalar calls."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.quant = torch.ao.quantization.QuantStub()
+        self.conv = nn.Conv2d(3, 8, 3, padding=1)
+        self.relu = nn.ReLU()
+        self.conv2 = nn.Conv2d(8, 8, 3, padding=1)
+        self.qf = torch.ao.nn.quantized.FloatFunctional()
+        self.dequant = torch.ao.quantization.DeQuantStub()
+
+    def forward(self, x):
+        x = self.quant(x)
+        h = self.relu(self.conv(x))
+        h = self.qf.add(h, self.conv2(h))
+        h = self.qf.mul_scalar(h, 0.5)
+        return self.dequant(h)
+
+
+def test_eager_qfunctional_parity():
+    torch.manual_seed(0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m = _EagerQF().eval()
+        m.qconfig = torch.ao.quantization.get_default_qconfig("qnnpack")
+        torch.ao.quantization.prepare(m, inplace=True)
+        g = torch.Generator().manual_seed(0)
+        for _ in range(6):
+            m(torch.randn(1, 3, 8, 8, generator=g))
+        torch.ao.quantization.convert(m, inplace=True)
+    got, want, gi = _check_parity(m, (1, 3, 8, 8))
+    # output scale = mul_scalar's derived scale (0.5 * add scale)
+    scale = 0.5 * _quantized_add_scale(torch.fx.symbolic_trace(m))
+    diff = np.abs(got - want)
+    assert diff.max() <= scale * 2.001 + 1e-6, \
+        f"{diff.max()} vs derived scale {scale}"
+    assert [n.op for n in gi.nodes].count("qnn.conv2d") == 2
