@@ -1144,7 +1144,8 @@ def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
                         off_base: int, frame_out: bool, out_zp: int,
                         rounding: str, qmin: int, qmax: int,
                         shift_values: tuple, rq_mode: str | None = None,
-                        res_ref=None, res_add: tuple | None = None):
+                        res_ref=None, res_add: tuple | None = None,
+                        mask_zp: int | None = None):
     """Base flat kernel + frame plumbing.
 
     Frame format: array row a holds frame row g = a - bm (a bm-row lead
@@ -1216,7 +1217,11 @@ def _flat_conv_kernel_f(x_ref, w_ref, bias_ref, m_ref, s_ref, vmask_ref,
             v = jnp.clip(ql + qr - jnp.int32(zo),
                          jnp.int32(lo2), jnp.int32(hi2))
         if frame_out:
-            v = jnp.where(vmask_ref[...] != 0, v, jnp.int32(out_zp))
+            # masked rows become the VALUE's zero point so downstream taps
+            # read real padding bytes — for res_add stages that is the
+            # ADD's output zp, not the conv's
+            mz = out_zp if mask_zp is None else mask_zp
+            v = jnp.where(vmask_ref[...] != 0, v, jnp.int32(mz))
         o_ref[...] = v.astype(o_ref.dtype)
 
     kid = pl.program_id(2)
@@ -1241,7 +1246,8 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
                            bm, bn, bk, wslack, off_base,
                            frame_out, out_zp, rounding, qmin, qmax,
                            out_dtype, shift_values, interpret,
-                           res_add: tuple | None = None, rq_mode=None):
+                           res_add: tuple | None = None, rq_mode=None,
+                           mask_zp: int | None = None):
     """One chain stage: x (fhx_in, cin_p) int8 -> out int8, either a frame
     (mp + 2*bm rows: out_zp lead margin + mp computed rows + unwritten
     tail) or a plain (mp, cout_p) block."""
@@ -1261,6 +1267,7 @@ def _build_flat_conv_frame(mp, fhx_in, cin_p, cout_p, khp, kwp, wph,
         off_base=off_base, frame_out=frame_out,
         out_zp=out_zp, rounding=rounding, qmin=qmin, qmax=qmax,
         shift_values=shift_values, rq_mode=rq_mode, res_add=res_add,
+        mask_zp=mask_zp,
     )
     if res_add is not None:
         def kernel(x, w, b, m, sr, vm, res, o, acc):
@@ -1823,3 +1830,269 @@ def chain_workload(n, h, w, stage_dims) -> str:
     """Tune-DB key for a conv chain: stage_dims = [(kh, cin, cout), ...]."""
     stages = "+".join(f"K{kh}C{ci}O{co}" for (kh, ci, co) in stage_dims)
     return f"qconv2d_chain/N{n}_H{h}_W{w}/{stages}"
+
+
+def stack_workload(n, h, w, block_dims) -> str:
+    """Tune-DB key for a residual-block stack: block_dims =
+    [[(kh, cin, cout), ...] per block]."""
+    blocks = "|".join("+".join(f"K{kh}C{ci}O{co}" for (kh, ci, co) in b)
+                      for b in block_dims)
+    return f"qconv2d_stack/N{n}_H{h}_W{w}/{blocks}"
+
+
+def _stack_wpack2(blocks):
+    """Width-packability of a whole block stack: every stage of every
+    block must be structurally legal and at least one must strictly gain
+    (see _chain_wpack2_eligible)."""
+    stages = [st for (sts, _) in blocks for st in sts]
+    return stages
+
+
+def qconv2d_flat_block_stack(x, blocks, *, bm=None, bn_cap=128,
+                             interpret=None, wpack: bool | None = None):
+    """Run a STACK of identity-residual conv blocks stage-persistently:
+    activations stay in the flat frame layout across every block — the
+    entry pad and exit extract are paid ONCE for the whole stack, and each
+    block's residual add reads the block's input frame in-register (no
+    NHWC round trip anywhere inside the stack).
+
+    blocks: [(stages, res_params | None)] — `stages` as in
+    qconv2d_flat_chain; when res_params is given the block computes
+    qnn.add(chain(x), x) fused into its last stage (the IDENTITY residual:
+    the rhs is the block's own input, which for chained ResNet blocks is
+    the previous block's output — so the whole stack is closed over frame
+    buffers).  Every block must preserve (H, W) and, when residual, have
+    cout == cin.
+
+    Design (round-5 verdict item 1, "stage-persistent layouts"): frame
+    outputs are zp-MASKED at invalid rows (_flat_conv_kernel_f), so a
+    frame buffer IS a correctly padded flat image for the next conv — the
+    per-block entry/exit of the chain path was pure overhead.  The entry
+    here is built directly in frame coordinates (pixel (y,x) of image i at
+    row bm + i*fh + y*wph + x, izp-filled borders and lead margin), every
+    stage runs frame-in/frame-out, and only the stack's final stage emits
+    the plain layout for the one exit extract.  Reference analog: the
+    whole-graph layout discipline of AlterOpLayout + NCHWc int8
+    (src/relay/transforms/alter_op_layout.cc,
+    python/tvm/topi/x86/conv2d_int8.py)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h, wd, cin = x.shape
+    bm_explicit = bm is not None
+    all_stages = [st for (sts, _) in blocks for st in sts]
+    if bm is None:
+        from ...tune.database import lookup_config
+
+        bdims = [[(st["w"].shape[0], st["w"].shape[2], st["w"].shape[3])
+                  for st in sts] for (sts, _) in blocks]
+        cfg = lookup_config(stack_workload(n, h, wd, bdims))
+        if not (cfg and "bm" in cfg):
+            # fall back to the first block's chain record (same geometry)
+            cfg = lookup_config(chain_workload(n, h, wd, bdims[0]))
+        if cfg and "bm" in cfg:
+            bm = int(cfg["bm"])
+            if "bn" in cfg:
+                bn_cap = int(cfg["bn"])
+        else:
+            bm = 512
+    # width-packing: pack every block's stages; identity residuals ride the
+    # same free reshape
+    if wpack is None and _chain_wpack2_eligible(wd, all_stages) \
+            and os.environ.get("TK_NO_WPACK") != "1" \
+            and _wpack2_feasible(n, h, wd, all_stages, bn_cap, bm):
+        pb = [([_wpack2_stage(st) for st in sts], rp)
+              for (sts, rp) in blocks]
+        co_last = blocks[-1][0][-1]["w"].shape[3]
+        out = qconv2d_flat_block_stack(
+            x.reshape(n, h, wd // 2, 2 * cin), pb, bm=bm, bn_cap=bn_cap,
+            interpret=interpret, wpack=False)
+        return out.reshape(n, h, wd, co_last)
+
+    geo_stages = []
+    for st in all_stages:
+        kh, kw_, ci, co = st["w"].shape
+        pt, pl_, pb_, pr = st.get("padding", (0, 0, 0, 0))
+        assert (h + pt + pb_ - kh + 1, wd + pl_ + pr - kw_ + 1) == (h, wd), \
+            "stack stages must preserve spatial size"
+        geo_stages.append((kh, kw_, pt, pl_, pb_, pr))
+    for (sts, rp) in blocks:
+        if rp is not None:
+            assert sts[0]["w"].shape[2] == sts[-1]["w"].shape[3], \
+                "identity-residual block needs cout == cin"
+    # zero-point agreement along the data path: stage i+1's izp must be the
+    # producer's out_zp; block boundaries compare against the res_add
+    # output zp (or the last stage's when no residual)
+    prev_zp = None
+    for (sts, rp) in blocks:
+        for st in sts:
+            if prev_zp is not None:
+                assert int(st.get("izp", 0)) == prev_zp, \
+                    "stack zero points must chain (izp == producer zp)"
+            prev_zp = int(st.get("out_zp", 0))
+        if rp is not None:
+            prev_zp = int(rp.get("output_zero_point", 0))
+
+    # batch split (same discipline as the chain path)
+    nb = chain_batch_split(n, h, wd, geo_stages,
+                           ci_list=[st["w"].shape[2] for st in all_stages],
+                           bm=bm)
+    while nb is not None and not _chain_stages_feasible(
+            nb, h, wd, all_stages, bn_cap, geo_stages, bm=bm):
+        nxt = nb - 1
+        while nxt >= 1 and n % nxt:
+            nxt -= 1
+        nb = nxt if nxt >= 1 else None
+    assert nb is not None, "no frame geometry fits this stack at any batch"
+    if nb < n:
+        def one(xi):
+            return qconv2d_flat_block_stack(
+                xi, blocks, bm=bm, bn_cap=bn_cap, interpret=interpret,
+                wpack=False)
+
+        xg = x.reshape(n // nb, nb, h, wd, cin)
+        out = lax.map(one, xg)
+        return out.reshape(n, h, wd, out.shape[-1])
+
+    geo = chain_frame_geometry(nb, h, wd, geo_stages, bm)
+    assert geo is not None
+    wph, hp, fh, mp, fhx0, slack0 = geo
+
+    rows = np.arange(mp, dtype=np.int64)
+    p = rows % fh
+    valid = ((p // wph) < h) & ((p % wph) < wd) & (rows < n * fh)
+    bn_cap = int(bn_cap)
+    vm = np.broadcast_to(valid.astype(np.int8).reshape(mp, 1), (mp, bn_cap))
+    vmask_plain = jnp.asarray(vm)
+    vmask_frame = jnp.asarray(
+        np.concatenate([np.zeros((bm, bn_cap), np.int8), vm]))
+
+    # entry in FRAME coordinates: no pt/pl offset — borders come from the
+    # izp fill exactly where interior frame taps read them (left pad =
+    # x >= wd columns of the previous row; top pad = previous image's
+    # y >= h rows, or the lead margin for image 0)
+    izp0 = int(all_stages[0].get("izp", 0))
+    cin_p = _round_up(cin, 128)
+    total = mp + 2 * bm
+    xpad = jnp.pad(
+        x, ((0, 0), (0, hp - h), (0, wph - wd), (0, cin_p - cin)),
+        constant_values=np.int8(izp0))
+    cur = xpad.reshape(n * fh, cin_p)
+    if total >= bm + n * fh:
+        cur = jnp.pad(cur, ((bm, total - bm - n * fh), (0, 0)),
+                      constant_values=np.int8(izp0))
+    else:
+        # rows past total are value-free pad rows of the last image
+        cur = jnp.pad(cur, ((bm, 0), (0, 0)),
+                      constant_values=np.int8(izp0))[:total]
+
+    n_blocks = len(blocks)
+    for bi, (sts, rp) in enumerate(blocks):
+        block_in = cur
+        last = len(sts) - 1
+        for si, st in enumerate(sts):
+            kh, kw_, ci, co = st["w"].shape
+            pt, pl_, pb_, pr = st.get("padding", (0, 0, 0, 0))
+            izp = int(st.get("izp", 0))
+            ci_p = _round_up(ci, 128)
+            co_p = _round_up(co, 128)
+            wfull = jnp.pad(jnp.asarray(st["w"]),
+                            ((0, 0), (0, 0), (0, ci_p - ci),
+                             (0, co_p - co)))
+            bias = (jnp.zeros((co,), jnp.int32) if st.get("bias") is None
+                    else jnp.asarray(st["bias"], jnp.int32))
+            if izp:
+                colsum = jnp.sum(jnp.asarray(st["w"], jnp.int32),
+                                 axis=(0, 1, 2))
+                bias = bias - jnp.int32(izp) * colsum
+            m_arr = np.ascontiguousarray(np.broadcast_to(
+                np.asarray(st["multiplier"], np.int32), (co,)))
+            s_arr = np.ascontiguousarray(np.broadcast_to(
+                np.asarray(st["shift"], np.int32), (co,)))
+            shift_values = tuple(sorted({int(v) for v in s_arr}))
+            pad1 = lambda a, cv=0: jnp.pad(
+                jnp.asarray(a), (0, co_p - co),
+                constant_values=cv).reshape(1, co_p)
+            rq_mode, mx = _pack_rq(m_arr, s_arr, int(st.get("out_zp", 0)),
+                                   int(st.get("qmin", -128)),
+                                   int(st.get("qmax", 127)),
+                                   st.get("rounding", "UPWARD"), co, co_p)
+            b1, s1 = pad1(bias), pad1(s_arr)
+            m1 = jnp.asarray(mx) if rq_mode else pad1(m_arr, 1)
+
+            out_frame = not (bi == n_blocks - 1 and si == last)
+            # every stage is frame-in (the entry is built in frame coords)
+            in_shift, d_in = bm, pt * wph + pl_
+            out_shift = bm if out_frame else 0
+            off_base = in_shift - d_in - out_shift
+            maxoff = (kh - 1) * wph + (kw_ - 1) + off_base
+            wbase = (off_base // 32) * 32
+            wslack = _round_up(max(maxoff - wbase, 1) + 4, 32)
+            m0_max = mp if out_frame else mp - bm
+            assert m0_max + wbase + bm + wslack <= total, \
+                "window overruns the stack frame"
+
+            bn = max(d for d in (512, 256, 128)
+                     if d <= min(bn_cap, co_p) and co_p % d == 0)
+            bk = None
+            for cand in (512, 256, 128):
+                if cand > ci_p or ci_p % cand:
+                    continue
+                vmem = (2 * total * cand + 2 * kh * kw_ * cand * bn
+                        + bm * bn * 4 + 2 * bm * bn)
+                if vmem <= _VMEM_BUDGET:
+                    bk = cand
+                    break
+            assert bk is not None, "stack stage exceeds VMEM at bk=128"
+
+            res_add = None
+            res_flat = None
+            if si == last and rp is not None:
+                from .qms32 import plan_requantize as _plan
+
+                so = float(rp["output_scale"])
+                zo = int(rp.get("output_zero_point", 0))
+                sc = float(rp["lhs_scale"])
+                zc = int(rp.get("lhs_zero_point", 0))
+                sr = float(rp["rhs_scale"])
+                zr = int(rp.get("rhs_zero_point", 0))
+                l_skip = (sc == so and zc == zo)
+                r_skip = (sr == so and zr == zo)
+                lm, ls = (0, 0) if l_skip else _plan(sc, so)
+                rm, rs = (0, 0) if r_skip else _plan(sr, so)
+                lo2 = max(int(rp.get("a_min", -128)), -128)
+                hi2 = min(int(rp.get("a_max", 127)), 127)
+                res_add = (l_skip, int(lm), int(ls), zc, r_skip, int(rm),
+                           int(rs), zr, zo, lo2, hi2,
+                           rp.get("rounding", "UPWARD"))
+                # the identity residual IS the block's input frame — same
+                # row coordinates as the (frame or plain) output blocks
+                res_flat = block_in if out_frame else block_in[bm:]
+
+            fn = _build_flat_conv_frame(
+                mp, total, ci_p, co_p, kh, kw_, wph, bm, bn, bk, wslack,
+                off_base, out_frame, int(st.get("out_zp", 0)),
+                st.get("rounding", "UPWARD"), int(st.get("qmin", -128)),
+                int(st.get("qmax", 127)), "int8", shift_values, interpret,
+                res_add=res_add, rq_mode=rq_mode,
+                mask_zp=(int(rp.get("output_zero_point", 0))
+                         if res_add is not None else None))
+            with _x32_tracing():
+                vmask = vmask_frame if out_frame else vmask_plain
+                if res_add is not None:
+                    cur = fn(cur, wfull, b1, m1, s1, vmask, res_flat)
+                else:
+                    cur = fn(cur, wfull, b1, m1, s1, vmask)
+            if out_frame and cur.shape[0] < total:
+                # frame outputs are mp + 2*bm rows already == total
+                cur = jnp.pad(cur, ((0, total - cur.shape[0]), (0, 0)))
+    # exit: plain output rows are in frame coordinates
+    co_p = cur.shape[1]
+    co_last = blocks[-1][0][-1]["w"].shape[3]
+    rows_img = h * wph
+    imgs = [lax.slice(cur, (i * fh, 0), (i * fh + rows_img, co_p))
+            for i in range(n)]
+    out4 = jnp.stack(imgs).reshape(n, h, wph, co_p)
+    return out4[:, :, :wd, :co_last]

@@ -81,7 +81,7 @@ def fuse_qnn(graph: Graph) -> Graph:
                 consumed.add(t.name)
 
     if not chains:
-        return fuse_chain_residual(fuse_conv_chains(g))
+        return fuse_block_stacks(fuse_chain_residual(fuse_conv_chains(g)))
 
     b = GraphBuilder(g.name)
     mapping: dict[str, str] = {}
@@ -173,8 +173,8 @@ def fuse_qnn(graph: Graph) -> Graph:
             continue
         ins = [mapping[i] for i in n.inputs]
         mapping[n.name] = b.call(n.op, *ins, name=n.name, **dict(n.attrs))
-    return fuse_chain_residual(fuse_conv_chains(
-        infer_types(b.build([mapping[o] for o in g.outputs]))))
+    return fuse_block_stacks(fuse_chain_residual(fuse_conv_chains(
+        infer_types(b.build([mapping[o] for o in g.outputs])))))
 
 
 # ---------------------------------------------------------------------------
@@ -826,3 +826,228 @@ def _chain_flops(node: Node, ins):
 
 
 register_op("tk.conv2d_chain", flops=_chain_flops)
+
+
+# ---------------------------------------------------------------------------
+# residual-block STACKS (round 5): consecutive identity-residual chains run
+# stage-persistently — one entry pad / exit extract per stack
+# ---------------------------------------------------------------------------
+
+
+def fuse_block_stacks(graph: Graph) -> Graph:
+    """Fuse runs of IDENTITY-residual tk.conv2d_chain nodes (res_add whose
+    residual operand is the chain's own input) into tk.conv2d_block_stack
+    super-nodes: the stack executor (`ops/pallas/conv_flat.py
+    qconv2d_flat_block_stack`) keeps activations in the flat frame layout
+    across every block, paying the NHWC entry/exit once per stack instead
+    of once per block — the measured chain fixed overhead that capped
+    C<=64 chains at 20-31 TOPS (round-4 RESULTS.md).  Exact: bit-identical
+    to the per-block chain path (tests/test_conv_chain.py).
+    TK_DISABLE_STACKS=1 opts out (chains still fuse)."""
+    import os
+
+    if os.environ.get("TK_DISABLE_CHAINS") or \
+            os.environ.get("TK_DISABLE_STACKS"):
+        return graph
+    g = graph
+    users = g.users()
+    outs = set(g.outputs)
+
+    def identity_block(n) -> bool:
+        return (n.op == "tk.conv2d_chain" and bool(n.attrs.get("res_add"))
+                and n.inputs[-1] == n.inputs[0])
+
+    def sole_consumer(name):
+        """The unique consuming NODE (an identity block uses its input
+        twice — data + residual — which is still one consumer)."""
+        if name in outs:
+            return None
+        u = set(users.get(name, ()))
+        return g[next(iter(u))] if len(u) == 1 else None
+
+    in_stack: set[str] = set()
+    stacks: list[list[Node]] = []
+    for n in g.nodes:
+        if n.name in in_stack or not identity_block(n):
+            continue
+        prod = g[n.inputs[0]]
+        if (identity_block(prod) and prod.name not in in_stack
+                and sole_consumer(prod.name) is not None
+                and sole_consumer(prod.name).name == n.name):
+            continue  # picked up from the run head
+        run = [n]
+        cur = n
+        while True:
+            nxt = sole_consumer(cur.name)
+            if (nxt is None or not identity_block(nxt)
+                    or nxt.inputs[0] != cur.name):
+                break
+            # zero points must chain: next block's first-stage izp is the
+            # producer's res_add output zp
+            if int(nxt.attrs["stages"][0].get("input_zero_point", 0)) != \
+                    int(cur.attrs["res_add"].get("output_zero_point", 0)):
+                break
+            run.append(nxt)
+            cur = nxt
+        if len(run) >= 2:
+            stacks.append(run)
+            in_stack.update(x.name for x in run)
+
+    if not stacks:
+        return g
+
+    member = {x.name: run for run in stacks for x in run}
+    b = GraphBuilder(g.name)
+    mapping: dict[str, str] = {}
+    for n in g.nodes:
+        if n.is_var:
+            mapping[n.name] = b.var(n.name, n.shape, n.dtype)
+        elif n.is_const:
+            mapping[n.name] = b.const(g.params[n.name], name=n.name)
+    for n in g.nodes:
+        if n.name in mapping:
+            continue
+        run = member.get(n.name)
+        if run is not None:
+            if n.name != run[0].name:
+                continue  # emitted with the head
+            ins = [mapping[run[0].inputs[0]]]
+            blocks = []
+            for m in run:
+                # chain inputs: data, then (w [, bias]) per stage, then the
+                # residual (== data, dropped: the stack implies it)
+                for wb in m.inputs[1:-1]:
+                    ins.append(mapping[wb])
+                blocks.append({"stages": list(m.attrs["stages"]),
+                               "res_add": dict(m.attrs["res_add"])})
+            out = b.call("tk.conv2d_block_stack", *ins, name=run[-1].name,
+                         blocks=blocks, out_dtype="int8")
+            for m in run:
+                mapping[m.name] = out
+            continue
+        ins = [mapping[i] for i in n.inputs]
+        mapping[n.name] = b.call(n.op, *ins, name=n.name, **dict(n.attrs))
+    return infer_types(b.build([mapping[o] for o in g.outputs]))
+
+
+def _stack_split_args(node: Node, args):
+    """args -> (data, [[(w, bias|None) per stage] per block])."""
+    data = args[0]
+    rest = list(args[1:])
+    out = []
+    for blk in node.attrs["blocks"]:
+        stages = []
+        for st in blk["stages"]:
+            w = rest.pop(0)
+            bias = rest.pop(0) if st.get("has_bias") else None
+            stages.append((w, bias))
+        out.append(stages)
+    return data, out
+
+
+@infer_rule("tk.conv2d_block_stack")
+def _stack_rel(node, ins):
+    (ds, _) = ins[0]
+    arg = 1
+    cout = None
+    for blk in node.attrs["blocks"]:
+        for st in blk["stages"]:
+            cout = ins[arg][0][3]
+            arg += 2 if st.get("has_bias") else 1
+    return (ds[0], ds[1], ds[2], cout), "int8"
+
+
+@np_impl("tk.conv2d_block_stack")
+def _stack_np(*args, node: Node):
+    data, blocks_wb = _stack_split_args(node, args)
+    cur = np.asarray(data)
+    for blk, wb in zip(node.attrs["blocks"], blocks_wb):
+        block_in = cur
+        for st, (w, bias) in zip(blk["stages"], wb):
+            shadow = _chain_stage_node(st, node.name + "_st")
+            sargs = (cur, w) if bias is None else (cur, w, bias)
+            cur = get_op("tk.conv2d_rq").np_impl(*sargs, node=shadow)
+        if blk.get("res_add"):
+            cur = _res_add_np(np.asarray(cur), block_in,
+                              dict(blk["res_add"]))
+    return cur
+
+
+@jax_impl("tk.conv2d_block_stack")
+def _stack_jax(*args, node: Node):
+    import os
+
+    import jax
+
+    data, blocks_wb = _stack_split_args(node, args)
+    if jax.devices()[0].platform == "tpu" or \
+            os.environ.get("TK_FORCE_PALLAS"):
+        from ..ops.pallas.conv_flat import qconv2d_flat_block_stack
+
+        info = np.iinfo(np.int8)
+        blocks = []
+        for blk, wb in zip(node.attrs["blocks"], blocks_wb):
+            stages = []
+            for st, (w, bias) in zip(blk["stages"], wb):
+                stages.append(dict(
+                    w=w, bias=bias,
+                    multiplier=np.asarray(st["multiplier"], np.int32),
+                    shift=np.asarray(st["shift"], np.int32),
+                    izp=int(st.get("input_zero_point", 0)),
+                    out_zp=int(st.get("output_zero_point", 0)),
+                    rounding=st.get("rounding", "UPWARD"),
+                    qmin=max(int(st.get("a_min", info.min)), info.min),
+                    qmax=min(int(st.get("a_max", info.max)), info.max),
+                    padding=tuple(st["padding"]),
+                ))
+            rp = dict(blk["res_add"]) if blk.get("res_add") else None
+            blocks.append((stages, rp))
+        return qconv2d_flat_block_stack(data, blocks)
+    # CPU XLA: sequential chain + add (same code shape as _chain_jax)
+    import jax.numpy as jnp
+
+    from ..ops.fixed_point import requantize_jnp
+
+    cur = data
+    for blk, wb in zip(node.attrs["blocks"], blocks_wb):
+        block_in = cur
+        for st, (w, bias) in zip(blk["stages"], wb):
+            shadow = _chain_stage_node(st, node.name + "_st")
+            sargs = (cur, w) if bias is None else (cur, w, bias)
+            cur = get_op("tk.conv2d_rq").jax_impl(*sargs, node=shadow)
+        ra = blk.get("res_add")
+        if ra:
+            so = float(ra["output_scale"])
+            zo = int(ra.get("output_zero_point", 0))
+
+            def req(v, sc, zc):
+                if float(sc) == so and int(zc) == zo:
+                    return v.astype(jnp.int32)
+                return requantize_jnp(v.astype(jnp.int32), float(sc),
+                                      int(zc), so, zo,
+                                      rounding=ra.get("rounding", "UPWARD"),
+                                      out_dtype="int32")
+
+            ql = req(cur, ra["lhs_scale"], ra.get("lhs_zero_point", 0))
+            qr = req(block_in, ra["rhs_scale"],
+                     ra.get("rhs_zero_point", 0))
+            lo = max(int(ra.get("a_min", -128)), -128)
+            hi = min(int(ra.get("a_max", 127)), 127)
+            cur = jnp.clip(ql + qr - jnp.int32(zo), lo, hi).astype(jnp.int8)
+    return cur
+
+
+def _stack_flops(node: Node, ins):
+    (ds, _) = ins[0]
+    total = 0
+    arg = 1
+    for blk in node.attrs["blocks"]:
+        for st in blk["stages"]:
+            (ws, _) = ins[arg]
+            kh, kw, ci, co = ws
+            total += 2 * ds[0] * ds[1] * ds[2] * co * kh * kw * ci
+            arg += 2 if st.get("has_bias") else 1
+    return total
+
+
+register_op("tk.conv2d_block_stack", flops=_stack_flops)

@@ -199,6 +199,20 @@ def graph_tasks(graph, batch_hint: int | None = None) -> list[TuneTask]:
                 arg += 2 if st.get("has_bias") else 1
             nb, hh, ww = int(src.shape[0]), int(src.shape[1]), int(src.shape[2])
             key = ("ch", nb, hh, ww, tuple(dims))
+        elif n.op == "tk.conv2d_block_stack":
+            src = graph[n.inputs[0]]
+            bdims = []
+            arg = 1
+            for blk in n.attrs["blocks"]:
+                dims = []
+                for st in blk["stages"]:
+                    wsh = graph[n.inputs[arg]].shape
+                    dims.append((int(wsh[0]), int(wsh[2]), int(wsh[3])))
+                    arg += 2 if st.get("has_bias") else 1
+                bdims.append(tuple(dims))
+            nb, hh, ww = (int(src.shape[0]), int(src.shape[1]),
+                          int(src.shape[2]))
+            key = ("stk", nb, hh, ww, tuple(bdims))
         else:
             continue
         counts[key] = counts.get(key, 0) + 1
@@ -211,6 +225,12 @@ def graph_tasks(graph, batch_hint: int | None = None) -> list[TuneTask]:
         elif key[0] == "ch":
             _, nb, hh, ww, dims = key
             t = conv_chain_task(nb, hh, ww, list(dims), weight=cnt)
+        elif key[0] == "stk":
+            from .tuner import conv_stack_task
+
+            _, nb, hh, ww, bdims = key
+            t = conv_stack_task(nb, hh, ww, [list(d) for d in bdims],
+                                weight=cnt)
         else:
             _, shape, wsh, strides, padding, groups = key
             t = conv_flat_task(shape, wsh, strides, padding, groups,

@@ -426,3 +426,47 @@ def tune_conv_chain(n, h, w, stage_dims, db: TuneDatabase,
                       if err == NO_ERROR else f"err{err}: {msg[:60]}")
             print(f"  {workload} {cfg}: {status}", flush=True)
     return db.best(workload)
+
+
+def conv_stack_task(n, h, w, block_dims, weight: int = 1,
+                    bms=(256, 512, 1024), bn_caps=(128, 256)):
+    """(workload, configs, measure, meta_fn, weight) for a residual-block
+    STACK geometry (block_dims = [[(kh, cin, cout), ...] per block], every
+    block an identity residual, 'same' padding)."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas.conv_flat import (qconv2d_flat_block_stack,
+                                        stack_workload)
+    from ..ops.pallas.qms32 import plan_requantize
+
+    workload = stack_workload(n, h, w, block_dims)
+    rng = np.random.default_rng(0)
+    m, s = plan_requantize(0.0004, 0.05)
+    blocks = []
+    for dims in block_dims:
+        stages = []
+        for (kh, ci, co) in dims:
+            pad = kh // 2
+            stages.append(dict(
+                w=rng.integers(-127, 127, (kh, kh, ci, co)).astype(np.int8),
+                bias=rng.integers(-500, 500, (co,)).astype(np.int32),
+                multiplier=m, shift=s, izp=0, out_zp=0,
+                padding=(pad, pad, pad, pad)))
+        rp = dict(lhs_scale=0.05, lhs_zero_point=0, rhs_scale=0.04,
+                  rhs_zero_point=0, output_scale=0.04,
+                  output_zero_point=0, rounding="UPWARD")
+        blocks.append((stages, rp))
+    x = jnp.asarray(rng.integers(
+        -127, 127, (n, h, w, block_dims[0][0][1])).astype(np.int8))
+    macs = sum(n * h * w * co * kh * kh * ci
+               for dims in block_dims for (kh, ci, co) in dims)
+    configs = [{"bm": bm, "bn": bn} for bm in bms for bn in bn_caps]
+
+    def measure(cfg):
+        def fn(a, _bm=cfg["bm"], _bn=cfg["bn"]):
+            return qconv2d_flat_block_stack(a, blocks, bm=_bm, bn_cap=_bn)
+
+        return _measure_scan(fn, x)
+
+    meta_fn = lambda t: {"tops": round(2 * macs / t / 1e12, 2)}
+    return workload, configs, measure, meta_fn, weight

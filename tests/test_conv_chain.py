@@ -415,3 +415,169 @@ def test_wpack2_explicit_bm_survives_packed_record(rng):
                     return_value={"bm": 1024, "bn": 256}):
         qconv2d_flat_chain(x, stages, bm=512, interpret=True)
     assert seen and all(b == 512 for b in seen)
+
+
+# ---------------------------------------------------------------------------
+# block STACKS (round 5, stage-persistent layouts): consecutive identity-
+# residual blocks run entirely in frame layout — entry/exit paid once —
+# bit-exact vs the per-block chain + qnn.add path
+# ---------------------------------------------------------------------------
+
+
+def _qadd_ref(a, b, rp):
+    """Reference qnn.add on int8 tensors (ops/qnn semantics)."""
+    from tachikoma_tpu.ops.fixed_point import requantize_np
+
+    so = float(rp["output_scale"])
+    zo = int(rp.get("output_zero_point", 0))
+
+    def req(v, sc, zc):
+        if float(sc) == so and int(zc) == zo:
+            return v.astype(np.int32)
+        return requantize_np(v.astype(np.int32), float(sc), int(zc), so, zo,
+                             rounding=rp.get("rounding", "UPWARD"),
+                             out_dtype="int32")
+
+    lo = max(int(rp.get("a_min", -128)), -128)
+    hi = min(int(rp.get("a_max", 127)), 127)
+    return np.clip(req(a, rp["lhs_scale"], rp.get("lhs_zero_point", 0))
+                   + req(b, rp["rhs_scale"], rp.get("rhs_zero_point", 0))
+                   - np.int32(zo), lo, hi).astype(np.int8)
+
+
+def _stack_ref(x, blocks):
+    cur = x
+    for (sts, rp) in blocks:
+        y = _sequential(cur, sts)
+        if rp is not None:
+            y = _qadd_ref(y, cur, rp)
+        cur = y
+    return cur
+
+
+def _mkblock(rng, cin, mid, s_in, izp, zadd, kh=3):
+    """Identity bottleneck: 1x1 cin->mid, kh x kh mid->mid, 1x1 mid->cin,
+    fused residual add back to izp domain with output zp zadd."""
+    s1, s2, s3 = 5e-2, 4e-2, 6e-2
+    sts = [_mkstage(rng, 1, cin, mid, s_in, s1, izp, 1),
+           _mkstage(rng, kh, mid, mid, s1, s2, 1, -2),
+           _mkstage(rng, 1, mid, cin, s2, s3, -2, 2)]
+    rp = dict(lhs_scale=s3, lhs_zero_point=2, rhs_scale=s_in,
+              rhs_zero_point=izp, output_scale=s_in, output_zero_point=zadd,
+              rounding="UPWARD")
+    return (sts, rp)
+
+
+def test_block_stack_two_identity_blocks(rng):
+    from tachikoma_tpu.ops.pallas.conv_flat import qconv2d_flat_block_stack
+
+    s_in = 3e-2
+    b1 = _mkblock(rng, 16, 8, s_in, 3, 3)     # zadd == next izp
+    b2 = _mkblock(rng, 16, 8, s_in, 3, 0)
+    x = rng.integers(-127, 127, (2, 9, 10, 16)).astype(np.int8)
+    got = np.asarray(qconv2d_flat_block_stack(x, [b1, b2], interpret=True))
+    want = _stack_ref(x, [b1, b2])
+    assert got.shape == want.shape
+    assert (got == want).all(), \
+        np.abs(got.astype(int) - want.astype(int)).max()
+
+
+def test_block_stack_three_blocks_with_clip(rng):
+    from tachikoma_tpu.ops.pallas.conv_flat import qconv2d_flat_block_stack
+
+    s_in = 2e-2
+    blocks = []
+    for i, zadd in enumerate((1, -3, 0)):
+        izp = 1 if i == 0 else (1, -3, 0)[i - 1]
+        (sts, rp) = _mkblock(rng, 24, 16, s_in, izp, zadd)
+        rp["a_min"], rp["a_max"] = -100, 100
+        blocks.append((sts, rp))
+    x = rng.integers(-127, 127, (1, 8, 8, 24)).astype(np.int8)
+    got = np.asarray(qconv2d_flat_block_stack(x, blocks, interpret=True))
+    want = _stack_ref(x, blocks)
+    assert (got == want).all(), \
+        np.abs(got.astype(int) - want.astype(int)).max()
+
+
+def test_block_stack_mixed_residual_and_plain(rng):
+    """A block without residual in the middle of the stack (plain chain)
+    still persists the frame layout."""
+    from tachikoma_tpu.ops.pallas.conv_flat import qconv2d_flat_block_stack
+
+    s_in = 3e-2
+    b1 = _mkblock(rng, 16, 8, s_in, 0, 2)
+    mid = ([_mkstage(rng, 3, 16, 16, s_in, s_in, 2, 1)], None)
+    b3 = _mkblock(rng, 16, 8, s_in, 1, 0)
+    x = rng.integers(-127, 127, (2, 8, 8, 16)).astype(np.int8)
+    got = np.asarray(qconv2d_flat_block_stack(x, [b1, mid, b3],
+                                              interpret=True))
+    want = _stack_ref(x, [b1, mid, b3])
+    assert (got == want).all(), \
+        np.abs(got.astype(int) - want.astype(int)).max()
+
+
+def test_block_stack_wpack_eligible(rng):
+    """C<=64 stacks width-pack as a whole (stage1 geometry)."""
+    from tachikoma_tpu.ops.pallas.conv_flat import qconv2d_flat_block_stack
+
+    s_in = 3e-2
+    b1 = _mkblock(rng, 32, 16, s_in, 0, 1)
+    b2 = _mkblock(rng, 32, 16, s_in, 1, 0)
+    x = rng.integers(-127, 127, (1, 6, 8, 32)).astype(np.int8)
+    got = np.asarray(qconv2d_flat_block_stack(x, [b1, b2], interpret=True))
+    nop = np.asarray(qconv2d_flat_block_stack(x, [b1, b2], interpret=True,
+                                              wpack=False))
+    want = _stack_ref(x, [b1, b2])
+    assert (nop == want).all()
+    assert (got == want).all()
+
+
+def test_graph_level_block_stack_fusion(rng):
+    """quantize -> fuse on a 3-identity-block residual tower produces ONE
+    tk.conv2d_block_stack; oracle == XLA (Pallas interpret) == the unfused
+    quantized graph, bit-exact."""
+    import os
+
+    from tachikoma_tpu import GraphBuilder, infer_types, run_graph
+    from tachikoma_tpu.quantize.quantizer import quantize
+    from tachikoma_tpu.runtime.executor import JaxExecutor
+    from tachikoma_tpu.runtime.fuse import fuse_qnn
+
+    b = GraphBuilder()
+    x = b.var("x", (2, 10, 10, 16), "float32")
+
+    def conv(src, cin, cout, name, relu=True):
+        w = b.const(rng.standard_normal((3, 3, cin, cout)).astype(np.float32)
+                    * 0.15, name + "_w")
+        c = b.call("nn.conv2d", src, w, padding=(1, 1, 1, 1), name=name)
+        return b.call("nn.relu", c) if relu else c
+
+    h = x
+    for i in range(3):
+        y = conv(conv(h, 16, 16, f"b{i}c1"), 16, 16, f"b{i}c2", relu=False)
+        h = b.call("nn.relu", b.call("add", y, h, name=f"b{i}add"))
+    g = infer_types(b.build(h))
+    calib = [rng.standard_normal((2, 10, 10, 16)).astype(np.float32)
+             for _ in range(2)]
+    qg = quantize(g, calib)
+    fg = fuse_qnn(qg)
+    ops = [n.op for n in fg.nodes if not (n.is_var or n.is_const)]
+    assert "tk.conv2d_block_stack" in ops
+    # at most the first block stays a lone chain (its producer is the
+    # graph input, not an identity block)
+    assert ops.count("tk.conv2d_chain") <= 1
+
+    o = run_graph(fg, calib[0])
+    os.environ["TK_FORCE_PALLAS"] = "1"
+    try:
+        j = JaxExecutor(fg).run(calib[0])
+    finally:
+        os.environ.pop("TK_FORCE_PALLAS", None)
+    u = run_graph(qg, calib[0])
+    for a, c, uu in zip(o, j, u):
+        a, c, uu = np.asarray(a), np.asarray(c), np.asarray(uu)
+        if a.dtype.kind in "iu":
+            assert (a == c).all() and (a == uu).all()
+        else:
+            np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(a, uu, rtol=1e-5, atol=1e-6)

@@ -74,12 +74,31 @@ def test_graph_tasks_counts_occurrences():
     fg = fuse_qnn(qg)
     tasks = graph_tasks(fg)
     assert tasks, "expected tunable workloads"
-    # chains are tasks too (fuse absorbs repeated stage convs into them)
-    assert any(t.workload.startswith("qconv2d_chain/") for t in tasks), \
-        [t.workload for t in tasks]
-    # repeated shapes carry multiplicity, not dedupe to 1
-    assert any(t.weight >= 2 for t in tasks), \
-        [(t.workload, t.weight) for t in tasks]
+    # chains/stacks are tasks too (fuse absorbs repeated stage convs into
+    # them; round 5: identity-residual runs further fuse into stacks)
+    assert any(t.workload.startswith(("qconv2d_chain/", "qconv2d_stack/"))
+               for t in tasks), [t.workload for t in tasks]
     # every task is runnable-shaped
     for t in tasks:
         assert t.configs and callable(t.measure)
+
+    # repeated shapes carry multiplicity, not dedupe to 1 (round 5: the
+    # resnet-18 repeats all fused into stacks, so build the repeat
+    # explicitly: two identical lone convs)
+    from tachikoma_tpu import GraphBuilder, infer_types
+
+    b = GraphBuilder()
+    x = b.var("x", (1, 8, 8, 8), "float32")
+    h = x
+    for i in range(2):
+        w = b.const(rng.standard_normal((3, 3, 8, 8)).astype(np.float32)
+                    * 0.2, f"w{i}")
+        h = b.call("nn.relu", b.call("nn.conv2d", h, w,
+                                     padding=(1, 1, 1, 1), name=f"c{i}"))
+        h = b.call("nn.max_pool2d", h, pool_size=(1, 1), strides=(1, 1),
+                   padding=(0, 0, 0, 0), name=f"p{i}")  # break chaining
+    g2 = infer_types(b.build(h))
+    qg2 = quantize(g2, [rng.standard_normal((1, 8, 8, 8)).astype(np.float32)])
+    t2 = graph_tasks(fuse_qnn(qg2))
+    assert any(t.weight >= 2 for t in t2), \
+        [(t.workload, t.weight) for t in t2]
