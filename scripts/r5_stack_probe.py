@@ -1,0 +1,124 @@
+"""On-chip probe: stage-persistent block stacks vs per-block chains.
+
+Measures the ResNet-50 identity-block geometries (stage1 56x56 C256/mid64
+x2 blocks, stage2 28x28 C512/mid128 x3, stage3 14x14 C1024/mid256 x5,
+stage4 7x7 C2048/mid512 x2) at b8:
+
+  * old: per-block qconv2d_flat_chain with the fused residual epilogue
+    (entry pad + exit extract per block)
+  * new: qconv2d_flat_block_stack (entry/exit once per stack)
+
+Outputs verified EQUAL before timing (measurement safety rule).  One TPU
+process; writes JSON to /tmp/r5/stack_probe.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+OUT = "/tmp/r5/stack_probe.json"
+os.makedirs("/tmp/r5", exist_ok=True)
+
+
+def mkstage(rng, kh, cin, cout, izp, out_zp):
+    from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
+
+    m, s = plan_requantize(0.03, 0.04)
+    pad = kh // 2
+    return dict(w=rng.integers(-127, 127, (kh, kh, cin, cout)).astype(np.int8),
+                bias=rng.integers(-500, 500, (cout,)).astype(np.int32),
+                multiplier=m, shift=s, izp=izp, out_zp=out_zp,
+                padding=(pad, pad, pad, pad))
+
+
+def mkblock(rng, cin, mid, izp, zadd):
+    sts = [mkstage(rng, 1, cin, mid, izp, 1),
+           mkstage(rng, 3, mid, mid, 1, -2),
+           mkstage(rng, 1, mid, cin, -2, 2)]
+    rp = dict(lhs_scale=0.04, lhs_zero_point=2, rhs_scale=0.03,
+              rhs_zero_point=izp, output_scale=0.03, output_zero_point=zadd,
+              rounding="UPWARD")
+    return (sts, rp)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from tachikoma_tpu.ops.pallas.conv_flat import (qconv2d_flat_block_stack,
+                                                    qconv2d_flat_chain)
+    from tachikoma_tpu.utils.timing import median_iqr, per_iter_chain_samples
+
+    import jax
+
+    dev = jax.devices()[0]
+    print("device", dev, flush=True)
+    results = {}
+    geos = [("s1", 8, 56, 256, 64, 2),
+            ("s2", 8, 28, 512, 128, 3),
+            ("s3", 8, 14, 1024, 256, 5),
+            ("s4", 8, 7, 2048, 512, 2)]
+    rng = np.random.default_rng(0)
+    for name, n, hw, cin, mid, nblocks in geos:
+        blocks = []
+        izp = 3
+        for i in range(nblocks):
+            zadd = 3  # keep izp chain uniform so blocks compose
+            blocks.append(mkblock(rng, cin, mid, izp, zadd))
+            izp = zadd
+        x = rng.integers(-127, 127, (n, hw, hw, cin)).astype(np.int8)
+        xd = jnp.asarray(x)
+
+        def old_fn(a):
+            cur = a
+            for (sts, rp) in blocks:
+                cur = qconv2d_flat_chain(cur, sts, residual=cur,
+                                         res_params=rp)
+            return cur
+
+        def new_fn(a):
+            return qconv2d_flat_block_stack(a, blocks)
+
+        # verify before timing
+        t0 = time.time()
+        o_old = np.asarray(old_fn(xd))
+        o_new = np.asarray(new_fn(xd))
+        same = bool((o_old == o_new).all())
+        print(f"{name}: verify equal={same} (compile+run "
+              f"{time.time()-t0:.1f}s)", flush=True)
+        if not same:
+            results[name] = {"error": "OUTPUT MISMATCH"}
+            continue
+
+        def feedback(a, out):
+            # FULL-output dependence: XLA glue (exit extract slices) wraps
+            # the opaque Pallas calls, so a scalar feedback would let XLA
+            # narrow the exit — the exact cost the probe must count
+            return a ^ (out & 1)
+
+        macs = sum(n * hw * hw * co * kh * kh * ci
+                   for (sts, _) in blocks
+                   for (kh, ci, co) in [(st["w"].shape[0], st["w"].shape[2],
+                                         st["w"].shape[3]) for st in sts])
+        row = {}
+        for tag, fn in (("chain_per_block", old_fn), ("stack", new_fn)):
+            xs = per_iter_chain_samples(fn, xd, feedback, samples=5)
+            med, iqr = median_iqr(xs)
+            row[tag] = {"us": round(med * 1e6, 1),
+                        "iqr_us": round(iqr * 1e6, 1),
+                        "useful_tops": round(2 * macs / med / 1e12, 1)}
+            print(f"{name} {tag}: {row[tag]}", flush=True)
+        row["speedup"] = round(row["chain_per_block"]["us"]
+                               / row["stack"]["us"], 3)
+        results[name] = row
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
