@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import io
 from typing import BinaryIO, Mapping
+import os
 
 import numpy as np
 
@@ -321,17 +322,30 @@ class TraceEmitter:
                 values[n.name] = g.params[n.name]
 
         fetch_wait = 0.0
+        fetched_bytes = 0
         try:
             import jax  # noqa: F401
 
-            flat, spec, groups = self._pack_groups(names, outs, chunks=4)
+            chunks = int(os.environ.get("TK_TRACE_CHUNKS", "6"))
+            flat, spec, groups = self._pack_groups(names, outs,
+                                                   chunks=chunks)
             if self._pack_fn is None:
                 self._fetch_packed(names[:0], [])  # builds self._pack_fn
             packed = [self._pack_fn(*flat[lo:hi]) for lo, hi in groups]
-            from concurrent.futures import ThreadPoolExecutor
-
-            pool = ThreadPoolExecutor(max_workers=2)
-            futs = [pool.submit(np.asarray, p) for p in packed]
+            fetched_bytes = sum(int(p.size) for p in packed)
+            # start ALL transfers as runtime-driven async d2h copies: the
+            # round-4 thread-pool overlap measured fetch+serialize SUMMING
+            # (python-transport transfers contend the GIL with the record
+            # writer); copy_to_host_async needs no python thread at all —
+            # the device runtime streams while the main thread serializes
+            pool = None
+            futs = []
+            for p in packed:
+                try:
+                    p.copy_to_host_async()
+                except Exception:  # plugin without async host copies
+                    pass
+                futs.append(p)
         except Exception:  # pragma: no cover — unpackable structure
             vals = self._fetch_packed(names, outs)
             values.update(vals)
@@ -381,7 +395,7 @@ class TraceEmitter:
         for (lo, hi), fut in zip(groups, futs):
             if fut is not None:
                 t1 = time.perf_counter()
-                buf = fut.result()
+                buf = np.asarray(fut)   # ready if the async copy landed
                 fetch_wait += time.perf_counter() - t1
                 self._slice_group(buf, spec, lo, hi, values)
             write_ready()
@@ -389,7 +403,8 @@ class TraceEmitter:
             pool.shutdown(wait=False)
         w.finish()
         self.last_timings = {"dispatch_s": t_dispatch,
-                             "fetch_s": fetch_wait}
+                             "fetch_s": fetch_wait,
+                             "fetched_bytes": fetched_bytes}
         return len(comp)
 
 
