@@ -133,7 +133,11 @@ def bench_int8_conv_kernel():
     from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
 
     n, h, w, cin, cout, k = 8, 56, 56, 128, 128, 3
-    bm = 1024
+    # flexible bm (round-5 kernel probe, all variants bit-verified): bm
+    # need not be a power of two — any multiple of 32 that DIVIDES the
+    # n*fh row count makes the grid round-up zero (useful rows 0.875 ->
+    # 0.901; measured best 27.5 us vs 28.1 at pow2-bm1024)
+    bm = 1856
     rng = np.random.default_rng(0)
     x = rng.integers(-127, 127, (n, h, w, cin)).astype(np.int8)
     wt = rng.integers(-127, 127, (k, k, cin, cout)).astype(np.int8)
@@ -143,6 +147,7 @@ def bench_int8_conv_kernel():
     hph, wph = h + 2 * pad, _round_up(w + 2 * pad, 4)
     cin_p, cout_p = _round_up(cin, 128), _round_up(cout, 128)
     fh, mp, fhx = _flat_lengths(n, hph, wph, k, k, bm)
+    assert mp == n * fh, "bm must divide n*fh exactly (flex-bm geometry)"
     xpad = np.zeros((n, hph, wph, cin), np.int8)
     xpad[:, pad:pad + h, pad:pad + w, :] = x
     xf = np.zeros((fhx, cin_p), np.int8)
