@@ -709,6 +709,22 @@ def qconv2d_flat(
             x, w, bias_arr, multiplier, shift, strides, padding,
             input_zero_point, out_zp, rounding, out_dtype, qmin, qmax)
 
+    # XLA-native int8 conv routes (round 5; full-output-feedback protocol,
+    # scripts/r5_xla_conv_probe.py, all output-verified):
+    #   * depthwise: XLA 3-5x the VPU tap path (112^2c96s2: 41 vs 209 us)
+    #   * strided kh*kw>1: XLA+exact-rq 25.1 us vs 52 us polyphase at the
+    #     ResNet stage boundary (3x3 s2 56->28 C128->256)
+    # TK_CONV_ROUTE=pallas opts out (A/B knob); =xla forces it for
+    # stride-1 lone calls too.
+    route = os.environ.get("TK_CONV_ROUTE", "")
+    if fuse and out_dtype in ("int8", "uint8") and route != "pallas":
+        dw = groups == cin and wcin == 1 and groups > 1
+        strided = groups == 1 and (sh, sw) != (1, 1) and kh * kw > 1
+        if dw or strided or route == "xla":
+            return _conv_xla_int8(
+                x, w, bias_arr, m_arr, s_arr, strides, padding, groups,
+                input_zero_point, out_zp, rounding, out_dtype, qmin, qmax)
+
     if groups == 1:
         return _conv_mxu(
             x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
@@ -721,6 +737,45 @@ def qconv2d_flat(
             x, w, bias_arr, m_arr, s_arr, shift_values, strides, padding,
             input_zero_point, out_zp, rounding, out_dtype, qmin, qmax, interp)
     raise NotImplementedError("flat conv supports groups==1 or depthwise")
+
+
+def _conv_xla_int8(x, w, bias_arr, m_arr, s_arr, strides, padding, groups,
+                   izp, out_zp, rounding, out_dtype, qmin, qmax):
+    """XLA-native int8 conv (int32 MXU accumulation) + exact XLA-side
+    requantize (qms32.q_multiply_shift_u32's high-word fast path).
+
+    Exactness: int8 x int8 -> int32 accumulation is exact; qnn's izp
+    border padding is PRE-APPLIED (XLA pads zeros) so the standard
+    colsum-into-bias izp fold (already done by the caller) holds at the
+    borders; the requantize is the pinned fixed-point semantics
+    (requantize.cc), bit-equal to the oracle."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .qms32 import q_multiply_shift_u32
+
+    pt, pl_, pb, pr = padding
+    if pt or pl_ or pb or pr:
+        x = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+                    constant_values=np.int8(izp))
+    acc = lax.conv_general_dilated(
+        x, jnp.asarray(w), strides, ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32)
+    acc = acc + bias_arr.reshape(1, 1, 1, -1)
+    if m_arr.size > 1 or s_arr.size > 1:
+        mm = np.broadcast_to(m_arr, (acc.shape[-1],)).reshape(1, 1, 1, -1)
+        ss = np.broadcast_to(s_arr, (acc.shape[-1],)).reshape(1, 1, 1, -1)
+        v = q_multiply_shift_u32(acc, np.ascontiguousarray(mm),
+                                 np.ascontiguousarray(ss), rounding)
+    else:
+        v = q_multiply_shift_u32(acc, int(m_arr.ravel()[0]),
+                                 int(s_arr.ravel()[0]), rounding)
+    if out_zp:
+        v = v + jnp.int32(out_zp)
+    return jnp.clip(v, jnp.int32(qmin),
+                    jnp.int32(qmax)).astype(jnp.dtype(out_dtype))
 
 
 def _conv_f32_exact(x, w, bias_arr, multiplier, shift, strides, padding,
