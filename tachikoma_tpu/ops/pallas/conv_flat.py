@@ -709,18 +709,19 @@ def qconv2d_flat(
             x, w, bias_arr, multiplier, shift, strides, padding,
             input_zero_point, out_zp, rounding, out_dtype, qmin, qmax)
 
-    # XLA-native int8 conv routes (round 5; full-output-feedback protocol,
-    # scripts/r5_xla_conv_probe.py, all output-verified):
-    #   * depthwise: XLA 3-5x the VPU tap path (112^2c96s2: 41 vs 209 us)
-    #   * strided kh*kw>1: XLA+exact-rq 25.1 us vs 52 us polyphase at the
-    #     ResNet stage boundary (3x3 s2 56->28 C128->256)
-    # TK_CONV_ROUTE=pallas opts out (A/B knob); =xla forces it for
-    # stride-1 lone calls too.
+    # XLA-native int8 conv route (round 5; full-output-feedback protocol,
+    # scripts/r5_xla_conv_probe.py, all output-verified): DEPTHWISE routes
+    # through XLA — 3-5x the VPU tap path isolated (112^2c96s2: 41 vs
+    # 209 us) and 1.8-2.1x e2e (MobileNetV2 b8 2.93 -> 1.38 ms).  The
+    # strided groups==1 route measured 2x isolated (25.1 vs 52 us) but
+    # REGRESSED e2e (ResNet-50 b8 2.445 -> 3.23 ms: the int32 round trip
+    # + layout conversion next to Pallas consumers — the round-4
+    # XLA-composed-with-Pallas-operand pathology), so it is opt-in only.
+    # TK_CONV_ROUTE=pallas opts out entirely; =xla forces XLA everywhere.
     route = os.environ.get("TK_CONV_ROUTE", "")
     if fuse and out_dtype in ("int8", "uint8") and route != "pallas":
         dw = groups == cin and wcin == 1 and groups > 1
-        strided = groups == 1 and (sh, sw) != (1, 1) and kh * kw > 1
-        if dw or strided or route == "xla":
+        if dw or route == "xla":
             return _conv_xla_int8(
                 x, w, bias_arr, m_arr, s_arr, strides, padding, groups,
                 input_zero_point, out_zp, rounding, out_dtype, qmin, qmax)
