@@ -63,10 +63,13 @@ def main():
         ref = np.asarray(anchor(xj))
 
         def fb(a, out):
-            o = (out & 1).astype(jnp.int8)
-            t = jnp.tile(o, (1, 2, 2, 43))[:, :a.shape[1], :a.shape[2],
-                                           :a.shape[3]]
-            return a ^ t
+            # FULL dependence at tiny cost: every output element feeds the
+            # channel-sum; XLA cannot narrow the conv through it.  (The
+            # first version tiled the whole output to a's 224^2 shape — a
+            # 6.6M-element op that dominated timing and crashed the remote
+            # compiler.)
+            t = (out & 1).astype(jnp.int32).sum(axis=-1).astype(jnp.int8)
+            return a.at[:, :t.shape[1], :t.shape[2], 0].add(t)
 
         def timeit(tag, fn, x_in, verify=True):
             try:
