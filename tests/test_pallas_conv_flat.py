@@ -278,3 +278,31 @@ def test_flat_conv_requantize_tiers(rng, ratio, zp):
     want = oracle(x, w, np.zeros(32, np.int32), ratio * 0.05, 0.05, zp,
                   (1, 1), (1, 1, 1, 1), 1, 0)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("route", ["pallas", "xla", ""])
+def test_conv_routes_bitexact(rng, route, monkeypatch):
+    """Round 5: depthwise defaults to the XLA-native int8 route (3-5x the
+    VPU path on-chip) — BOTH routes must stay bit-exact vs the oracle, and
+    the opt-in TK_CONV_ROUTE knob must select them (''=auto, 'pallas'
+    forces the VPU tap path, 'xla' forces XLA even for stride-1 dense)."""
+    monkeypatch.setenv("TK_CONV_ROUTE", route)
+    for shape, k, strides, padding, groups in (
+            ((2, 10, 10, 24), 3, (1, 1), (1, 1, 1, 1), 24),   # dw s1
+            ((1, 11, 11, 16), 3, (2, 2), (1, 1, 1, 1), 16),   # dw s2
+            ((1, 9, 9, 8), 3, (2, 2), (1, 1, 1, 1), 1)):      # dense s2
+        n, h, wd, cin = shape
+        cout = cin if groups > 1 else 12
+        x = rng.integers(-127, 127, shape).astype(np.int8)
+        w = rng.integers(-127, 127,
+                         (k, k, cin // groups, cout)).astype(np.int8)
+        bias = rng.integers(-400, 400, (cout,)).astype(np.int32)
+        scales = np.full((cout,), 3e-4, np.float64)
+        m_arr, s_arr = plan_requantize(scales, 0.07)
+        got = np.asarray(qconv2d_flat(
+            x, w, bias=bias, multiplier=m_arr, shift=s_arr,
+            strides=strides, padding=padding, groups=groups, out_zp=2,
+            input_zero_point=3))
+        want = oracle(x, w, bias, scales, 0.07, 2, strides, padding,
+                      groups, 3)
+        assert (got == want).all(), (route, shape, groups)
