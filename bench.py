@@ -49,12 +49,12 @@ V5E_BF16_TFLOPS = 197.0
 PROBE_TIMEOUT = 150
 PROBE_SLEEP = 90
 MAX_PROBES = 8
-PAYLOAD_TIMEOUT = 2100
+PAYLOAD_TIMEOUT = 2700  # 8 sub-benches; a full cold run measured ~35 min
 COOLDOWN = int(os.environ.get("TK_BENCH_COOLDOWN", "150"))
 DEADLINE = 80 * 60  # overall wall-clock cap for the whole harness
 
-_ALL_SUBBENCHES = ("conv", "conv_kernel", "matmul", "chain", "resnet50",
-                   "resnet50_b32", "trace")
+_ALL_SUBBENCHES = ("conv", "conv_kernel", "matmul", "chain", "stack",
+                   "resnet50", "resnet50_b32", "trace")
 # TK_BENCH_ONLY=conv,chain restricts the run (smoke tests / reruns)
 SUBBENCH_KEYS = tuple(
     k for k in _ALL_SUBBENCHES
@@ -267,6 +267,55 @@ def bench_conv_chain():
             "gops_e2e_d6": 2 * macs / per_d6 / 1e9, "time_d6_s": per_d6}
 
 
+def bench_conv_stack():
+    """Stage-persistent residual-block STACK at the ResNet-50 28^2 stage
+    shape (3 identity bottlenecks C512/mid128) — the round-5 layout
+    discipline: one entry/exit for the whole stage, fused residual adds
+    reading the block-input frame in-register.  Production-realistic
+    requantize ratios (weight scale included — shift -4..-8, the clamped
+    epilogue window real conv layers land in)."""
+    import jax.numpy as jnp
+
+    from tachikoma_tpu.ops.pallas.conv_flat import qconv2d_flat_block_stack
+    from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
+
+    n, hw, cin, mid = 8, 28, 512, 128
+    rng = np.random.default_rng(0)
+    m, s = plan_requantize(0.0004, 0.05)
+
+    def mk(kh, ci, co, izp, ozp):
+        pad = kh // 2
+        return dict(
+            w=rng.integers(-127, 127, (kh, kh, ci, co)).astype(np.int8),
+            bias=rng.integers(-500, 500, (co,)).astype(np.int32),
+            multiplier=m, shift=s, izp=izp, out_zp=ozp,
+            padding=(pad, pad, pad, pad))
+
+    blocks = []
+    izp = 0
+    for _ in range(3):
+        sts = [mk(1, cin, mid, izp, 0), mk(3, mid, mid, 0, 0),
+               mk(1, mid, cin, 0, 0)]
+        rp = dict(lhs_scale=0.05, lhs_zero_point=0, rhs_scale=0.04,
+                  rhs_zero_point=izp, output_scale=0.04,
+                  output_zero_point=0, rounding="UPWARD")
+        blocks.append((sts, rp))
+        izp = 0
+    x = jnp.asarray(rng.integers(-127, 127,
+                                 (n, hw, hw, cin)).astype(np.int8))
+
+    def fn(a):
+        return qconv2d_flat_block_stack(a, blocks)
+
+    def feedback(a, out):
+        return a ^ (out & 1)
+
+    per, iqr = _per_iter_stats(fn, x, feedback)
+    macs = sum(n * hw * hw * st["w"].shape[3] * st["w"].shape[0] ** 2
+               * st["w"].shape[2] for (sts, _) in blocks for st in sts)
+    return {"gops": 2 * macs / per / 1e9, "time_s": per, "iqr_s": iqr}
+
+
 def _bench_resnet50_batch(batch):
     """Quantized+fused ResNet-50 end-to-end latency at a given batch, plus
     the static graph op count for MFU reporting."""
@@ -361,6 +410,7 @@ _SUBBENCHES = {
     "conv_kernel": bench_int8_conv_kernel,
     "matmul": bench_int8_matmul_pallas,
     "chain": bench_conv_chain,
+    "stack": bench_conv_stack,
     "resnet50": bench_resnet50_e2e,
     "resnet50_b32": bench_resnet50_b32,
     "trace": bench_trace_gen,
@@ -454,6 +504,7 @@ def _emit(state):
     ck = state.get("conv_kernel") or {}
     mm = state.get("matmul") or {}
     chain = state.get("chain") or {}
+    stk = state.get("stack") or {}
     r50 = state.get("resnet50") or {}
     r50b32 = state.get("resnet50_b32") or {}
     tr = state.get("trace") or {}
@@ -512,6 +563,9 @@ def _emit(state):
             "int8_conv_chain_roofline_frac": round(frac(chain), 4),
             "int8_conv_chain_d6_gops": round(
                 float(chain.get("gops_e2e_d6", 0.0) or 0.0), 2),
+            "int8_conv_stack_gops": round(gops(stk), 2),
+            "int8_conv_stack_roofline_frac": round(frac(stk), 4),
+            "stack_time_iqr_ms": iqr_ms(stk),
             "conv_time_iqr_ms": iqr_ms(conv),
             "conv_kernel_time_iqr_ms": iqr_ms(ck),
             "matmul_time_iqr_ms": iqr_ms(mm),

@@ -34,7 +34,7 @@ def test_crashed_first_attempt_still_emits_json(tmp_path):
     assert out["metric"] == "int8_conv_chain_gops"
     assert out["value"] > 0
     assert set(out["extra"]["completed"]) == {
-        "conv", "conv_kernel", "matmul", "chain", "resnet50",
+        "conv", "conv_kernel", "matmul", "chain", "stack", "resnet50",
         "resnet50_b32", "trace"}
     assert "simulated crash" in r.stderr
     assert "payload attempt 2" in r.stderr
