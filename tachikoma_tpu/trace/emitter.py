@@ -333,19 +333,20 @@ class TraceEmitter:
                 self._fetch_packed(names[:0], [])  # builds self._pack_fn
             packed = [self._pack_fn(*flat[lo:hi]) for lo, hi in groups]
             fetched_bytes = sum(int(p.size) for p in packed)
-            # start ALL transfers as runtime-driven async d2h copies: the
-            # round-4 thread-pool overlap measured fetch+serialize SUMMING
-            # (python-transport transfers contend the GIL with the record
-            # writer); copy_to_host_async needs no python thread at all —
-            # the device runtime streams while the main thread serializes
-            pool = None
-            futs = []
+            # overlap: hint the runtime (copy_to_host_async — a no-op on
+            # plugins without async host copies) AND drive the transfers
+            # from ONE background thread in group order (np.asarray over
+            # the tunnel does not hold the GIL — measured, round-5 trace
+            # probe — so the record walk below runs concurrently).
             for p in packed:
                 try:
                     p.copy_to_host_async()
-                except Exception:  # plugin without async host copies
+                except Exception:
                     pass
-                futs.append(p)
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            futs = [pool.submit(np.asarray, p) for p in packed]
         except Exception:  # pragma: no cover — unpackable structure
             vals = self._fetch_packed(names, outs)
             values.update(vals)
@@ -392,19 +393,28 @@ class TraceEmitter:
                          else [(ROLE_OUTPUT, np.asarray(out))])
                 w.write_node(node_id, n, ins, outs_)
 
+        group_waits = []
+        group_walks = []
         for (lo, hi), fut in zip(groups, futs):
             if fut is not None:
                 t1 = time.perf_counter()
-                buf = np.asarray(fut)   # ready if the async copy landed
-                fetch_wait += time.perf_counter() - t1
+                buf = fut.result() if hasattr(fut, "result") \
+                    else np.asarray(fut)
+                t2 = time.perf_counter()
+                fetch_wait += t2 - t1
+                group_waits.append(round(t2 - t1, 3))
                 self._slice_group(buf, spec, lo, hi, values)
+            t3 = time.perf_counter()
             write_ready()
+            group_walks.append(round(time.perf_counter() - t3, 3))
         if pool is not None:
             pool.shutdown(wait=False)
         w.finish()
         self.last_timings = {"dispatch_s": t_dispatch,
                              "fetch_s": fetch_wait,
-                             "fetched_bytes": fetched_bytes}
+                             "fetched_bytes": fetched_bytes,
+                             "group_waits": group_waits,
+                             "group_walks": group_walks}
         return len(comp)
 
 
