@@ -1952,12 +1952,19 @@ def qconv2d_flat_block_stack(x, blocks, *, bm=None, bn_cap=128,
             bm = int(cfg["bm"])
             if "bn" in cfg:
                 bn_cap = int(cfg["bn"])
+            # measured (round 5, 56^2 C256/m64 stack): width-packing HURTS
+            # stacks where bn=512 is available unpacked — packing doubles
+            # channels, shrinking bk under VMEM and capping bn; the tuner
+            # records the arbitration as a per-workload "wpack" flag
+            if wpack is None and "wpack" in cfg:
+                wpack = bool(cfg["wpack"])
         else:
             bm = 512
     # width-packing: pack every block's stages; identity residuals ride the
     # same free reshape
-    if wpack is None and _chain_wpack2_eligible(wd, all_stages) \
-            and os.environ.get("TK_NO_WPACK") != "1" \
+    if ((wpack is True and _chain_wpack2_structural(wd, all_stages))
+            or (wpack is None and _chain_wpack2_eligible(wd, all_stages)
+                and os.environ.get("TK_NO_WPACK") != "1")) \
             and _wpack2_feasible(n, h, wd, all_stages, bn_cap, bm):
         pb = [([_wpack2_stage(st) for st in sts], rp)
               for (sts, rp) in blocks]
