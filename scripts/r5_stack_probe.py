@@ -28,7 +28,11 @@ os.makedirs("/tmp/r5", exist_ok=True)
 def mkstage(rng, kh, cin, cout, izp, out_zp):
     from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
 
-    m, s = plan_requantize(0.03, 0.04)
+    # PRODUCTION-realistic requantize ratio: s_in * s_weight / s_out —
+    # shifts land at -4..-8 and hit the clamped epilogue, like real conv
+    # layers do.  (The original 0.03/0.04 ratio gave shift 0/+1 and the
+    # 4-mult fallback tree, under-reading stacks ~2-3x vs the tuner.)
+    m, s = plan_requantize(0.0004, 0.05)
     pad = kh // 2
     return dict(w=rng.integers(-127, 127, (kh, kh, cin, cout)).astype(np.int8),
                 bias=rng.integers(-500, 500, (cout,)).astype(np.int32),
