@@ -82,10 +82,12 @@ register_op("dyn.nonzero",
 # JAX impl (reachable only with concrete shape inputs), and
 # runtime/dynshape.py's dispatch-time specializer — all three paths execute
 # the SAME static-twin rewrite, so oracle == specialized == jax by
-# construction.  Covers the reference dyn registry's transform/algorithm
-# ops (/root/reference/src/relay/op/dyn/tensor/transform.cc,
-# algorithm/topk.cc): reshape, tile, broadcast_to, full, one_hot,
-# strided_slice, topk.
+# construction.  Covers the FULL reference dyn registry
+# (/root/reference/src/relay/op/dyn/: tensor/transform.cc,
+# algorithm/topk.cc, nn/pad.cc, nn/upsampling.cc, image/resize.cc):
+# reshape, tile, broadcast_to, full, ones, zeros, one_hot, strided_slice,
+# topk, expand_dims, squeeze, sparse_to_dense, nn.pad, nn.upsampling(3d),
+# image.resize2d — 16/16.
 # ---------------------------------------------------------------------------
 
 # op -> (fold_positions, fold_fn(node, folded_vals) -> (static_op,
@@ -161,6 +163,77 @@ def _fold_topk(node, vals):
     return "topk", (0,), attrs
 
 
+# -- remaining reference dyn registry (transform.cc:299,318,685,740,599;
+#    nn/pad.cc:109, nn/upsampling.cc:90,165, image/resize.cc:87) ---------
+
+@dyn_fold("dyn.ones", (0,))
+def _fold_ones(node, vals):
+    return "ones", (), {"shape": tuple(_ints(vals[0])),
+                        "dtype": node.attrs.get("dtype", "float32")}
+
+
+@dyn_fold("dyn.zeros", (0,))
+def _fold_zeros(node, vals):
+    return "zeros", (), {"shape": tuple(_ints(vals[0])),
+                         "dtype": node.attrs.get("dtype", "float32")}
+
+
+@dyn_fold("dyn.expand_dims", (1,))
+def _fold_expand_dims(node, vals):
+    return "expand_dims", (0,), {
+        "axis": int(np.asarray(vals[0]).ravel()[0]),
+        "num_newaxis": int(node.attrs.get("num_newaxis", 1))}
+
+
+@dyn_fold("dyn.squeeze", (1,))
+def _fold_squeeze(node, vals):
+    return "squeeze", (0,), {"axis": _ints(vals[0])}
+
+
+@dyn_fold("dyn.sparse_to_dense", (3,))
+def _fold_sparse_to_dense(node, vals):
+    # inputs: (sparse_indices, sparse_values, default_value, output_shape)
+    return "sparse_to_dense", (0, 1, 2), {
+        "output_shape": tuple(_ints(vals[0]))}
+
+
+@dyn_fold("dyn.nn.pad", (1, 2))
+def _fold_nn_pad(node, vals):
+    pw, pv = vals
+    pw = np.asarray(pw).reshape(-1, 2)
+    val = pv.ravel()[0].item()
+    return "nn.pad", (0,), {
+        "pad_width": [(int(b), int(e)) for b, e in pw],
+        "pad_value": val,
+        "pad_mode": node.attrs.get("pad_mode", "constant")}
+
+
+@dyn_fold("dyn.nn.upsampling", (1, 2))
+def _fold_nn_upsampling(node, vals):
+    attrs = {k: v for k, v in node.attrs.items()}
+    attrs["scale_h"] = float(np.asarray(vals[0]).ravel()[0])
+    attrs["scale_w"] = float(np.asarray(vals[1]).ravel()[0])
+    return "nn.upsampling", (0,), attrs
+
+
+@dyn_fold("dyn.nn.upsampling3d", (1, 2, 3))
+def _fold_nn_upsampling3d(node, vals):
+    attrs = {k: v for k, v in node.attrs.items()}
+    attrs["scale_d"] = float(np.asarray(vals[0]).ravel()[0])
+    attrs["scale_h"] = float(np.asarray(vals[1]).ravel()[0])
+    attrs["scale_w"] = float(np.asarray(vals[2]).ravel()[0])
+    return "nn.upsampling3d", (0,), attrs
+
+
+@dyn_fold("dyn.image.resize2d", (1,))
+def _fold_image_resize2d(node, vals):
+    # roi (optional 3rd input) only applies to tf_crop_and_resize, which the
+    # static twin rejects; drop it at fold time like DynamicToStatic does
+    attrs = {k: v for k, v in node.attrs.items()}
+    attrs["size"] = tuple(_ints(vals[0]))
+    return "image.resize2d", (0,), attrs
+
+
 def _delegate_np(*args, node: Node):
     from ..ir.registry import get_op
 
@@ -216,6 +289,36 @@ def _dyn_topk_rel(node: Node, ins):
 
 
 for _name in ("dyn.full", "dyn.one_hot", "dyn.topk"):
+    np_impl(_name)(_delegate_np)
+    jax_impl(_name)(_delegate_jax)
+    register_op(_name, flops=lambda node, ins: 0)
+
+
+for _name in ("dyn.expand_dims", "dyn.squeeze", "dyn.nn.pad",
+              "dyn.nn.upsampling", "dyn.nn.upsampling3d",
+              "dyn.image.resize2d"):
+    infer_rule(_name)(_dyn_data_rel)
+    np_impl(_name)(_delegate_np)
+    jax_impl(_name)(_delegate_jax)
+    register_op(_name, flops=lambda node, ins: 0)
+
+
+@infer_rule("dyn.ones")
+def _dyn_ones_rel(node: Node, ins):
+    return (None, node.attrs.get("dtype", "float32"))
+
+
+@infer_rule("dyn.zeros")
+def _dyn_zeros_rel(node: Node, ins):
+    return (None, node.attrs.get("dtype", "float32"))
+
+
+@infer_rule("dyn.sparse_to_dense")
+def _dyn_std_rel(node: Node, ins):
+    return (None, ins[1][1])
+
+
+for _name in ("dyn.ones", "dyn.zeros", "dyn.sparse_to_dense"):
     np_impl(_name)(_delegate_np)
     jax_impl(_name)(_delegate_jax)
     register_op(_name, flops=lambda node, ins: 0)

@@ -246,6 +246,139 @@ def test_dyn_topk():
         vals, np.sort(x, axis=-1)[:, ::-1][:, :3])
 
 
+# ---------------------------------------------------------------------------
+# round-5 completion: the remaining reference dyn ops — 16/16 of
+# /root/reference/src/relay/op/dyn/ (transform.cc:299,318,685,740,599;
+# nn/pad.cc:109; nn/upsampling.cc:90,165; image/resize.cc:87)
+# ---------------------------------------------------------------------------
+
+
+def test_dyn_ones_zeros():
+    def build(op):
+        def b_():
+            b = GraphBuilder("dc")
+            s = b.var("shape", (2,), "int32")
+            return b.build([b.call(op, s, dtype="int8", name="c0")])
+        return b_
+
+    for op, want in (("dyn.ones", 1), ("dyn.zeros", 0)):
+        outs = _check_dyn(build(op),
+                          {"shape": np.asarray([2, 5], np.int32)})
+        np.testing.assert_array_equal(outs[0],
+                                      np.full((2, 5), want, np.int8))
+        assert outs[0].dtype == np.int8
+
+
+def test_dyn_expand_dims_and_squeeze():
+    def build_e():
+        b = GraphBuilder("de")
+        x = b.var("x", (2, 3), "float32")
+        a = b.var("axis", (1,), "int32")
+        return b.build([b.call("dyn.expand_dims", x, a, name="e0")])
+
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    outs = _check_dyn(build_e, {"x": x, "axis": np.asarray([1], np.int32)})
+    np.testing.assert_array_equal(outs[0], x[:, None, :])
+
+    def build_s():
+        b = GraphBuilder("dsq")
+        x = b.var("x", (2, 1, 3, 1), "float32")
+        a = b.var("axes", (2,), "int32")
+        return b.build([b.call("dyn.squeeze", x, a, name="s0")])
+
+    x4 = x.reshape(2, 1, 3, 1)
+    outs = _check_dyn(build_s, {"x": x4,
+                                "axes": np.asarray([1, 3], np.int32)})
+    np.testing.assert_array_equal(outs[0], x)
+
+
+def test_dyn_sparse_to_dense():
+    def build():
+        b = GraphBuilder("dstd")
+        i = b.var("idx", (3, 2), "int32")
+        v = b.var("vals", (3,), "float32")
+        d = b.var("dflt", (), "float32")
+        s = b.var("oshape", (2,), "int32")
+        return b.build([b.call("dyn.sparse_to_dense", i, v, d, s,
+                               name="sd0")])
+
+    feeds = {"idx": np.asarray([[0, 0], [1, 2], [2, 3]], np.int32),
+             "vals": np.asarray([1., 2., 3.], np.float32),
+             "dflt": np.asarray(-1., np.float32),
+             "oshape": np.asarray([3, 4], np.int32)}
+    outs = _check_dyn(build, feeds)
+    want = np.full((3, 4), -1., np.float32)
+    want[0, 0], want[1, 2], want[2, 3] = 1., 2., 3.
+    np.testing.assert_array_equal(outs[0], want)
+
+
+def test_dyn_nn_pad():
+    def build():
+        b = GraphBuilder("dp")
+        x = b.var("x", (2, 3), "int32")
+        pw = b.var("pw", (2, 2), "int32")
+        pv = b.var("pv", (), "int32")
+        return b.build([b.call("dyn.nn.pad", x, pw, pv, name="p0")])
+
+    x = np.arange(6, dtype=np.int32).reshape(2, 3)
+    feeds = {"x": x, "pw": np.asarray([[1, 0], [2, 1]], np.int32),
+             "pv": np.asarray(7, np.int32)}
+    outs = _check_dyn(build, feeds)
+    np.testing.assert_array_equal(
+        outs[0], np.pad(x, [(1, 0), (2, 1)], constant_values=7))
+
+
+def test_dyn_nn_upsampling_2d_3d():
+    def build2():
+        b = GraphBuilder("du2")
+        x = b.var("x", (1, 2, 3, 4), "float32")
+        sh = b.var("sh", (), "float32")
+        sw = b.var("sw", (), "float32")
+        return b.build([b.call("dyn.nn.upsampling", x, sh, sw, name="u0")])
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 2, 3, 4)).astype(np.float32)
+    outs = _check_dyn(build2, {"x": x,
+                               "sh": np.asarray(2.0, np.float32),
+                               "sw": np.asarray(3.0, np.float32)})
+    assert outs[0].shape == (1, 4, 9, 4)
+    np.testing.assert_array_equal(outs[0][0, :, :, 0],
+                                  x[0, :, :, 0].repeat(2, 0).repeat(3, 1))
+
+    def build3():
+        b = GraphBuilder("du3")
+        x = b.var("x", (1, 2, 2, 3, 4), "float32")
+        sd = b.var("sd", (), "float32")
+        sh = b.var("sh", (), "float32")
+        sw = b.var("sw", (), "float32")
+        return b.build([b.call("dyn.nn.upsampling3d", x, sd, sh, sw,
+                               name="u3")])
+
+    x3 = rng.standard_normal((1, 2, 2, 3, 4)).astype(np.float32)
+    outs = _check_dyn(build3, {"x": x3,
+                               "sd": np.asarray(2.0, np.float32),
+                               "sh": np.asarray(2.0, np.float32),
+                               "sw": np.asarray(1.0, np.float32)})
+    assert outs[0].shape == (1, 4, 4, 3, 4)
+
+
+def test_dyn_image_resize2d():
+    def build():
+        b = GraphBuilder("drz")
+        x = b.var("x", (1, 4, 4, 2), "float32")
+        s = b.var("size", (2,), "int32")
+        return b.build([b.call("dyn.image.resize2d", x, s,
+                               method="nearest_neighbor", name="rz0")])
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+    outs = _check_dyn(build, {"x": x,
+                              "size": np.asarray([8, 8], np.int32)})
+    assert outs[0].shape == (1, 8, 8, 2)
+    np.testing.assert_array_equal(outs[0][0, :, :, 0],
+                                  x[0, :, :, 0].repeat(2, 0).repeat(2, 1))
+
+
 def test_dyn_cache_keys_include_all_folds():
     """dyn.full folds BOTH inputs — distinct fill values must be distinct
     cache entries even at the same shape."""
