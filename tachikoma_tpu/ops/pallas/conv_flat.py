@@ -705,7 +705,15 @@ def qconv2d_flat(
         # The f32 accumulator is the exact int32 accumulator.  Verified ==
         # on v5e and CPU, including a +/-128-saturated case
         # (scripts/probe_stem.py, tests/test_pallas_conv_flat.py).
-        return _conv_f32_exact(
+        # TK_STEM_ROUTE=f32 keeps the conv-emitter route; the default is
+        # the s2d+im2col+Pallas-matmul route (no conv emitter, so no
+        # batch-independent tiny-cin lowering cost — see
+        # _conv_stem_im2col and scripts/r5_stem_im2col.py).
+        if os.environ.get("TK_STEM_ROUTE", "im2col") == "f32":
+            return _conv_f32_exact(
+                x, w, bias_arr, multiplier, shift, strides, padding,
+                input_zero_point, out_zp, rounding, out_dtype, qmin, qmax)
+        return _conv_stem_im2col(
             x, w, bias_arr, multiplier, shift, strides, padding,
             input_zero_point, out_zp, rounding, out_dtype, qmin, qmax)
 
@@ -813,6 +821,73 @@ def _conv_f32_exact(x, w, bias_arr, multiplier, shift, strides, padding,
         v = v + jnp.int32(out_zp)
     v = jnp.clip(v, jnp.int32(qmin), jnp.int32(qmax))
     return v.astype(jnp.dtype(out_dtype))
+
+
+def _conv_stem_im2col(x, w, bias_arr, multiplier, shift, strides, padding,
+                      izp, out_zp, rounding, out_dtype, qmin, qmax):
+    """Small-cin stem route with NO conv emitter anywhere: space-to-depth
+    (reshape+transpose, exact relabeling) + im2col built from khp*kwp
+    UNIT-STRIDE slices + the tuned Pallas int8 matmul with the exact
+    clamped-requantize epilogue.
+
+    Every conv-emitter route (XLA f32/bf16/int8, s2d+XLA-int8, polyphase
+    flat) pays a ~0.8-1.6 ms BATCH-INDEPENDENT fixed cost inside XLA's
+    tiny-cin conv lowering (scripts/r5_stem_probe.py); this route sidesteps
+    the emitter entirely.  Exactness: the stride-(sh,sw) conv over cin
+    channels is an EXACT relabeling of a stride-1 khp x kwp conv over the
+    s2d image's sh*sw*cin channels (tap (u,v) phase (p,q) = w[sh*u+p,
+    sw*v+q]); borders and the geometry tail are padded with izp, which
+    contributes exactly 0 after the izp fold into bias (izp*colsum is
+    subtracted for EVERY tap, and padded taps contribute izp*w).  The
+    matmul epilogue is the pinned qms32 requantize.  Bit-compared == vs
+    qconv2d_flat on-chip and on CPU (scripts/r5_stem_im2col.py,
+    tests/test_pallas_conv_flat.py)."""
+    import jax.numpy as jnp
+
+    from .matmul_int8 import qmatmul_int8
+
+    n, h, wd, cin = x.shape
+    kh, kw, _, cout = w.shape
+    sh, sw = strides
+    pt, pl_, pb, pr = padding
+    oh = (h + pt + pb - kh) // sh + 1
+    ow = (wd + pl_ + pr - kw) // sw + 1
+    khp = -(-kh // sh)
+    kwp = -(-kw // sw)
+    hp = sh * (oh + khp - 1)
+    wp = sw * (ow + kwp - 1)
+    x = jnp.pad(x, ((0, 0), (pt, hp - h - pt), (pl_, wp - wd - pl_),
+                    (0, 0)), constant_values=np.int8(izp))
+    cs = sh * sw * cin
+    y = x.reshape(n, hp // sh, sh, wp // sw, sw, cin)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // sh, wp // sw, cs)
+    pat = jnp.concatenate(
+        [y[:, u:u + oh, v:v + ow, :]
+         for u in range(khp) for v in range(kwp)], axis=-1)
+    flat = pat.reshape(n * oh * ow, khp * kwp * cs)
+    # scattered stride-1 weights, host-side (w is host int8)
+    wh = np.asarray(w)
+    wsc = np.zeros((khp * kwp * cs, cout), np.int8)
+    for u in range(khp):
+        for v in range(kwp):
+            for p in range(sh):
+                for q in range(sw):
+                    ki, kj = sh * u + p, sw * v + q
+                    if ki < kh and kj < kw:
+                        base = (u * kwp + v) * cs + (p * sw + q) * cin
+                        wsc[base:base + cin] = wh[ki, kj]
+    # bk = K when K is a lane-safe multiple (>=128, 32-granular): skips the
+    # K -> next-pow2-block HBM re-pad of the (M,K) patch matrix (measured
+    # 493 vs 514 us at the b8 stem, scripts/r5_stem_im2col.py); bm=512 /
+    # bn=128 swept best there.  Other K falls to the DB/default path.
+    kdim = khp * kwp * cs
+    blocks = ((512, 128, kdim)
+              if kdim % 32 == 0 and 128 <= kdim <= 512 else None)
+    out = qmatmul_int8(flat, wsc, bias=bias_arr, multiplier=multiplier,
+                       shift=shift, out_zp=out_zp, rounding=rounding,
+                       out_dtype=out_dtype, qmin=qmin, qmax=qmax,
+                       blocks=blocks)
+    return out.reshape(n, oh, ow, cout)
 
 
 def _conv1x1_matmul(x, w, bias_arr, m_arr, s_arr, strides, padding,

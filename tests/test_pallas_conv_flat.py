@@ -251,6 +251,46 @@ def test_stem_f32_route_exact_saturated(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("route", ["f32", "im2col"])
+def test_stem_routes_exact_per_channel(rng, route, monkeypatch):
+    """Both stem routes (conv-emitter f32 and s2d+im2col+Pallas-matmul,
+    TK_STEM_ROUTE) are bit-exact vs the oracle on the ResNet stem regime,
+    including nonzero input zp, PER-CHANNEL requantize, and out_zp."""
+    import jax.numpy as jnp
+
+    from tachikoma_tpu.ir.graph import Node
+    from tachikoma_tpu.ir.registry import get_op
+    from tachikoma_tpu.ops.fixed_point import q_multiply_shift_per_axis_np
+    from tachikoma_tpu.ops.pallas.conv_flat import qconv2d_flat
+    from tachikoma_tpu.ops.pallas.qms32 import plan_requantize
+
+    monkeypatch.setenv("TK_STEM_ROUTE", route)
+    n, h, w, cin, cout, k = 2, 192, 192, 3, 8, 7
+    x = rng.integers(-128, 128, (n, h, w, cin)).astype(np.int8)
+    wt = rng.integers(-127, 128, (k, k, cin, cout)).astype(np.int8)
+    bias = rng.integers(-500, 500, (cout,)).astype(np.int32)
+    ms = [plan_requantize(0.0004 * (1 + 0.1 * i), 0.05)
+          for i in range(cout)]
+    m = np.asarray([int(a) for a, _ in ms], np.int32)
+    s = np.asarray([int(b) for _, b in ms], np.int32)
+
+    got = np.asarray(qconv2d_flat(
+        jnp.asarray(x), wt, bias=bias, multiplier=m, shift=s,
+        strides=(2, 2), padding=(3, 3, 3, 3), input_zero_point=3,
+        out_zp=4))
+
+    node = Node("c", "qnn.conv2d", ("x", "w"),
+                {"strides": (2, 2), "padding": (3, 3, 3, 3),
+                 "input_zero_point": 3, "kernel_zero_point": 0,
+                 "out_dtype": "int32", "data_layout": "NHWC",
+                 "kernel_layout": "HWIO"})
+    acc = get_op("qnn.conv2d").np_impl(x, wt, node=node) + bias
+    want = np.clip(q_multiply_shift_per_axis_np(
+        acc, m.astype(np.int64), s.astype(np.int64), axis=-1,
+        rounding="UPWARD") + 4, -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("ratio,zp", [
     (0.04, 3),      # shift ~ -4: clamp16 tier (2-multiply fold)
     (0.004, -5),    # shift ~ -7: clamp11 tier (3-multiply fold)
