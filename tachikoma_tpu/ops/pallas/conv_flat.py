@@ -705,11 +705,24 @@ def qconv2d_flat(
         # The f32 accumulator is the exact int32 accumulator.  Verified ==
         # on v5e and CPU, including a +/-128-saturated case
         # (scripts/probe_stem.py, tests/test_pallas_conv_flat.py).
-        # TK_STEM_ROUTE=f32 keeps the conv-emitter route; the default is
-        # the s2d+im2col+Pallas-matmul route (no conv emitter, so no
-        # batch-independent tiny-cin lowering cost — see
-        # _conv_stem_im2col and scripts/r5_stem_im2col.py).
-        if os.environ.get("TK_STEM_ROUTE", "im2col") == "f32":
+        # Route choice, from interleaved in-process A/B on v5e
+        # (scripts/r5_stem_ab_inproc.py, /tmp/r5/stem_ab_inproc.json +
+        # stem_e2e_ab.log):
+        #   * kdim = khp*kwp*sh*sw*cin >= 128 (ResNet 7x7 s2: 192): the
+        #     s2d+im2col+Pallas-matmul route wins at EVERY batch
+        #     (e2e -34% b8 / -33% b32) — no conv emitter, so no
+        #     batch-independent tiny-cin lowering cost;
+        #   * kdim < 128 (MobileNet 3x3 s2: 48, K pads >=2.7x): im2col
+        #     wins only once M is large (b32 7.9 vs 11.1 ms, and 8x
+        #     tighter IQR) and LOSES at b8 (4.3 vs 1.5) — f32 emitter
+        #     keeps small-M, im2col takes M >= 300k.
+        # TK_STEM_ROUTE=f32|im2col forces a route.
+        khp_, kwp_ = -(-kh // sh), -(-kw // sw)
+        kdim = khp_ * kwp_ * sh * sw * cin
+        big_m = n * (h // sh) * (wd // sw) >= 300_000
+        pick = os.environ.get("TK_STEM_ROUTE",
+                              "im2col" if (kdim >= 128 or big_m) else "f32")
+        if pick == "f32":
             return _conv_f32_exact(
                 x, w, bias_arr, multiplier, shift, strides, padding,
                 input_zero_point, out_zp, rounding, out_dtype, qmin, qmax)
